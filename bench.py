@@ -1,0 +1,71 @@
+"""BENCH harness: run every declared query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
+
+Protocol matches BASELINE.md §3: one shared SparkSession, warm JVM, AQE on,
+per-query wall time via a full materialization (noop sink — nothing
+collected to the driver). The headline metric is suite wall-clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def materialize(df) -> None:
+    # noop sink: executes the whole plan, writes nothing, collects nothing
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    import paraslice_spark.operators  # noqa: F401
+    from paraslice_spark.registry import QUERIES
+    from paraslice_spark.session import get_session
+    from paraslice_spark.sources.io import load_tables
+
+    spark = get_session("paraslice-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, parquet footers, and the shared table cache
+    tables = load_tables(spark, sf_dir)
+    for t in ("lineitem", "orders", "events"):
+        tables[t].cache()
+    materialize(tables["lineitem"])
+    materialize(tables["orders"])
+    materialize(tables["events"])
+
+    times: dict[str, float] = {}
+    t_suite = time.perf_counter()
+    for name, fn in sorted(QUERIES.items()):
+        t0 = time.perf_counter()
+        try:
+            materialize(fn(spark, sf_dir))
+            times[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # a broken query must not kill the bench
+            times[name] = -1.0
+            print(f"# BENCH ERROR {name}: {exc}", file=sys.stderr)
+    total = round(time.perf_counter() - t_suite, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wallclock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

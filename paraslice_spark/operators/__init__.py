@@ -1,0 +1,7 @@
+"""Operator modules. Importing this package registers every declared query
+into :mod:`paraslice_spark.registry` (import side effect by design — the
+driver entry point just re-exports the registry dicts)."""
+
+from paraslice_spark.operators import flagship, relational  # noqa: F401
+
+__all__ = ["flagship", "relational"]

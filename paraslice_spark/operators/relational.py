@@ -1,0 +1,174 @@
+"""Scans, projections, filters (SURVEY §2.1-2.2).
+
+All pure Catalyst: filters/projections here are authored declaratively so
+predicate pushdown and column pruning reach the parquet scan (verified via
+``.explain`` in tests/plans) — at 100 TB these queries read only the
+row-groups and columns they need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from paraslice_spark.functions.canon import MONEY_FRAC, money
+from paraslice_spark.registry import query
+from paraslice_spark.sources.io import load_tables
+
+# ---------------------------------------------------------------- §2.1 scans
+
+
+@query(
+    "scan_parquet",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: full parquet scan, stable order."""
+    return load_tables(spark, sf_dir)["region"].orderBy("r_regionkey")
+
+
+@query(
+    "scan_events_ts",
+    oracle="""
+    SELECT event_type,
+           MIN(date_trunc('microseconds', ts)) AS min_ts,
+           MAX(date_trunc('microseconds', ts)) AS max_ts,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: schema-repaired scan of the ns-timestamp table.
+
+    DuckDB reads ts natively at ns precision; Spark truncates to µs after
+    the nanosAsLong repair, so the oracle truncates too (SURVEY §5.3).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "scan_projection",
+    oracle="SELECT l_orderkey, l_quantity FROM lineitem",
+)
+def scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: 2-of-16 column projection — Catalyst ColumnPruning pushes the
+    ReadSchema down to the parquet reader (asserted in tests/test_plans)."""
+    return load_tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_quantity")
+
+
+# ------------------------------------------------- §2.2 projections / filters
+
+
+@query(
+    "project_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(10,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))
+                AS DOUBLE) AS charge
+    FROM lineitem
+    """,
+)
+def project_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: derived arithmetic column, decimal-exact then one double cast."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    one = F.lit(1).cast(MONEY_FRAC)
+    charge = (
+        money("l_extendedprice")
+        * (one - F.col("l_discount").cast(MONEY_FRAC))
+        * (one + F.col("l_tax").cast(MONEY_FRAC))
+    ).cast("double")
+    return li.select("l_orderkey", "l_linenumber", charge.alias("charge"))
+
+
+@query(
+    "filter_compound",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+    FROM lineitem
+    WHERE (l_quantity > 30 AND l_discount <= 0.05)
+       OR (l_returnflag = 'R' AND NOT (l_linestatus = 'F'))
+    """,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: AND/OR/NOT over numeric + string predicates."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cond = ((F.col("l_quantity") > 30) & (F.col("l_discount") <= 0.05)) | (
+        (F.col("l_returnflag") == "R") & (~(F.col("l_linestatus") == "F"))
+    )
+    return li.where(cond).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+
+
+@query(
+    "filter_between_in_like",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_acctbal BETWEEN 1000 AND 8000
+      AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND c_name LIKE '%1%'
+    """,
+)
+def filter_between_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: range, set-membership, and pattern predicates."""
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.where(
+        F.col("c_acctbal").between(1000, 8000)
+        & F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        & F.col("c_name").like("%1%")
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "filter_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT NULLIF(l_returnflag, 'N') AS rf, l_orderkey FROM lineitem
+    )
+    SELECT COUNT(*) AS n_total,
+           COUNT(rf) AS n_notnull,
+           COUNT(CASE WHEN rf IS NULL THEN 1 END) AS n_null,
+           COUNT(CASE WHEN rf IS NOT DISTINCT FROM 'A' THEN 1 END) AS n_nullsafe_a,
+           COUNT(CASE WHEN rf IS NOT DISTINCT FROM NULL THEN 1 END) AS n_nullsafe_null
+    FROM t
+    """,
+)
+def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: isNull/isNotNull and null-safe equality (<=> vs IS NOT DISTINCT
+    FROM). Fixtures carry no NULLs, so NULLIF manufactures them."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    t = li.select(F.nullif(F.col("l_returnflag"), F.lit("N")).alias("rf"), "l_orderkey")
+    return t.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("rf").alias("n_notnull"),
+        F.count(F.when(F.col("rf").isNull(), 1)).alias("n_null"),
+        F.count(F.when(F.col("rf").eqNullSafe("A"), 1)).alias("n_nullsafe_a"),
+        F.count(F.when(F.col("rf").eqNullSafe(F.lit(None).cast("string")), 1)).alias(
+            "n_nullsafe_null"
+        ),
+    )
+
+
+@query(
+    "filter_regexp",
+    oracle=r"""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE regexp_matches(p_type, '^(PROMO|STANDARD)$')
+      AND regexp_matches(p_name, '(widget|bolt)$')
+    """,
+)
+def filter_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: regex predicates (rlike ↔ regexp_matches)."""
+    p = load_tables(spark, sf_dir)["part"]
+    return p.where(
+        F.col("p_type").rlike("^(PROMO|STANDARD)$") & F.col("p_name").rlike("(widget|bolt)$")
+    ).select("p_partkey", "p_name", "p_type")

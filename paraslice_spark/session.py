@@ -1,0 +1,74 @@
+"""SparkSession factory + session hygiene.
+
+Two situations (SURVEY §0.2): our own tests/bench build the session here;
+the *driver* hands us an already-built session. ``ensure_session_confs``
+therefore applies every conf we rely on that is runtime-settable (verified:
+``spark.sql.legacy.parquet.nanosAsLong`` and the session timezone both take
+effect after ``getOrCreate`` on PySpark 4.1.2), so engine code works under
+any session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: confs that are safe (and required) to set at runtime on any session.
+RUNTIME_CONFS = {
+    # events.parquet stores timestamp[ns]; without this Spark 4.x raises
+    # [PARQUET_TYPE_ILLEGAL] (SURVEY §1.2, verified). ts arrives as long.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # cross-engine determinism vs the DuckDB oracle (SURVEY §5.3)
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for pandas interchange / pandas UDFs
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # NOTE: we deliberately do NOT touch spark.sql.adaptive.enabled here —
+    # AQE is the right default at cluster scale (skew splits, runtime join
+    # demotion) and the driver's own session keeps its default (on). For
+    # LOCAL benches get_session turns it off: measured on this container,
+    # AQE's stage-by-stage materialization adds ~8s to the first run of
+    # every multi-shuffle plan at sf<=0.1 (KB-sized shuffles) for zero
+    # replanning benefit. Flip PARASLICE_AQE=true for cluster deployments.
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs this engine depends on. Idempotent."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # conf not settable on this build — engine degrades gracefully
+            pass
+    return spark
+
+
+def get_session(
+    app_name: str = "paraslice_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local session sized for this container.
+
+    100 TB design note (SURVEY §7.3): on a real cluster the same engine code
+    runs under a cluster-managed session; nothing below hard-codes local mode
+    except this factory, and shuffle partitioning is sized by conf, not code.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = shuffle_partitions or int(
+        os.environ.get("PARASLICE_SHUFFLE_PARTITIONS", str(min(cpus, 32)))
+    )
+    aqe = os.environ.get("PARASLICE_AQE", "false")  # see RUNTIME_CONFS note
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("PARASLICE_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    spark = builder.getOrCreate()
+    return ensure_session_confs(spark)

@@ -1,0 +1,78 @@
+"""Sources: parquet scan layer with central schema repair (SURVEY §2.1).
+
+``load_tables`` is the single entry every operator uses, so schema fixes
+(events.ts ns->us) apply engine-wide exactly once. Per-(session, sf_dir)
+memoization means a suite of queries reads each parquet footer once and
+shares the same DataFrame lineage — at 100 TB this is also the layer where
+a real deployment would swap in a catalog/metastore without touching any
+operator code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from paraslice_spark.session import ensure_session_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# (session id, sf_dir) -> {table: DataFrame}
+_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def _repair_events(df: DataFrame) -> DataFrame:
+    """events.ts arrives as long (ns epoch) under nanosAsLong — repair to
+    TimestampType at microsecond precision (SURVEY §1.2, verified recipe).
+
+    Keeps the raw nanos as ``ts_ns`` for oracles that want exact longs.
+    """
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        # integer `div`, NOT float `/`: ns-epoch (~1.7e18) exceeds double's
+        # 53-bit exact range, so (ts/1000).cast("long") is off by ±1 µs
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:  # already a timestamp (future Spark builds may read ns natively)
+        df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * 1000)
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load all fixture tables from ``sf_dir`` with schemas repaired.
+
+    Registers each as a temp view (S5) so ``spark.sql`` twins work.
+    """
+    key = (id(spark), sf_dir.rstrip("/"))
+    if key in _cache:
+        return _cache[key]
+    ensure_session_confs(spark)
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        if name == "events":
+            df = _repair_events(df)
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    _cache[key] = out
+    return out
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """S4: partitioned parquet sink — the only sane sink shape at 100 TB
+    (partition pruning on read; no single-file bottleneck)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
