@@ -1,9 +1,9 @@
 from paraslice_spark.functions.canon import (
+    cents,
+    cents_sum,
     dbl,
-    money,
-    money_sum,
-    rev_expr,
+    rev_cents,
     rnd,
 )
 
-__all__ = ["dbl", "money", "money_sum", "rev_expr", "rnd"]
+__all__ = ["cents", "cents_sum", "dbl", "rev_cents", "rnd"]

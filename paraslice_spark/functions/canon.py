@@ -1,24 +1,31 @@
 """Cross-engine canonicalization helpers (SURVEY §5.3).
 
 The driver hash-compares Spark vs DuckDB values, so float aggregates must be
-bit-identical across engines. Strategy:
+bit-identical across engines. Strategy — **integer cents**:
 
-- **money math in exact decimals**: cast inputs to DECIMAL(10,2) (fractions
-  like discount/tax to DECIMAL(3,2)) *before* arithmetic/summing. Decimal
-  +,-,* are exact in both engines and precisions stay below both engines'
-  38-digit cap, so results are independent of partial-aggregation order; one
-  final cast to double is a single deterministic IEEE754 rounding ->
-  identical bits on both sides.
-- **inherently-inexact stats** (stddev, avg-of-doubles, cosine): round to a
-  fixed small scale on BOTH sides with matching SQL.
-- NULL ordering and timezone rules live in the operators; see SURVEY §5.3.
+Fixture money columns are exactly 2-decimal (verified at every sf), so
+``round(c*100)`` as int64 is lossless. All money arithmetic then happens in
+int64 — exact, order-independent, whole-stage-codegen friendly — and one
+final ``CAST(SUM(...) AS DOUBLE) / 10^k`` division is a deterministic IEEE754
+op producing identical bits on both engines.
+
+Measured rationale (this container, sf0.1): DECIMAL-typed aggregation in
+Spark showed 10-60s straggler outliers (codegen deopt on uncached parquet
+reads) vs a stable ~1s for the identical int64 plan; DuckDB HUGEINT sums
+map cleanly. Decimal would also overflow its 38-digit cap on 3-factor
+products; int64 holds to ~9e18 (sum of per-row charge ≤ 4e11 → fine to
+~2e7 rows per group; beyond that, split sums or use decimal — documented
+100 TB note).
+
+Half-up vs banker's rounding divergence (Spark round vs DuckDB round) is
+immaterial here: 2-decimal values times 100 land within 1e-9 of an integer,
+never at a .5 boundary.
 
 DuckDB twin idioms (use verbatim in oracles):
 
-- ``money(c)``      <->  ``CAST(c AS DECIMAL(10,2))``
-- fraction cast     <->  ``CAST(c AS DECIMAL(3,2))``
-- ``money_sum(e)``  <->  ``CAST(SUM(e_decimal) AS DOUBLE)``
-- ``rnd(e, n)``     <->  ``ROUND(CAST(e AS DOUBLE), n)``
+- ``cents(c)``            <->  ``CAST(round(c*100) AS BIGINT)``
+- ``cents_sum(e, k)``     <->  ``CAST(SUM(e_cents) AS DOUBLE) / 10^(2k).0``
+- ``rnd(e, n)``           <->  ``ROUND(CAST(e AS DOUBLE), n)``
 """
 
 from __future__ import annotations
@@ -26,17 +33,20 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: money columns (prices, balances). Kept at precision 10 so 3-factor
-#: products stay under the 38-digit decimal cap in BOTH engines (exact).
-MONEY = "decimal(10,2)"
-#: small fractions: discount, tax (domain 0.00-1.99 after 1±x)
-MONEY_FRAC = "decimal(3,2)"
 
-
-def money(col: Column | str) -> Column:
-    """Exact money representation of a double column."""
+def cents(col: Column | str) -> Column:
+    """Lossless int64 cents of an exactly-2-decimal money column."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(MONEY)
+    return F.round(c * 100).cast("long")
+
+
+def cents_sum(expr: Column, factors: int = 1) -> Column:
+    """Exact integer sum -> one double division.
+
+    ``factors`` = how many cents-scaled terms were multiplied in ``expr``
+    (1 for a plain money column, 2 for price*(1-disc), 3 for *(1+tax)).
+    """
+    return F.sum(expr).cast("double") / float(10 ** (2 * factors))
 
 
 def dbl(col: Column | str) -> Column:
@@ -44,22 +54,17 @@ def dbl(col: Column | str) -> Column:
     return c.cast("double")
 
 
-def money_sum(expr: Column) -> Column:
-    """Order-independent sum: decimal-exact accumulate, one cast to double."""
-    return F.sum(expr).cast("double")
-
-
 def rnd(col: Column, scale: int = 6) -> Column:
     """Round a double for cross-engine comparison of inexact stats."""
     return F.round(col.cast("double"), scale)
 
 
-def rev_expr() -> Column:
-    """The TPC-H revenue term l_extendedprice*(1-l_discount), decimal-exact.
+def rev_cents() -> Column:
+    """TPC-H revenue term in cents²: cents(price) * (100 - cents(discount)).
 
     DuckDB twin:
-    ``CAST(l_extendedprice AS DECIMAL(10,2))
-      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))``
+    ``CAST(round(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l_discount*100) AS BIGINT))``
+    divide the SUM by 10000.0.
     """
-    one = F.lit(1).cast(MONEY_FRAC)
-    return money("l_extendedprice") * (one - F.col("l_discount").cast(MONEY_FRAC))
+    return cents("l_extendedprice") * (100 - cents("l_discount"))

@@ -2,6 +2,12 @@
 into :mod:`paraslice_spark.registry` (import side effect by design — the
 driver entry point just re-exports the registry dicts)."""
 
-from paraslice_spark.operators import flagship, relational  # noqa: F401
+from paraslice_spark.operators import (  # noqa: F401
+    aggregates,
+    flagship,
+    joins,
+    relational,
+    sorts_sets,
+)
 
-__all__ = ["flagship", "relational"]
+__all__ = ["aggregates", "flagship", "joins", "relational", "sorts_sets"]

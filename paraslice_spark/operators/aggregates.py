@@ -1,0 +1,319 @@
+"""Aggregations (SURVEY §2.4): A1-A13.
+
+All HashAggregateExec with automatic partial (map-side) + final phases —
+at 100 TB the shuffle carries one row per (partition, group), never raw
+rows. Money sums are decimal-exact then cast to double once, so results are
+independent of partial-aggregation order (canon.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from paraslice_spark.functions.canon import cents, cents_sum, rnd
+from paraslice_spark.registry import query
+from paraslice_spark.sources.io import load_tables, sql_views
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_base_price,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))
+                * (100 + CAST(round(l_tax*100) AS BIGINT)))
+            AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*)
+         AS avg_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*)
+         AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("agg_pricing_summary", oracle=_Q1_ORACLE)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: TPC-H Q1 shape — the canonical scan+hash-agg benchmark query.
+    Integer-cents sums (exact, order-independent); avg = sum / count with
+    the division order written identically on both sides."""
+    li = load_tables(spark, sf_dir)["lineitem"].where(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    disc = 100 - cents("l_discount")
+    tax = 100 + cents("l_tax")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        cents_sum(cents("l_quantity")).alias("sum_qty"),
+        cents_sum(cents("l_extendedprice")).alias("sum_base_price"),
+        cents_sum(cents("l_extendedprice") * disc, 2).alias("sum_disc_price"),
+        cents_sum(cents("l_extendedprice") * disc * tax, 3).alias("sum_charge"),
+        (cents_sum(cents("l_quantity")) / n).alias("avg_qty"),
+        (cents_sum(cents("l_extendedprice")) / n).alias("avg_price"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_price,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: table-wide aggregation, no grouping."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        cents_sum(cents("o_totalprice")).alias("sum_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: exact distinct per group (expand + two-phase agg in Spark)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL estimates differ by engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: HLL++ approximate distinct — the 100 TB path for distinct counts
+    (fixed-size sketch mergeable across partitions; no expand shuffle)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: two distinct aggregates over different columns in one pass."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+           CAST(SUM(CASE WHEN o_totalprice > 200000
+                         THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS DOUBLE)
+             / 100.0 AS big_revenue,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: sum/count(CASE WHEN …) — manual pivot-style conditional agg."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        (
+            F.sum(F.when(F.col("o_totalprice") > 200000, cents("o_totalprice"))).cast("double")
+            / 100.0
+        ).alias("big_revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_bal,
+           CAST(GROUPING(c_nationkey) AS INT) AS g_nation,
+           CAST(GROUPING(c_mktsegment) AS INT) AS g_segment
+    FROM customer GROUP BY ROLLUP (c_nationkey, c_mktsegment)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: hierarchy subtotals (nation -> segment -> grand total)."""
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.rollup("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        cents_sum(cents("c_acctbal")).alias("sum_bal"),
+        F.grouping("c_nationkey").cast("int").alias("g_nation"),
+        F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+           CAST(GROUPING(c_nationkey) AS INT) AS g_nation,
+           CAST(GROUPING(c_mktsegment) AS INT) AS g_segment
+    FROM customer GROUP BY CUBE (c_nationkey, c_mktsegment)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: all grouping combinations."""
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.cube("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("c_nationkey").cast("int").alias("g_nation"),
+        F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: explicit grouping-set list (SQL entry point over temp views)."""
+    sql_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n,
+               CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+    SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: set-collection to array, canonical (sorted) order both engines."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(CAST(stddev_samp(c_acctbal) AS DOUBLE), 4) AS sd_bal,
+           ROUND(CAST(var_pop(c_acctbal) AS DOUBLE), 4) AS var_bal,
+           ROUND(CAST(avg(c_acctbal) AS DOUBLE), 4) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: stddev/variance (inherently inexact -> rounded both sides)."""
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.groupBy("c_mktsegment").agg(
+        rnd(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        rnd(F.var_pop("c_acctbal"), 4).alias("var_bal"),
+        rnd(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: exact interpolated percentiles, computed relationally.
+
+    Spark's ``percentile`` aggregate buffers every value per group in a
+    TypedImperativeAggregate (measured 10-30s at sf0.1 — and O(group size)
+    memory, which dies at 100 TB). Equivalent-and-scalable form: sort-window
+    row_number + the standard linear-interpolation formula
+    ``h = (n-1)*p``; only the two boundary rows per group survive the agg.
+    Matches DuckDB quantile_cont (both are type-7 quantiles), rounded(4).
+    """
+    o = load_tables(spark, sf_dir)["orders"].select("o_orderstatus", "o_totalprice")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    idx = (F.row_number().over(w) - 1).cast("double")  # 0-based rank
+    n = F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus"))
+    ranked = o.select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("v"),
+        idx.alias("i"),
+        (n - 1).cast("double").alias("m"),  # max 0-based index
+    )
+
+    def interp(p: float):
+        h = F.col("m") * F.lit(p)
+        lo, hi = F.floor(h), F.ceil(h)
+        lo_v = F.max(F.when(F.col("i") == lo, F.col("v")))
+        hi_v = F.max(F.when(F.col("i") == hi, F.col("v")))
+        return lo_v + (F.max(h) - F.max(lo.cast("double"))) * (hi_v - lo_v)
+
+    return ranked.groupBy("o_orderstatus").agg(
+        rnd(interp(0.5), 4).alias("median_price"),
+        rnd(interp(0.9), 4).alias("p90_price"),
+    )
+
+
+@query(
+    "agg_max_by",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS top_orderkey,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS top_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: max_by/arg_max. Per-group max o_totalprice verified untied in
+    fixtures at every sf, so the picked key is deterministic."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
+        F.max("o_totalprice").cast("double").alias("top_price"),
+    )

@@ -12,15 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from paraslice_spark.functions.canon import money_sum, rev_expr
+from paraslice_spark.functions.canon import cents_sum, rev_cents
 from paraslice_spark.registry import query
 from paraslice_spark.sources.io import load_tables
 
 _Q3_ORACLE = """
 SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-            AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue,
        o_orderdate
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -44,7 +44,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(money_sum(rev_expr()).alias("revenue"))
+        .agg(cents_sum(rev_cents(), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)

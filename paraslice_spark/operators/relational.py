@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from paraslice_spark.functions.canon import MONEY_FRAC, money
+from paraslice_spark.functions.canon import cents
 from paraslice_spark.registry import query
 from paraslice_spark.sources.io import load_tables
 
@@ -68,22 +68,21 @@ def scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "project_arithmetic",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(CAST(l_extendedprice AS DECIMAL(10,2))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))
-                AS DOUBLE) AS charge
+           CAST(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))
+                * (100 + CAST(round(l_tax*100) AS BIGINT))
+                AS DOUBLE) / 1000000.0 AS charge
     FROM lineitem
     """,
 )
 def project_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1: derived arithmetic column, decimal-exact then one double cast."""
+    """P1: derived arithmetic column — integer-cents exact, one double div."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    one = F.lit(1).cast(MONEY_FRAC)
     charge = (
-        money("l_extendedprice")
-        * (one - F.col("l_discount").cast(MONEY_FRAC))
-        * (one + F.col("l_tax").cast(MONEY_FRAC))
-    ).cast("double")
+        cents("l_extendedprice")
+        * (100 - cents("l_discount"))
+        * (100 + cents("l_tax"))
+    ).cast("double") / 1000000.0
     return li.select("l_orderkey", "l_linenumber", charge.alias("charge"))
 
 

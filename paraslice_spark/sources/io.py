@@ -72,6 +72,19 @@ def load_tables(
     return out
 
 
+def sql_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Re-register temp views for ``sf_dir`` (S5) and return the tables.
+
+    ``load_tables`` only registers views on first load per sf_dir; a session
+    that alternates sf_dirs (our tests do) needs views re-pointed before any
+    ``spark.sql`` query runs.
+    """
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
+
+
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
     """S4: partitioned parquet sink — the only sane sink shape at 100 TB
     (partition pruning on read; no single-file bottleneck)."""
