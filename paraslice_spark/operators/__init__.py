@@ -7,7 +7,17 @@ from paraslice_spark.operators import (  # noqa: F401
     flagship,
     joins,
     relational,
+    scalar_packs,
     sorts_sets,
+    windows,
 )
 
-__all__ = ["aggregates", "flagship", "joins", "relational", "sorts_sets"]
+__all__ = [
+    "aggregates",
+    "flagship",
+    "joins",
+    "relational",
+    "scalar_packs",
+    "sorts_sets",
+    "windows",
+]
