@@ -49,6 +49,17 @@ def cents_sum(expr: Column, factors: int = 1) -> Column:
     return F.sum(expr).cast("double") / float(10 ** (2 * factors))
 
 
+def micros_units(col: Column | str) -> Column:
+    """int64 micro-units of an arbitrary-precision double (events.value is
+    NOT 2-decimal). round(v*1e6) is the same double op on both engines, so
+    the derived metric is deterministic even though it quantizes the input.
+
+    DuckDB twin: ``CAST(round(v*1000000) AS BIGINT)``; divide sums by 1e6.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 1000000).cast("long")
+
+
 def dbl(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("double")

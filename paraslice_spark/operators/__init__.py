@@ -2,6 +2,7 @@
 into :mod:`paraslice_spark.registry` (import side effect by design — the
 driver entry point just re-exports the registry dicts)."""
 
+from paraslice_spark import streaming  # noqa: F401  (registers batch twins)
 from paraslice_spark.operators import (  # noqa: F401
     aggregates,
     flagship,

@@ -1,0 +1,149 @@
+"""Streaming operators — batch twins (SURVEY §2.10 ST1-ST3).
+
+Spark's windowing API is identical on batch and streaming DataFrames (the
+Dataset-is-a-stream duality), so each streaming op is declared through its
+batch twin (DuckDB-oracle-checkable) while tests/test_streaming.py replays
+the same table through readStream and asserts result equality.
+
+Scale: tumbling/sliding windows are plain hash aggs keyed by (window, key) —
+partial-agg + one shuffle; session windows shuffle once on user and merge
+sessions per key (Spark's session_window does this natively with state-store
+support on streams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from paraslice_spark.functions.canon import micros_units
+from paraslice_spark.registry import query
+from paraslice_spark.sources.io import load_tables
+
+_SLIDE_US = 900_000_000  # 15 min
+_GAP = "30 minutes"
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """ST1 core: per-hour event counts + value sums (works on batch AND
+    streaming input unchanged)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(micros_units("value")).cast("double") / 1000000.0).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("hour_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value*1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+             AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_tables(spark, sf_dir)["events"])
+
+
+def sliding_avg(events: DataFrame) -> DataFrame:
+    """ST2 core: 1-hour window sliding every 15 minutes."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(micros_units("value")).cast("double") / 1000000.0 / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n_events", "avg_value")
+    )
+
+
+@query(
+    "stream_sliding_avg",
+    oracle=f"""
+    WITH e AS (SELECT date_trunc('microseconds', ts) AS ts, value FROM events),
+    expanded AS (
+      SELECT make_timestamp((epoch_us(ts) // {_SLIDE_US} - k.k) * {_SLIDE_US})
+               AS win_start,
+             value
+      FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) k
+    )
+    SELECT win_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value*1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*) AS avg_value
+    FROM expanded GROUP BY 1
+    """,
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle twin: every event belongs to exactly 4 slide-aligned windows
+    (slide 15 min, length 1 h, epoch-aligned like Spark's F.window)."""
+    return sliding_avg(load_tables(spark, sf_dir)["events"])
+
+
+def session_windows(events: DataFrame) -> DataFrame:
+    """ST3 core: per-user sessions with a 30-min inactivity gap, via
+    F.session_window (native, state-store-backed on streams)."""
+    return (
+        events.groupBy(F.session_window("ts", _GAP).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("win.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session boundary semantics (verified against Spark): a new session
+    starts when the gap since the previous event is >= the 30-min gap
+    (session covers [start, last_event + gap)); the classic lag->flag->
+    cumsum sessionization in the oracle encodes exactly that."""
+    return session_windows(load_tables(spark, sf_dir)["events"])
+
+
+@query(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events
+          ORDER BY event_id)
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 batch twin: exactly-once by event_id then a profile agg (the
+    streaming variant uses dropDuplicatesWithinWatermark — test-covered).
+    event_id is already unique in fixtures, so dedup is a no-op pass-through
+    verified by count parity."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

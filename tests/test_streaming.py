@@ -1,0 +1,187 @@
+"""Streaming equivalence tests (SURVEY §5.2 layer 3, §2.10 ST1-ST8).
+
+Replay the events fixture through a file-source stream (one parquet file
+per micro-batch) and assert the streaming result equals the batch twin.
+Late-data cases feed out-of-ts-order micro-batches.
+"""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from paraslice_spark.sources.io import load_tables
+from paraslice_spark.streaming import batch_twins, streams
+from tests.conftest import SF_SMALL
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    """Directory with the sf0.001 events parquet as a single stream file."""
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _mem_name() -> str:
+    return "mem_" + uuid.uuid4().hex[:8]
+
+
+def test_st1_tumbling_stream_equals_batch(spark, events_dir):
+    stream = streams.events_file_stream(spark, events_dir)
+    name = _mem_name()
+    streams.run_to_memory(batch_twins.tumbling_counts(stream), name)
+    got = _rows(spark.table(name), "hour_start", "n_events", "sum_value")
+    want = _rows(
+        batch_twins.tumbling_counts(load_tables(spark, SF_SMALL)["events"]),
+        "hour_start",
+        "n_events",
+        "sum_value",
+    )
+    assert got == want and len(got) > 0
+
+
+def test_st3_session_stream_equals_batch(spark, events_dir):
+    stream = streams.events_file_stream(spark, events_dir)
+    name = _mem_name()
+    streams.run_to_memory(batch_twins.session_windows(stream), name)
+    got = _rows(spark.table(name), "session_start", "user_id", "n_events")
+    want = _rows(
+        batch_twins.session_windows(load_tables(spark, SF_SMALL)["events"]),
+        "session_start",
+        "user_id",
+        "n_events",
+    )
+    assert got == want and len(got) > 0
+
+
+def _write_batch(spark, directory, idx, rows):
+    """Write one micro-batch parquet file with the raw (ns-long) schema.
+
+    FileStreamSource orders files by modification time; set mtimes
+    explicitly so micro-batch replay order is deterministic.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(directory, exist_ok=True)
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.int64()),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    path = f"{directory}/batch-{idx:03d}.parquet"
+    pq.write_table(table, path)
+    t = 1_700_000_000 + idx * 60
+    os.utime(path, (t, t))
+
+
+def _ns(minutes: int) -> int:
+    base = int(datetime.datetime(2024, 6, 1).timestamp()) * 1_000_000_000
+    return base + minutes * 60 * 1_000_000_000
+
+
+def test_st4_watermark_drops_late_rows(spark, tmp_path):
+    """Semantics verified on Spark 4.1.2: a late row is dropped once the
+    watermark has passed its window AND that window's state was evicted in
+    an earlier micro-batch (eviction happens at the start of the first
+    batch whose watermark exceeds the window end; a late row arriving in
+    that same batch still merges — observed via numRowsDroppedByWatermark).
+    """
+    d = str(tmp_path / "late")
+    _write_batch(spark, d, 0, [(1, _ns(0), 1, "click", 1.0, "{}")])
+    _write_batch(spark, d, 1, [(2, _ns(120), 1, "click", 1.0, "{}")])  # wm -> 01:50
+    _write_batch(spark, d, 2, [(3, _ns(150), 1, "click", 1.0, "{}")])  # evicts hour-0
+    _write_batch(spark, d, 3, [(4, _ns(5), 1, "click", 1.0, "{}")])  # late -> dropped
+    _write_batch(spark, d, 4, [(5, _ns(300), 1, "click", 1.0, "{}")])  # flush
+
+    stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+    agg = streams.watermarked_tumbling(stream, "10 minutes")
+    name = _mem_name()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in (p["stateOperators"] or [])
+    )
+    rows = _rows(spark.table(name), "hour_start", "n_events")
+    hour0 = [r for r in rows if r[0] == datetime.datetime(2024, 6, 1, 0, 0)]
+    # hour-0 emitted exactly once, with only the on-time event
+    assert hour0 == [(datetime.datetime(2024, 6, 1, 0, 0), 1)], rows
+    assert dropped == 1, (dropped, rows)
+
+
+def test_st5_dedup_within_watermark(spark, tmp_path):
+    d = str(tmp_path / "dup")
+    _write_batch(spark, d, 0, [(1, _ns(0), 1, "click", 1.0, "{}")])
+    _write_batch(spark, d, 1, [(1, _ns(1), 1, "click", 1.0, "{}")])  # dup id
+    _write_batch(spark, d, 2, [(2, _ns(2), 1, "view", 2.0, "{}")])
+    stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+    name = _mem_name()
+    streams.run_to_memory(streams.dedup_within_watermark(stream), name, "append")
+    ids = sorted(r["event_id"] for r in spark.table(name).collect())
+    assert ids == [1, 2]
+
+
+def test_st6_stateful_running_count(spark, tmp_path):
+    d = str(tmp_path / "state")
+    _write_batch(spark, d, 0, [(1, _ns(0), 7, "click", 1.0, "{}"),
+                               (2, _ns(1), 7, "view", 1.0, "{}")])
+    _write_batch(spark, d, 1, [(3, _ns(2), 7, "click", 1.0, "{}"),
+                               (4, _ns(3), 8, "click", 1.0, "{}")])
+    stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+    name = _mem_name()
+    streams.run_to_memory(streams.running_count_per_user(stream), name, "update")
+    rows = spark.table(name).collect()
+    # final state per user: user 7 saw 3 events, user 8 saw 1
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["n_events"])
+    assert final == {7: 3, 8: 1}, rows
+
+
+def test_st7_stream_static_join(spark, events_dir):
+    stream = streams.events_file_stream(spark, events_dir)
+    cust = load_tables(spark, SF_SMALL)["customer"]
+    name = _mem_name()
+    streams.run_to_memory(streams.stream_static_join(stream, cust), name, "append")
+    got = spark.table(name)
+    want = streams.stream_static_join(load_tables(spark, SF_SMALL)["events"], cust)
+    assert _rows(got, "event_id", "c_nationkey") == _rows(want, "event_id", "c_nationkey")
+    assert got.count() > 0
+
+
+def test_st8_output_modes_complete_vs_update(spark, tmp_path):
+    d = str(tmp_path / "modes")
+    _write_batch(spark, d, 0, [(1, _ns(0), 1, "click", 1.0, "{}")])
+    _write_batch(spark, d, 1, [(2, _ns(61), 1, "click", 1.0, "{}")])
+    stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = _mem_name()
+    streams.run_to_memory(counts, name, "complete")
+    rows = _rows(spark.table(name), "event_type", "n")
+    assert rows == [("click", 2)]
