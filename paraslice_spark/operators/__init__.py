@@ -3,13 +3,17 @@ into :mod:`paraslice_spark.registry` (import side effect by design — the
 driver entry point just re-exports the registry dicts)."""
 
 from paraslice_spark import streaming  # noqa: F401  (registers batch twins)
+from paraslice_spark.functions import udfs  # noqa: F401
 from paraslice_spark.operators import (  # noqa: F401
     aggregates,
     flagship,
     joins,
+    multimodal,
     relational,
     scalar_packs,
+    similarity,
     sorts_sets,
+    text,
     windows,
 )
 

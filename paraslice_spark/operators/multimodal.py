@@ -1,0 +1,136 @@
+"""Multimodal columns (SURVEY §2.11 / driver mandate): image/audio/video as
+opaque binary columns + typed metadata, processed via Arrow-batched
+mapInPandas.
+
+The container ships no image/audio codecs, so the *decode* step is a
+clearly-marked deterministic fake behind ``decode_image_stub`` (raises
+NotImplementedError when a real codec is demanded); everything Spark-side —
+binary schema, metadata struct, partitioning, UDF signatures, batch shapes —
+is real and tested. Swapping the stub for PIL/ffmpeg changes no plan shape:
+at 100 TB this is binary-column parquet in, mapInPandas over ~128MB Arrow
+batches out, one task per input split, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from paraslice_spark.registry import query
+from paraslice_spark.sources.io import load_tables
+
+#: fake image header: 4-byte magic + 2x2 bytes (width, height), then payload
+_MAGIC = b"PSIM"
+
+
+def with_media_column(docs: DataFrame) -> DataFrame:
+    """Manufacture an opaque binary 'image' column + typed metadata from the
+    documents table (deterministic: payload = utf-8 text, dimensions derived
+    from doc stats). This is the engine's canonical multimodal shape:
+    (id, media: binary, meta: struct<width:int, height:int, format:string>).
+    """
+    width = (F.col("n_chars") % 64 + 1).cast("int")
+    height = ((F.col("doc_id") % 48) + 1).cast("int")
+    payload = F.encode(F.col("text"), "UTF-8")
+    header = F.concat(
+        F.lit(_MAGIC),
+        F.encode(F.lpad(width.cast("string"), 2, "0"), "UTF-8"),
+        F.encode(F.lpad(height.cast("string"), 2, "0"), "UTF-8"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, payload).alias("media"),
+        F.struct(
+            width.alias("width"), height.alias("height"), F.lit("psim").alias("format")
+        ).alias("meta"),
+    )
+
+
+def decode_image_stub(buf: bytes) -> tuple[int, int, int]:
+    """STUB decoder: parses the deterministic fake header. A real deployment
+    replaces this with PIL/libvips; anything that isn't the fake format
+    raises — loudly, not silently."""
+    if buf[:4] != _MAGIC:
+        raise NotImplementedError(
+            "real image codecs are not available in this container; "
+            "decode_image_stub only handles the deterministic PSIM fixture format"
+        )
+    w = int(buf[4:6].decode())
+    h = int(buf[6:8].decode())
+    return w, h, len(buf) - 8
+
+
+def decode_media(media_df: DataFrame) -> DataFrame:
+    """mapInPandas 'decode': binary in → (media_id, width, height,
+    payload_bytes, n_pixels) out. Real Arrow batch plumbing; stub decode."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_image_stub(bytes(b)) for b in pdf["media"]]
+            out = pd.DataFrame(rows, columns=["width", "height", "payload_bytes"])
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out["n_pixels"] = out["width"] * out["height"]
+            yield out
+
+    return media_df.mapInPandas(
+        decode, "media_id long, width int, height int, payload_bytes long, n_pixels long"
+    )
+
+
+def resize_media(media_df: DataFrame, scale: float = 0.5) -> DataFrame:
+    """mapInPandas 'resize' stub: recomputes metadata, passes payload through
+    (a real impl would transform pixels; the plan shape is identical)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [decode_image_stub(bytes(b)) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [max(1, int(w * scale)) for w, _, _ in meta],
+                    "height": [max(1, int(h * scale)) for _, h, _ in meta],
+                    "media": pdf["media"].values,
+                }
+            )
+
+    return media_df.mapInPandas(resize, "media_id long, width int, height int, media binary")
+
+
+def frame_sample(media_df: DataFrame, every: int = 4) -> DataFrame:
+    """mapInPandas 'video frame-sample' stub: treats the payload as a byte
+    stream of 16-byte frames, emits every k-th frame id + checksum."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, sums = [], [], []
+            for mid, buf in zip(pdf["media_id"], pdf["media"]):
+                payload = bytes(buf)[8:]
+                for fi in range(0, len(payload) // 16, every):
+                    ids.append(mid)
+                    frames.append(fi)
+                    sums.append(sum(payload[fi * 16 : fi * 16 + 16]) % 65536)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": frames, "checksum": sums})
+
+    return media_df.mapInPandas(sample, "media_id long, frame_idx int, checksum int")
+
+
+@query(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(n_chars % 64 + 1 AS INT) AS width,
+           CAST(doc_id % 48 + 1 AS INT) AS height,
+           CAST(length(text) AS BIGINT) AS payload_bytes,
+           CAST((n_chars % 64 + 1) * (doc_id % 48 + 1) AS BIGINT) AS n_pixels
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared end-to-end: build binary media column → mapInPandas decode →
+    metadata out. The oracle recomputes the deterministic metadata directly,
+    so the whole binary+Arrow round-trip is hash-checked."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return decode_media(with_media_column(d))

@@ -1,0 +1,261 @@
+"""Text / LLM-data-pipeline operators (SURVEY §2.11 L1, L5-L8 + text
+analysis: language-ID heuristic, quality scoring, token counting,
+fingerprinting).
+
+All pure-relational (explode + agg + join) — at 100 TB these are the
+standard shuffle-by-term / shuffle-by-doc pipelines; no UDFs, everything
+whole-stage-codegen. Fingerprints use md5 (bit-identical across engines);
+ratios divide once at the end so both engines share one rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from paraslice_spark.functions.canon import rnd
+from paraslice_spark.registry import query
+from paraslice_spark.sources.io import load_tables
+
+#: marker token sets for the language-ID heuristic (vocabulary is identical
+#: across fixture langs — verified — so this is a deterministic scoring rule,
+#: the formula being the thing under test, not label recovery)
+_ARTICLES = ("the", "a")
+_CORE = ("scan", "join", "merge", "hash")
+_SCHEMA = ("query", "table", "row", "column")
+_STOPWORDS = ("the", "a", "of", "and")
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup on selected columns, deterministic representative
+    (min doc_id per key) — the window form of dropDuplicates. One shuffle
+    on the dedup key; WindowGroupLimit prunes per-partition at scale."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@query(
+    "text_wordcount",
+    oracle="""
+    SELECT w AS word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: tokenize + global top-20 terms (explode → hash agg → top-k)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf,
+           ROUND(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: tf-idf with the deterministic formula tf * ln((N+1)/(df+1)).
+
+    Relational on purpose (not ml.IDF): two aggs + a broadcast join keeps
+    the SQL twin and scales as shuffle-by-term + shuffle-by-doc."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            rnd(F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    grams AS (
+      SELECT words[i.i] || ' ' || words[i.i + 1] AS bigram
+      FROM w CROSS JOIN LATERAL (SELECT unnest(range(1, len(words))) AS i) i
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: word bigrams, global top-20 — zip_with of the two shifted slices
+    (array-native, no per-row python)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+@query(
+    "text_profile",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: per-(lang, source) corpus bookkeeping (multimodal column stats)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, text, n_chars,
+                      string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(words), 6)
+             AS avg_word_len,
+           ROUND(CAST(len(list_filter(words,
+                     w -> list_contains({list(_STOPWORDS)!r}, w))) AS DOUBLE)
+                 / len(words), 6) AS stopword_ratio
+    FROM t
+    """.replace("'w'", "'w'"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: word/token counts (whitespace + BPE-ish regex),
+    average word length, stopword ratio — one division each, rounded(6)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+    nw = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    return d.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        F.regexp_count("text", F.lit(r"\w+|[^\w\s]")).cast("long").alias("n_tokens"),
+        rnd(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / nw, 6
+        ).alias("avg_word_len"),
+        rnd(
+            F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("double") / nw,
+            6,
+        ).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    s AS (SELECT doc_id,
+                 len(list_filter(words, w -> list_contains({list(_ARTICLES)!r}, w))) AS s_art,
+                 len(list_filter(words, w -> list_contains({list(_CORE)!r}, w)))     AS s_core,
+                 len(list_filter(words, w -> list_contains({list(_SCHEMA)!r}, w)))   AS s_schema
+          FROM t)
+    SELECT doc_id,
+           CAST(s_art AS BIGINT) AS s_art,
+           CAST(s_core AS BIGINT) AS s_core,
+           CAST(s_schema AS BIGINT) AS s_schema,
+           CASE WHEN s_art >= s_core AND s_art >= s_schema THEN 'articleish'
+                WHEN s_core >= s_schema THEN 'coreish'
+                ELSE 'schemaish' END AS pred_class
+    FROM s
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID-style n-gram heuristic: marker-token scores + argmax with
+    a fixed tiebreak. (Fixture vocabulary is identical across langs, so the
+    deterministic scoring formula is the operator under test.)"""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+
+    def score(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w))).cast("long")
+
+    s_art, s_core, s_schema = score(_ARTICLES), score(_CORE), score(_SCHEMA)
+    return d.select(
+        "doc_id",
+        s_art.alias("s_art"),
+        s_core.alias("s_core"),
+        s_schema.alias("s_schema"),
+        F.when((s_art >= s_core) & (s_art >= s_schema), "articleish")
+        .when(s_core >= s_schema, "coreish")
+        .otherwise("schemaish")
+        .alias("pred_class"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fp_shingle
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact-content md5 + an order-insensitive
+    vocabulary fingerprint (md5 of the sorted distinct token set) — the
+    join key for exact and bag-of-words dedup at scale."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fp_exact"),
+        F.md5(F.array_join(F.sort_array(F.array_distinct(words)), " ")).alias("fp_shingle"),
+    )
