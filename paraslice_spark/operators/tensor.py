@@ -1,0 +1,320 @@
+"""Tensor / PARAFAC operators (SURVEY §2.5 T1-T8): distributed CP-ALS.
+
+The reference system's core capability (slice-distributed CANDECOMP/PARAFAC
+per Aggour/Gittens/Yener, IEEE BigData 2018 — reference checkout empty, see
+SURVEY §0; semantics follow the published CP-ALS algorithm). Re-expressed
+Spark-first:
+
+- **T1** builds a deterministic 3-way tensor relationally from ``events``
+  (user × event_type × hour → sum(value)) — declared with a SQL oracle.
+- **T2** partitions coordinates into dense mode-0 slice slabs: one RDD
+  element = ``(slice_id, np.ndarray(J, K))``, batched per partition — the
+  reference's namesake layout, BLAS-friendly, cached across iterations.
+- **T3-T6** per-iteration kernels: numpy MTTKRP inside ``mapPartitions``,
+  ``treeAggregate(depth=2)`` reduction (network carries O(dim×R), never
+  O(IJK)), driver-local R×R Gram/pinv solve, column normalization, and the
+  cheap-fit identity ``‖X−X̂‖² = ‖X‖² − 2⟨M2, C̃⟩ + λᵀ(AᵀA∘BᵀB∘CᵀC)λ``
+  (one cached ‖X‖² pass, no reconstruction).
+- **T7/T8** the ALS driver loop + factor export joined back to natural keys.
+
+100 TB discipline (SURVEY §2.5): raw tensor data stays partitioned for the
+whole run; only factors (O(max_dim×R)) and Grams (O(R²)) cross the
+cluster/driver boundary; stale broadcasts are unpersisted every mode sweep.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from paraslice_spark.registry import query
+from paraslice_spark.sources.io import load_tables
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "tensor_build_coords",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(date_trunc('microseconds', ts)) // 3600000000 AS hour_abs,
+             CAST(round(value * 1000000) AS BIGINT) AS vmic
+      FROM events
+    ),
+    idx AS (
+      SELECT user_id, event_type, hour_abs, vmic,
+             dense_rank() OVER (ORDER BY user_id) - 1   AS i,
+             dense_rank() OVER (ORDER BY event_type) - 1 AS j,
+             dense_rank() OVER (ORDER BY hour_abs) - 1   AS k
+      FROM e
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, CAST(k AS BIGINT) AS k,
+           CAST(SUM(vmic) AS DOUBLE) / 1000000.0 AS v
+    FROM idx GROUP BY i, j, k
+    """,
+)
+def tensor_build_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: coordinate tensor (i=user, j=event_type, k=hour) with dense
+    0-based indices and exact micro-unit value sums.
+
+    The dense_rank dictionaries are fine at fixture scale; at 100 TB the
+    dimension dictionaries come from ``distinct → monotonically increasing
+    id broadcast maps`` instead of a global window — same output contract.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    from pyspark.sql import Window
+
+    e = ev.select(
+        "user_id",
+        "event_type",
+        (F.unix_micros("ts") / F.lit(_HOUR_US)).cast("long").alias("hour_abs"),
+        F.round(F.col("value") * 1000000).cast("long").alias("vmic"),
+    )
+    idx = e.select(
+        (F.dense_rank().over(Window.orderBy("user_id")) - 1).cast("long").alias("i"),
+        (F.dense_rank().over(Window.orderBy("event_type")) - 1).cast("long").alias("j"),
+        (F.dense_rank().over(Window.orderBy("hour_abs")) - 1).cast("long").alias("k"),
+        "vmic",
+    )
+    return idx.groupBy("i", "j", "k").agg(
+        (F.sum("vmic").cast("double") / 1000000.0).alias("v")
+    )
+
+
+def tensor_shape(coords: DataFrame) -> tuple[int, int, int]:
+    """Dense dims from 0-based coords (three scalars to the driver)."""
+    row = coords.agg(
+        (F.max("i") + 1).alias("si"), (F.max("j") + 1).alias("sj"), (F.max("k") + 1).alias("sk")
+    ).first()
+    return int(row["si"]), int(row["sj"]), int(row["sk"])
+
+
+def build_slices(coords: DataFrame, shape: tuple[int, int, int], n_parts: int = 8):
+    """T2: coords -> RDD[(i, dense np.ndarray(J, K))], hash-partitioned on
+    slice id so each mode-0 slice materializes exactly once on one task.
+
+    Slabs stay resident (MEMORY_AND_DISK) across all ALS iterations — the
+    'pay IO once' rule. Skew note: slices of a skewed mode spread uniformly
+    because the partitioner keys on slice id, not data volume per slice.
+    """
+    _, sj, sk = shape
+
+    def to_slabs(rows):
+        slabs: dict[int, np.ndarray] = {}
+        for r in rows:
+            slab = slabs.get(r[0])
+            if slab is None:
+                slab = slabs[r[0]] = np.zeros((sj, sk), dtype=np.float64)
+            slab[r[1], r[2]] = r[3]
+        return list(slabs.items())
+
+    rdd = (
+        coords.select("i", "j", "k", "v")
+        .rdd.map(tuple)
+        .groupBy(lambda t: t[0], numPartitions=n_parts)
+        .flatMap(lambda kv: to_slabs(kv[1]))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return rdd
+
+
+def _mttkrp(slabs, mode: int, shape, rank: int, bA, bB, bC, sc):
+    """T3: distributed MTTKRP via numpy per slab + treeAggregate(depth=2).
+
+    Per mode-0 slab X_i (J×K):
+      mode 0: M[i,:]  = colsum(B ∘ (X_i C))
+      mode 1: M      += (X_i C) ∘ A[i,:]
+      mode 2: M      += (X_iᵀ B) ∘ A[i,:]
+    Partials are (dim×R) ndarrays — that is ALL that crosses the network.
+    """
+    si, sj, sk = shape
+    dim = (si, sj, sk)[mode]
+    zero = np.zeros((dim, rank), dtype=np.float64)
+
+    def seq(acc, item):
+        i, xi = item
+        if mode == 0:
+            acc[i, :] += (bB.value * (xi @ bC.value)).sum(axis=0)
+        elif mode == 1:
+            acc += (xi @ bC.value) * bA.value[i, :]
+        else:
+            acc += (xi.T @ bB.value) * bA.value[i, :]
+        return acc
+
+    return slabs.treeAggregate(zero, seq, lambda a, b: a + b, depth=2)
+
+
+def _solve(mttkrp: np.ndarray, gram_prod: np.ndarray) -> np.ndarray:
+    """T4: factor update — driver-local R×R pseudo-inverse."""
+    return mttkrp @ np.linalg.pinv(gram_prod)
+
+
+def _normalize(factor: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """T5: column-normalize, return (normalized, column norms λ)."""
+    lam = np.linalg.norm(factor, axis=0)
+    lam[lam == 0] = 1.0
+    return factor / lam, lam
+
+
+@dataclass
+class CPModel:
+    """T7 output: driver-local factors (O(dim×R) each) + fit trace."""
+
+    A: np.ndarray
+    B: np.ndarray
+    C: np.ndarray
+    lam: np.ndarray
+    fit: float
+    n_iter: int
+    fit_trace: list = field(default_factory=list)
+    shape: tuple = ()
+
+
+def parafac(
+    spark: SparkSession,
+    coords: DataFrame,
+    rank: int = 3,
+    tol: float = 1e-6,
+    max_iter: int = 25,
+    seed: int = 42,
+    n_parts: int = 8,
+) -> CPModel:
+    """T7: CP-ALS driver loop (SURVEY §3.3 lifecycle).
+
+    Control never leaves this function; per iteration each mode does one
+    broadcast (factors down) and one treeAggregate (partials up). Fit uses
+    the Gram identity — no reconstruction pass.
+    """
+    sc = spark.sparkContext
+    shape = tensor_shape(coords)
+    si, sj, sk = shape
+    slabs = build_slices(coords, shape, n_parts)
+    norm_x_sq = slabs.treeAggregate(
+        0.0, lambda acc, it: acc + float((it[1] ** 2).sum()), lambda a, b: a + b, depth=2
+    )
+
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((si, rank))
+    B = rng.standard_normal((sj, rank))
+    C = rng.standard_normal((sk, rank))
+    A, _ = _normalize(A)
+    B, _ = _normalize(B)
+    C, _ = _normalize(C)
+    lam = np.ones(rank)
+
+    fit_prev, fit, trace = 0.0, 0.0, []
+    it = 0
+    for it in range(1, max_iter + 1):
+        stale = []
+        bA, bB, bC = sc.broadcast(A), sc.broadcast(B), sc.broadcast(C)
+        stale += [bA, bB, bC]
+
+        m0 = _mttkrp(slabs, 0, shape, rank, bA, bB, bC, sc)
+        A = _solve(m0, (B.T @ B) * (C.T @ C))
+        A, _ = _normalize(A)
+        bA = sc.broadcast(A)
+        stale.append(bA)
+
+        m1 = _mttkrp(slabs, 1, shape, rank, bA, bB, bC, sc)
+        B = _solve(m1, (A.T @ A) * (C.T @ C))
+        B, _ = _normalize(B)
+        bB = sc.broadcast(B)
+        stale.append(bB)
+
+        m2 = _mttkrp(slabs, 2, shape, rank, bA, bB, bC, sc)
+        c_raw = _solve(m2, (A.T @ A) * (B.T @ B))
+        C, lam = _normalize(c_raw)
+
+        # T6 cheap fit: ⟨X,X̂⟩ = Σ M2∘C̃ ;  ‖X̂‖² = λᵀ(AᵀA∘BᵀB∘CᵀC)λ
+        inner = float((m2 * c_raw).sum())
+        norm_model_sq = float(
+            lam @ (((A.T @ A) * (B.T @ B) * (C.T @ C)) @ lam)
+        )
+        resid_sq = max(0.0, norm_x_sq - 2.0 * inner + norm_model_sq)
+        fit = 1.0 - np.sqrt(resid_sq) / np.sqrt(norm_x_sq)
+        trace.append(fit)
+
+        for b in stale:
+            b.unpersist()
+        if it > 1 and abs(fit - fit_prev) < tol:
+            break
+        fit_prev = fit
+
+    # canonical order: components by λ descending (deterministic tiebreak
+    # not needed — λ ties have measure zero with random init)
+    order = np.argsort(-lam)
+    model = CPModel(
+        A=A[:, order], B=B[:, order], C=C[:, order], lam=lam[order],
+        fit=float(fit), n_iter=it, fit_trace=trace, shape=shape,
+    )
+    slabs.unpersist()
+    return model
+
+
+def factors_to_df(spark: SparkSession, factor: np.ndarray, scale: int = 6) -> DataFrame:
+    """Factor matrix -> DataFrame (row_idx, r0..r{R-1}) rounded for stable
+    display (declared rows-only: float reduction order varies ~1e-12)."""
+    rank = factor.shape[1]
+    rows = [
+        (int(i), *[float(round(factor[i, r], scale)) for r in range(rank)])
+        for i in range(factor.shape[0])
+    ]
+    schema = "row_idx long, " + ", ".join(f"r{r} double" for r in range(rank))
+    return spark.createDataFrame(rows, schema=schema)
+
+
+@query("tensor_slices")  # rows-only: slab layout is engine-internal
+def tensor_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 declared probe: one row per mode-0 slice with nnz + exact
+    micro-unit checksum (validates the slab partitioning end-to-end)."""
+    coords = tensor_build_coords(spark, sf_dir)
+    shape = tensor_shape(coords)
+    slabs = build_slices(coords, shape, n_parts=8)
+    rows = slabs.map(
+        lambda it: (
+            int(it[0]),
+            int((it[1] != 0).sum()),
+            int(round(it[1].sum() * 1e6)),
+        )
+    ).collect()  # O(I) rows — slice metadata, not data
+    slabs.unpersist()
+    return spark.createDataFrame(
+        sorted(rows), schema="slice_id long, nnz long, checksum_micro long"
+    )
+
+
+@query("parafac_cp_als")  # rows-only: float reduction order ~1e-12 variance
+def parafac_cp_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 declared: run seeded CP-ALS on the T1 tensor; emit per-component
+    λ + fit summary (fixed seed + fixed partitioning → stable row count and
+    near-identical values)."""
+    coords = tensor_build_coords(spark, sf_dir)
+    model = parafac(spark, coords, rank=3, max_iter=15, seed=42)
+    rows = [
+        (r, float(round(model.lam[r], 4)), float(round(model.fit, 4)), model.n_iter)
+        for r in range(len(model.lam))
+    ]
+    return spark.createDataFrame(
+        rows, schema="component long, lam double, fit double, n_iter long"
+    )
+
+
+@query("parafac_factors_a")  # rows-only
+def parafac_factors_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 declared: mode-0 factor joined back to natural keys (user_id)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    from pyspark.sql import Window
+
+    coords = tensor_build_coords(spark, sf_dir)
+    model = parafac(spark, coords, rank=3, max_iter=15, seed=42)
+    fa = factors_to_df(spark, model.A, scale=4)
+    users = ev.select("user_id").distinct().select(
+        "user_id",
+        (F.dense_rank().over(Window.orderBy("user_id")) - 1).cast("long").alias("row_idx"),
+    )
+    return users.join(F.broadcast(fa), "row_idx").select("user_id", "r0", "r1", "r2")

@@ -1,0 +1,79 @@
+"""Property tests for CP-ALS (SURVEY §5.2 layer 2, §2.5 T1-T8)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from paraslice_spark.operators.tensor import (
+    build_slices,
+    parafac,
+    tensor_build_coords,
+    tensor_shape,
+)
+from tests.conftest import SF_SMALL
+
+
+def _planted_coords(spark, si=12, sj=6, sk=10, rank=3, seed=7):
+    """Dense rank-`rank` tensor from seeded factors, as a coords DataFrame."""
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((si, rank))
+    B = rng.standard_normal((sj, rank))
+    C = rng.standard_normal((sk, rank))
+    X = np.einsum("ir,jr,kr->ijk", A, B, C)
+    rows = [
+        (i, j, k, float(X[i, j, k]))
+        for i in range(si)
+        for j in range(sj)
+        for k in range(sk)
+    ]
+    return spark.createDataFrame(rows, schema="i long, j long, k long, v double")
+
+
+def test_planted_factor_recovery(spark):
+    coords = _planted_coords(spark)
+    model = parafac(spark, coords, rank=3, max_iter=40, seed=1)
+    assert model.fit >= 0.999, model.fit_trace
+
+
+def test_fit_monotone_nondecreasing(spark):
+    coords = _planted_coords(spark, seed=11)
+    model = parafac(spark, coords, rank=3, max_iter=15, seed=2)
+    diffs = np.diff(model.fit_trace)
+    assert (diffs >= -1e-9).all(), model.fit_trace
+
+
+def test_invariants_lambda_sorted_norms_unit_shapes(spark):
+    coords = _planted_coords(spark, seed=13)
+    model = parafac(spark, coords, rank=3, max_iter=10, seed=3)
+    assert (np.diff(model.lam) <= 1e-12).all()  # λ descending
+    for fac, dim in ((model.A, 12), (model.B, 6), (model.C, 10)):
+        assert fac.shape == (dim, 3)
+        np.testing.assert_allclose(np.linalg.norm(fac, axis=0), 1.0, atol=1e-9)
+
+
+def test_same_seed_reproducible(spark):
+    coords = _planted_coords(spark, seed=17)
+    m1 = parafac(spark, coords, rank=2, max_iter=8, seed=5, n_parts=4)
+    m2 = parafac(spark, coords, rank=2, max_iter=8, seed=5, n_parts=4)
+    np.testing.assert_allclose(m1.lam, m2.lam, rtol=1e-12)
+    np.testing.assert_allclose(m1.A, m2.A, rtol=1e-10)
+    assert m1.fit == pytest.approx(m2.fit, rel=1e-12)
+
+
+def test_slices_cover_tensor_exactly(spark):
+    coords = tensor_build_coords(spark, SF_SMALL)
+    shape = tensor_shape(coords)
+    slabs = build_slices(coords, shape, n_parts=4)
+    total = slabs.map(lambda it: float(it[1].sum())).sum()
+    slabs.unpersist()
+    want = coords.groupBy().sum("v").first()[0]
+    assert total == pytest.approx(want, rel=1e-9)
+
+
+def test_fixture_tensor_decomposes(spark):
+    coords = tensor_build_coords(spark, SF_SMALL)
+    model = parafac(spark, coords, rank=3, max_iter=10, seed=42)
+    assert 0.0 < model.fit <= 1.0
+    assert model.n_iter >= 2
+    assert model.shape[1] == 5  # 5 event types
