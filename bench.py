@@ -55,6 +55,7 @@ def main() -> None:
                 materialize(fn(spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
             times[name] = round(best, 4)
+            print(f"# {name}: {times[name]}s", file=sys.stderr)
         except Exception as exc:  # a broken query must not kill the bench
             times[name] = -1.0
             print(f"# BENCH ERROR {name}: {exc}", file=sys.stderr)

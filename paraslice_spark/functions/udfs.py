@@ -120,16 +120,18 @@ def tokenize_udtf(events_or_docs: DataFrame, col: str = "text") -> DataFrame:
     frames out, fully streamed (never materializes a document set)."""
 
     def gen(batches):
+        import numpy as np
+
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                toks = str(row[col]).split(" ")
-                yield pd.DataFrame(
-                    {
-                        "doc_id": [row["doc_id"]] * len(toks),
-                        "pos": range(len(toks)),
-                        "token": toks,
-                    }
-                )
+            toks = pdf[col].astype(str).str.split(" ")
+            lens = toks.str.len().to_numpy()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy().repeat(lens),
+                    "pos": np.concatenate([np.arange(n) for n in lens]).astype("int32"),
+                    "token": np.concatenate(toks.to_numpy()),
+                }
+            )
 
     return events_or_docs.mapInPandas(gen, "doc_id long, pos int, token string")
 

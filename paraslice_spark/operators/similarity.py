@@ -120,47 +120,87 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("dedup_minhash_pairs")  # rows-only: MinHash signatures are model-internal
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: near-dup candidate pairs via char-shingle MinHash LSH, verified
-    with exact token-set Jaccard.
+_SHINGLE_K = 8
+_N_SIG = 16  # minhash signature length
+_BANDS = 4  # 4 bands × 4 rows
 
-    Pipeline: 8-char shingles (array-native substring windows) → HashingTF
-    (2^18 dims) → MinHashLSH (seeded) approxSimilarityJoin at Jaccard
-    distance ≤ 0.9 → exact word-set Jaccard as the final filter. The
-    LSH join is a bucket equi-join — the 100 TB-safe shape; fixtures have
-    no near-dups at high τ, so the declared query reports the candidate
-    pairs with their exact Jaccard at a permissive threshold.
-    """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = load_tables(spark, sf_dir)["documents"]
-    k = 8
-    # substring with a dynamic start needs the expr form
-    docs = d.select(
+def shingle_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, distinct 8-char shingle array) — array-native, no python."""
+    return docs.select(
         "doc_id",
-        "text",
-        F.expr(f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
-               f" i -> substring(text, i, {k}))").alias("shingles"),
-        F.split("text", " ").alias("words"),
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {_SHINGLE_K - 1}, 1)),"
+                f" i -> substring({text_col}, i, {_SHINGLE_K}))"
+            )
+        ).alias("shingles"),
     )
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    feat = tf.transform(docs)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42).fit(feat)
-    pairs = lsh.approxSimilarityJoin(feat, feat, 0.95, distCol="lsh_dist")
-    a, b = F.col("datasetA"), F.col("datasetB")
-    inter = F.size(F.array_intersect(a["words"], b["words"])).cast("double")
-    union = F.size(F.array_union(a["words"], b["words"])).cast("double")
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame, threshold: float = 0.8, n_sig: int = _N_SIG, bands: int = _BANDS
+) -> DataFrame:
+    """L2 core: shingle → minhash → band → bucket-join → exact verify.
+
+    Hand-built banded MinHash (not ml-lib's approxSimilarityJoin, whose
+    bucket-collision candidates explode to ~O(n²) on corpora with shared
+    vocabulary — measured unbounded at sf0.1). Here a pair becomes a
+    candidate only when ALL rows of some band agree (P = 1-(1-J^r)^b, so
+    random J≈0.2 pairs are ~0.6% candidates while J≥0.9 near-dups are
+    ~99%), and the exact shingle-Jaccard runs on candidates only. Every
+    step is a shuffle-safe groupBy/equi-join — the 100 TB shape.
+    """
+    rows_per_band = n_sig // bands
+    sh = shingle_docs(docs)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sigs = exploded.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"sig{i}") for i in range(n_sig)]
+    )
+    band_vals = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = band_vals.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = band_vals.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        pairs.where(a["doc_id"] < b["doc_id"])
-        .select(
-            a["doc_id"].alias("doc_a"),
-            b["doc_id"].alias("doc_b"),
-            rnd(inter / union, 6).alias("jaccard_words"),
-        )
-        .where(F.col("jaccard_words") >= 0.3)
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", rnd(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query("dedup_minhash_pairs")  # rows-only: xxhash64 minhash has no DuckDB twin
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 declared: near-dup pairs at shingle-Jaccard ≥ 0.8. Fixture texts
+    are all distinct word soups (SURVEY §1.2), so this correctly returns
+    zero rows on fixtures; the pipeline's recall is property-tested with
+    planted near-duplicates in tests/test_similarity.py."""
+    return minhash_near_dup_pairs(load_tables(spark, sf_dir)["documents"])
 
 
 @query(

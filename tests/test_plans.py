@@ -1,0 +1,89 @@
+"""Physical-plan shape tests (SURVEY §4): the 100 TB checklist.
+
+Correctness tests prove the numbers; these prove the *plans* — predicate
+pushdown reaches the parquet scan, column pruning narrows ReadSchema, small
+dims broadcast, global top-k avoids a full sort, and nothing in the hot
+path leaves whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import paraslice_spark.operators  # noqa: F401
+from paraslice_spark.registry import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = QUERIES["filter_between_in_like"](spark, SF_SMALL)
+    p = plan(df)
+    assert "PushedFilters: [" in p
+    # the BETWEEN bounds must be pushed, not evaluated post-scan only
+    assert "GreaterThanOrEqual(c_acctbal,1000.0)" in p, p
+
+
+def test_projection_prunes_columns(spark):
+    df = QUERIES["scan_projection"](spark, SF_SMALL)
+    p = plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p, p
+
+
+def test_broadcast_join_is_broadcast(spark):
+    df = QUERIES["join_broadcast_inner"](spark, SF_SMALL)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_flagship_broadcasts_customer_and_hashjoins_fact(spark):
+    df = QUERIES["q3_shipping_priority"](spark, SF_SMALL)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    df = QUERIES["topk_revenue"](spark, SF_SMALL)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_semi_anti_join_rewrites(spark):
+    semi = plan(QUERIES["join_semi"](spark, SF_SMALL))
+    anti = plan(QUERIES["join_anti"](spark, SF_SMALL))
+    assert "LeftSemi" in semi, semi
+    assert "LeftAnti" in anti, anti
+
+
+def test_q1_agg_is_partial_then_final_hash(spark):
+    p = plan(QUERIES["agg_pricing_summary"](spark, SF_SMALL))
+    # partial (map-side) + final HashAggregate pair around one exchange
+    assert p.count("HashAggregate") >= 2, p
+    # starred operators `*(N) ...` mark whole-stage-codegen stages
+    assert "*(1)" in p, p
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The band-join trick must produce a hash/merge join on (user, bucket),
+    never a nested-loop over the whole table."""
+    p = plan(QUERIES["join_time_interval"](spark, SF_SMALL))
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p), p
+
+
+def test_asof_join_is_single_window_no_join(spark):
+    p = plan(QUERIES["join_asof"](spark, SF_SMALL))
+    assert "Window" in p
+    assert "Join" not in p, p  # union-tag formulation: zero joins
+
+
+def test_set_ops_rewrite_to_joins_or_aggregates(spark):
+    inter = optimized(QUERIES["set_intersect"](spark, SF_SMALL))
+    exc = optimized(QUERIES["set_except"](spark, SF_SMALL))
+    assert "LeftSemi" in inter, inter
+    assert "LeftAnti" in exc, exc
