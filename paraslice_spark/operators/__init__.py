@@ -13,6 +13,7 @@ from paraslice_spark.operators import (  # noqa: F401
     scalar_packs,
     similarity,
     sorts_sets,
+    subqueries,
     tensor,
     text,
     windows,

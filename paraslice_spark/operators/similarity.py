@@ -276,6 +276,89 @@ def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9, n_bits: int = 16, bands: int = 4
+) -> DataFrame:
+    """Embedding-cosine near-dup: random-hyperplane signatures → banded
+    bucket join → exact cosine verify on candidates only.
+
+    Hyperplanes are seeded-deterministic (numpy rng embedded as literals —
+    16×64 floats, broadcast as constants in the plan). Sign bits agree with
+    probability 1−θ/π, so a 4-bit band matches ~6% of random pairs but
+    ~66% of cos≥0.95 pairs per band (~99% over 4 bands). Same 100 TB shape
+    as MinHash: shuffle joins only, no pairwise scan.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(4242)
+    planes = rng.standard_normal((n_bits, 64))
+    bits_per_band = n_bits // bands
+
+    emb = _as_double(F.col("embedding"))
+    base = embeddings.select("vec_id", emb.alias("emb"))
+    bit_cols = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("emb"),
+                    F.array(*[F.lit(float(w)) for w in planes[i]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("int")
+        for i in range(n_bits)
+    ]
+    sig = base.select(
+        "vec_id",
+        "emb",
+        *[bit_cols[i].alias(f"bit{i}") for i in range(n_bits)],
+    )
+    band_vals = sig.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        sum(
+                            (F.col(f"bit{b * bits_per_band + r}") * (1 << r))
+                            for r in range(bits_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "emb", "bb.band", "bb.bucket")
+    a = band_vals.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "band", "bucket")
+    b = band_vals.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "band", "bucket")
+    cos = rnd(
+        _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+        6,
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .distinct()
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query("dedup_embedding_cosine")  # rows-only: LSH signatures engine-internal
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at cos ≥ 0.9. Fixture embeddings are
+    i.i.d.-random (near-orthogonal), so zero pairs on fixtures is the
+    correct answer; recall is property-tested with planted duplicates."""
+    return embedding_near_dup_pairs(load_tables(spark, sf_dir)["embeddings"])
+
+
 @query(
     "multimodal_join",
     oracle="""

@@ -82,6 +82,14 @@ def test_asof_join_is_single_window_no_join(spark):
     assert "Join" not in p, p  # union-tag formulation: zero joins
 
 
+def test_subqueries_decorrelate_to_joins(spark):
+    """No per-row subquery probes: Catalyst must rewrite to agg + join."""
+    cor = plan(QUERIES["subquery_correlated_scalar"](spark, SF_SMALL))
+    assert "HashAggregate" in cor and "Join" in cor, cor
+    inq = plan(QUERIES["subquery_in"](spark, SF_SMALL))
+    assert "LeftSemi" in inq, inq
+
+
 def test_set_ops_rewrite_to_joins_or_aggregates(spark):
     inter = optimized(QUERIES["set_intersect"](spark, SF_SMALL))
     exc = optimized(QUERIES["set_except"](spark, SF_SMALL))
