@@ -10,6 +10,7 @@ from paraslice_spark.operators import (  # noqa: F401
     joins,
     multimodal,
     relational,
+    reshape,
     scalar_packs,
     similarity,
     sorts_sets,

@@ -1,0 +1,126 @@
+"""Reshaping & time-spine operators: pivot, unpivot, hourly gap-fill,
+seeded sampling, approximate quantiles.
+
+Rounding out the surface a pipeline user expects from the reference: wide↔
+long reshapes are pure relational rewrites; the gap-fill spine is the
+canonical time-series densification (generate spine → left join → zero-fill)
+that also underpins streaming backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from paraslice_spark.functions.canon import micros_units
+from paraslice_spark.registry import query
+from paraslice_spark.sources.io import load_tables
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT c_nationkey,
+           {", ".join(f"COUNT(CASE WHEN c_mktsegment = '{s}' THEN 1 END) AS {s}"
+                      for s in _SEGMENTS)}
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-nation customer counts by market segment (explicit value
+    list so the plan needs no distinct-discovery pass — the scale rule for
+    pivot). Missing combos zero-filled to match COUNT semantics."""
+    c = load_tables(spark, sf_dir)["customer"]
+    return (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", list(_SEGMENTS))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): two numeric part attributes to (key, attr, val)."""
+    p = load_tables(spark, sf_dir)["part"]
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
+
+
+@query(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n,
+             CAST(SUM(CAST(round(value*1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+               AS sum_value
+      FROM events GROUP BY 1
+    )
+    SELECT s.hour_start,
+           COALESCE(a.n, 0) AS n,
+           COALESCE(a.sum_value, 0.0) AS sum_value
+    FROM spine s LEFT JOIN agg a USING (hour_start)
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: hourly spine (sequence between observed
+    bounds) left-joined to the hourly agg, gaps zero-filled. The spine is
+    O(hours) — generated, never shuffled; the agg side is the usual
+    partial+final hash agg."""
+    ev = load_tables(spark, sf_dir)["events"]
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour_start")
+    )
+    agg = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(micros_units("value")).cast("double") / 1000000.0).alias("sum_value"),
+    )
+    return spine.join(agg, "hour_start", "left").select(
+        "hour_start",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@query("sample_bernoulli")  # rows-only: sampling RNG is engine-specific
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (~10% of orders) — reproducible within Spark
+    (fixed seed), not across engines, hence rows-only."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_custkey")
+
+
+@query("agg_approx_quantile")  # rows-only: sketch estimates are engine-specific
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the Greenwald-Khanna sketch — the 100 TB
+    path for quantiles (fixed-size mergeable state; the exact window
+    variant in agg_percentile is for when exactness is contractual)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(1000)).alias("approx_median"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(1000)).alias("approx_p90"),
+    )

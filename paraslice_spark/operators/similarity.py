@@ -243,30 +243,28 @@ def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
+    # one exploded (band_idx, band_val) relation + a single self equi-join —
+    # the same blocking as 4 unioned joins at half the plan size. Join key
+    # includes the band index so different bands never cross-match.
     bands = sim.select(
         "doc_id",
         "simhash",
-        *[
-            F.shiftrightunsigned(F.col("simhash"), 16 * i)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias(f"band{i}")
-            for i in range(4)
-        ],
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
     )
-    pairs = None
-    for i in range(4):
-        a = bands.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("simhash").alias("sh_a"),
-            F.col(f"band{i}").alias("band"),
-        )
-        b = bands.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("simhash").alias("sh_b"),
-            F.col(f"band{i}").alias("band"),
-        )
-        p = a.join(b, "band").where(F.col("doc_a") < F.col("doc_b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bucket"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bucket"
+    )
+    pairs = a.join(b, ["band", "bucket"]).where(F.col("doc_a") < F.col("doc_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         pairs.dropDuplicates(["doc_a", "doc_b"])
@@ -289,51 +287,34 @@ def embedding_near_dup_pairs(
     as MinHash: shuffle joins only, no pairwise scan.
     """
     import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     rng = np.random.default_rng(4242)
     planes = rng.standard_normal((n_bits, 64))
     bits_per_band = n_bits // bands
+    pack = (1 << np.arange(bits_per_band)).astype(np.int64)
 
+    def buckets_fn(emb):  # (pd.Series) -> pd.Series; no hints: pd is a
+        # function-local import and string hints resolve in module globals
+        # one Arrow batch -> one BLAS matmul: (n,64)@(64,n_bits) sign bits,
+        # packed into per-band bucket ids (n, bands)
+        m = np.stack(emb.to_numpy())
+        bits = (m @ planes.T) > 0  # (n, n_bits)
+        out = np.stack(
+            [bits[:, b * bits_per_band : (b + 1) * bits_per_band] @ pack for b in range(bands)],
+            axis=1,
+        )
+        return pd.Series(list(out))
+
+    buckets_udf = pandas_udf(buckets_fn, "array<long>")
     emb = _as_double(F.col("embedding"))
     base = embeddings.select("vec_id", emb.alias("emb"))
-    bit_cols = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    F.col("emb"),
-                    F.array(*[F.lit(float(w)) for w in planes[i]]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0
-        ).cast("int")
-        for i in range(n_bits)
-    ]
-    sig = base.select(
-        "vec_id",
-        "emb",
-        *[bit_cols[i].alias(f"bit{i}") for i in range(n_bits)],
+    band_vals = (
+        base.select("vec_id", "emb", F.posexplode(buckets_udf("emb")))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
     )
-    band_vals = sig.select(
-        "vec_id",
-        "emb",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        sum(
-                            (F.col(f"bit{b * bits_per_band + r}") * (1 << r))
-                            for r in range(bits_per_band)
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "emb", "bb.band", "bb.bucket")
     a = band_vals.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "band", "bucket")
     b = band_vals.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "band", "bucket")
     cos = rnd(
