@@ -44,7 +44,7 @@ def main() -> None:
     # best-of-N per query, matching BASELINE.md's best-of-3 protocol — this
     # container shows roaming multi-second noisy-neighbor stalls that would
     # otherwise land on one arbitrary query per run
-    runs = int(os.environ.get("PARASLICE_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("PARASLICE_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     t_suite = time.perf_counter()
     for name, fn in sorted(QUERIES.items()):

@@ -238,6 +238,65 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_collect_list_ordered",
+    oracle="""
+    SELECT o_custkey,
+           list(o_orderpriority ORDER BY o_orderdate, o_orderkey) AS priorities_seq
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_collect_list_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10b: ORDER-DETERMINISTIC list aggregation — collect structs keyed by
+    a total order, sort_array (lexicographic struct sort), project the
+    payload. Spark's collect_list alone is partition-order-dependent; this
+    is the portable ordered-list idiom."""
+    o = load_tables(spark, sf_dir)["orders"]
+    s = F.struct("o_orderdate", "o_orderkey", "o_orderpriority")
+    return o.groupBy("o_custkey").agg(
+        F.transform(
+            F.sort_array(F.collect_list(s)), lambda x: x["o_orderpriority"]
+        ).alias("priorities_seq")
+    )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderdate, o_orderkey) AS statuses
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10c: ordered string aggregation (string_agg twin)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    s = F.struct("o_orderdate", "o_orderkey", "o_orderstatus")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(
+            ",",
+            F.transform(F.sort_array(F.collect_list(s)), lambda x: x["o_orderstatus"]),
+        ).alias("statuses")
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) + 1 AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: equi-width histogram via width_bucket (prices all within
+    [0, 500000), so width_bucket ≡ floor(x/w)+1 — the portable oracle)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy(
+        F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(10)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
     "agg_stats",
     oracle="""
     SELECT c_mktsegment,

@@ -175,6 +175,37 @@ def test_st7_stream_static_join(spark, events_dir):
     assert got.count() > 0
 
 
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    """Stream-stream inner join with watermarks + time-bound condition:
+    clicks within 1h before each same-user purchase. Inner joins emit as
+    matches arrive, so availableNow processing equals the batch join."""
+
+    def joined(p, c):
+        pp = p.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        cc = c.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        return pp.join(
+            cc,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 1 hour"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        ).select("purchase_id", "click_id")
+
+    s1 = streams.events_file_stream(spark, events_dir).withWatermark("ts", "1 hour")
+    s2 = streams.events_file_stream(spark, events_dir).withWatermark("ts", "1 hour")
+    name = _mem_name()
+    streams.run_to_memory(joined(s1, s2), name, "append")
+    ev = load_tables(spark, SF_SMALL)["events"]
+    got = _rows(spark.table(name), "purchase_id", "click_id")
+    want = _rows(joined(ev, ev), "purchase_id", "click_id")
+    assert got == want and len(got) > 0
+
+
 def test_st8_output_modes_complete_vs_update(spark, tmp_path):
     d = str(tmp_path / "modes")
     _write_batch(spark, d, 0, [(1, _ns(0), 1, "click", 1.0, "{}")])
