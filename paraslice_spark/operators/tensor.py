@@ -296,16 +296,23 @@ def factors_to_df(spark: SparkSession, factor: np.ndarray, scale: int = 6) -> Da
     return spark.createDataFrame(rows, schema=schema)
 
 
-# (session id, sf_dir) -> fitted CPModel; the three declared tensor queries
-# share one ALS run per session+sf (bench/driver run them back to back)
+# (session id, sf_dir) -> cached coords / fitted CPModel; the declared
+# tensor queries share one build + one ALS run per session+sf
+_coords_cache: dict[tuple[int, str], DataFrame] = {}
 _model_cache: dict[tuple[int, str], CPModel] = {}
+
+
+def _coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir.rstrip("/"))
+    if key not in _coords_cache:
+        _coords_cache[key] = tensor_build_coords(spark, sf_dir).cache()
+    return _coords_cache[key]
 
 
 def _fitted(spark: SparkSession, sf_dir: str) -> CPModel:
     key = (id(spark), sf_dir.rstrip("/"))
     if key not in _model_cache:
-        coords = tensor_build_coords(spark, sf_dir)
-        _model_cache[key] = parafac(spark, coords, rank=3, max_iter=10, seed=42)
+        _model_cache[key] = parafac(spark, _coords(spark, sf_dir), rank=3, max_iter=10, seed=42)
     return _model_cache[key]
 
 
@@ -313,7 +320,7 @@ def _fitted(spark: SparkSession, sf_dir: str) -> CPModel:
 def tensor_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 declared probe: one row per mode-0 slice with nnz + exact
     micro-unit checksum (validates the slab partitioning end-to-end)."""
-    coords = tensor_build_coords(spark, sf_dir)
+    coords = _coords(spark, sf_dir)
     shape = tensor_shape(coords)
     slabs = build_slices(coords, shape, n_parts=8)
     rows = slabs.flatMap(

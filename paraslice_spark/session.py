@@ -74,6 +74,17 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
             # conf not settable on this build — engine degrades gracefully
             pass
     try:
+        # a LOCAL session still at the 200-partition default wastes ~10ms of
+        # scheduling per tiny shuffle task; right-size it. Never touched on
+        # cluster masters or when the owner set an explicit value.
+        if (
+            spark.sparkContext.master.startswith("local")
+            and spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        ):
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
+    try:
         ship_package(spark)
     except Exception:
         pass  # already importable (e.g. PYTHONPATH set) — best effort
