@@ -1,0 +1,68 @@
+"""Hypothesis property tests for the canonicalization layer (SURVEY §5.3).
+
+These pin the *math* that the oracle-diff tests rely on: the cents/micros
+int64 encodings must round-trip 2-decimal values exactly and must agree
+with DuckDB's evaluation of the twin SQL expression for arbitrary doubles.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.decimals(
+        min_value=-99_999_999, max_value=99_999_999, places=2, allow_nan=False
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_cents_roundtrip_exact_for_2dec(d):
+    """round(x*100) as int64 is lossless for any 2-decimal money value."""
+    x = float(d)
+    cents = int(np.round(x * 100))
+    assert cents / 100.0 == x
+
+
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False))
+@settings(max_examples=200, deadline=None)
+def test_micros_units_agree_with_duckdb(x):
+    """CAST(round(x*1e6) AS BIGINT) must produce the same int64 in numpy
+    (Spark's double path) and DuckDB for arbitrary doubles — this is the
+    exact expression pair used in oracles."""
+    py = int(np.round(np.float64(x) * 1000000))
+    with duckdb.connect() as con:
+        db = con.execute(
+            "SELECT CAST(round(CAST(? AS DOUBLE) * 1000000) AS BIGINT)", [x]
+        ).fetchone()[0]
+    # numpy round is banker's; DuckDB round is half-away — they may differ
+    # ONLY when x*1e6 lands exactly on .5, which is measure-zero for data
+    # doubles but reachable by hypothesis: tolerate that single-ULP case.
+    if abs(py - db) not in (0, 1):
+        raise AssertionError((x, py, db))
+    if py != db:
+        frac = abs(np.float64(x) * 1000000) % 1
+        assert frac == 0.5, (x, py, db)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=50,
+    ),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(max_examples=100, deadline=None)
+def test_window_percentile_formula_matches_numpy(values, p):
+    """The sort-window interpolation in agg_percentile implements the
+    type-7 quantile — identical to numpy's default (linear)."""
+    v = np.sort(np.asarray(values, dtype=np.float64))
+    n = len(v)
+    h = (n - 1) * p
+    lo, hi = int(np.floor(h)), int(np.ceil(h))
+    ours = v[lo] + (h - lo) * (v[hi] - v[lo])
+    ref = np.quantile(np.asarray(values), p)
+    assert abs(ours - ref) <= 1e-9 * max(1.0, abs(ref))

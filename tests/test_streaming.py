@@ -175,6 +175,37 @@ def test_st7_stream_static_join(spark, events_dir):
     assert got.count() > 0
 
 
+def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
+    """Kill a checkpointed query between micro-batches, add more data,
+    restart from the checkpoint: every input row counted exactly once."""
+    d = str(tmp_path / "recov")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, d, 0, [(1, _ns(0), 1, "click", 1.0, "{}"),
+                               (2, _ns(1), 2, "click", 1.0, "{}")])
+    name = _mem_name()
+
+    def start():
+        stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+        counts = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        return (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination()
+    q.stop()
+    _write_batch(spark, d, 1, [(3, _ns(2), 1, "view", 1.0, "{}")])
+    q2 = start()
+    q2.awaitTermination()
+    got = {r["user_id"]: r["n"] for r in spark.table(name).collect()}
+    assert got == {1: 2, 2: 1}, got
+
+
 def test_stream_stream_join_equals_batch(spark, events_dir):
     """Stream-stream inner join with watermarks + time-bound condition:
     clicks within 1h before each same-user purchase. Inner joins emit as
