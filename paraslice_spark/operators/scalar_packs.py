@@ -246,6 +246,35 @@ def scalar_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_bitwise_pack",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255                          AS low_byte,
+           o_orderkey | 15                           AS or15,
+           xor(o_orderkey, o_custkey)                AS key_xor,
+           (o_orderkey & 1023) << 2                  AS shl2,
+           o_orderkey >> 3                           AS shr3,
+           CAST(bit_count(o_orderkey) AS BIGINT)     AS popcount
+    FROM orders
+    """,
+)
+def scalar_bitwise_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: bitwise family (&, |, xor, shifts, popcount) — the substrate for
+    hash-bucketing/banding tricks used by the dedup operators."""
+    o = load_tables(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).alias("or15"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.shiftleft(k.bitwiseAND(F.lit(1023)), 2).cast("long").alias("shl2"),
+        F.shiftright(k, 3).cast("long").alias("shr3"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )
+
+
+@query(
     "scalar_cast_pack",
     oracle="""
     SELECT c_custkey,

@@ -175,6 +175,33 @@ def test_st7_stream_static_join(spark, events_dir):
     assert got.count() > 0
 
 
+def test_foreachbatch_partitioned_sink(spark, tmp_path, events_dir):
+    """ST8+S4: stream → foreachBatch → partitioned parquet sink; read-back
+    equals the batch aggregation and the sink is partition-pruned."""
+    out = str(tmp_path / "hourly_sink")
+    stream = streams.events_file_stream(spark, events_dir)
+    agg = batch_twins.tumbling_counts(stream).withColumn(
+        "date", F.to_date("hour_start")
+    )
+
+    def write_batch(df, _batch_id):
+        df.write.mode("overwrite").partitionBy("date").parquet(out)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    want = batch_twins.tumbling_counts(load_tables(spark, SF_SMALL)["events"])
+    assert back.count() == want.count()
+    # partition-pruned read of one day: nonempty, at most 24 hourly rows
+    day = back.where("date = '2024-01-15'").collect()
+    assert 0 < len(day) <= 24
+
+
 def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
     """Kill a checkpointed query between micro-batches, add more data,
     restart from the checkpoint: every input row counted exactly once."""
