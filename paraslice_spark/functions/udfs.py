@@ -24,7 +24,9 @@ from paraslice_spark.sources.io import load_tables
 def _normalize_py(s):
     if s is None:
         return None
-    return s.strip().lower().replace("#", "_")
+    # strip(' ') not strip(): SQL TRIM removes only spaces, and this UDF is
+    # hash-checked against a trim() oracle twin
+    return s.strip(" ").lower().replace("#", "_")
 
 
 def normalize_name_py():
@@ -38,7 +40,8 @@ def normalize_name_pd():
     """X2: same normalizer, Arrow-batched (vectorized pandas str ops)."""
 
     def norm(s: pd.Series) -> pd.Series:
-        return s.str.strip().str.lower().str.replace("#", "_", regex=False)
+        # strip(' ') to match SQL TRIM exactly (see _normalize_py)
+        return s.str.strip(" ").str.lower().str.replace("#", "_", regex=False)
 
     return pandas_udf(norm, StringType())
 

@@ -328,11 +328,21 @@ def embedding_near_dup_pairs(
         return pd.Series(np.round(dots / (na * nb), 6))
 
     cos_udf = pandas_udf(cos_fn, "double")
-    return (
-        a.join(b, ["band", "bucket"])
+    # distinct on the ID pair only (hashing 2×64-double payloads through the
+    # dedup shuffle would dominate at scale), then join the vectors back
+    # once for the verify — same shape as minhash_near_dup_pairs
+    candidates = (
+        a.select("vec_a", "band", "bucket")
+        .join(b.select("vec_b", "band", "bucket"), ["band", "bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .select("vec_a", "vec_b")
         .distinct()
+    )
+    ea = base.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    eb = base.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    return (
+        candidates.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select("vec_a", "vec_b", cos_udf("emb_a", "emb_b").alias("cos"))
         .where(F.col("cos") >= threshold)
         .orderBy("vec_a", "vec_b")

@@ -296,21 +296,28 @@ def factors_to_df(spark: SparkSession, factor: np.ndarray, scale: int = 6) -> Da
     return spark.createDataFrame(rows, schema=schema)
 
 
-# (session id, sf_dir) -> cached coords / fitted CPModel; the declared
-# tensor queries share one build + one ALS run per session+sf
-_coords_cache: dict[tuple[int, str], DataFrame] = {}
-_model_cache: dict[tuple[int, str], CPModel] = {}
+# (application id, sf_dir) -> cached coords / fitted CPModel; the declared
+# tensor queries share one build + one ALS run per session+sf. Keyed by
+# applicationId (id(spark) is reusable after GC — see sources/io.py).
+_coords_cache: dict[tuple[str, str], DataFrame] = {}
+_model_cache: dict[tuple[str, str], CPModel] = {}
+
+
+def _tensor_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    from paraslice_spark.sources.io import _session_key
+
+    return (_session_key(spark), sf_dir.rstrip("/"))
 
 
 def _coords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir.rstrip("/"))
+    key = _tensor_key(spark, sf_dir)
     if key not in _coords_cache:
         _coords_cache[key] = tensor_build_coords(spark, sf_dir).cache()
     return _coords_cache[key]
 
 
 def _fitted(spark: SparkSession, sf_dir: str) -> CPModel:
-    key = (id(spark), sf_dir.rstrip("/"))
+    key = _tensor_key(spark, sf_dir)
     if key not in _model_cache:
         _model_cache[key] = parafac(spark, _coords(spark, sf_dir), rank=3, max_iter=10, seed=42)
     return _model_cache[key]

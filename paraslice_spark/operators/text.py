@@ -172,7 +172,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                      w -> list_contains({list(_STOPWORDS)!r}, w))) AS DOUBLE)
                  / len(words), 6) AS stopword_ratio
     FROM t
-    """.replace("'w'", "'w'"),
+    """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: word/token counts (whitespace + BPE-ish regex),

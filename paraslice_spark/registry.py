@@ -26,6 +26,11 @@ def query(name: str, oracle: str | None = None):
     """
 
     def deco(fn):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(existing: {QUERIES[name].__module__}, new: {fn.__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

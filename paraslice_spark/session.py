@@ -48,19 +48,32 @@ def ship_package(spark: SparkSession) -> None:
     ``addPyFile``-ing it fixes any session at runtime — the cluster-correct
     mechanism (same path ships the code to real executors).
     """
+    import hashlib
+
     sc = spark.sparkContext
     if sc.applicationId in _shipped_to:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
-    zpath = os.path.join(tempfile.gettempdir(), f"paraslice_spark_pkg_{os.getpid()}.zip")
+    sources = []
+    for dirpath, _, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(dirpath, f))
+    # name the zip by content hash: a pid- or time-keyed name can resurrect
+    # a STALE zip from a previous process and ship outdated code to workers
+    digest = hashlib.sha256()
+    for full in sorted(sources):
+        digest.update(full.encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"paraslice_spark_pkg_{digest.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w") as z:
-            for dirpath, _, files in os.walk(pkg_dir):
-                for f in sorted(files):
-                    if f.endswith(".py"):
-                        full = os.path.join(dirpath, f)
-                        z.write(full, os.path.relpath(full, root))
+            for full in sorted(sources):
+                z.write(full, os.path.relpath(full, root))
     sc.addPyFile(zpath)
     _shipped_to.add(sc.applicationId)
 

@@ -28,8 +28,17 @@ TABLES = (
     "embeddings",
 )
 
-# (session id, sf_dir) -> {table: DataFrame}
-_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# (application id, sf_dir) -> {table: DataFrame}. Keyed by applicationId,
+# NOT id(spark): CPython reuses addresses, so an id() key can hand back
+# DataFrames bound to a stopped SparkContext after a session restart.
+_cache: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        return str(id(spark))
 
 
 def _repair_events(df: DataFrame) -> DataFrame:
@@ -56,7 +65,7 @@ def load_tables(
 
     Registers each as a temp view (S5) so ``spark.sql`` twins work.
     """
-    key = (id(spark), sf_dir.rstrip("/"))
+    key = (_session_key(spark), sf_dir.rstrip("/"))
     if key in _cache:
         return _cache[key]
     ensure_session_confs(spark)
