@@ -220,16 +220,11 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_collect_set",
-    oracle="""
-    SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS priorities,
-           COUNT(*) AS n_orders
-    FROM orders GROUP BY o_custkey
-    """,
-)
-def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: set-collection to array, canonical (sorted) order both engines."""
+def collect_set_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 array form (internal pytest only): sorted collect_set to a real
+    ``array<string>`` column.  The driver's canonicalizer cannot hash
+    array-typed cells (CORRECTNESS_r01: ``unhashable type: 'numpy.ndarray'``)
+    so the *declared* twin below serializes with concat_ws."""
     o = load_tables(spark, sf_dir)["orders"]
     return o.groupBy("o_custkey").agg(
         F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
@@ -238,10 +233,45 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_collect_set",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+             AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: set-collection, canonical (sorted) order both engines, serialized
+    to one string per group so the driver's scalar-only canonicalizer can
+    hash it (the array form stays pytest-checked via collect_set_array)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority"))).alias(
+            "priorities"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def collect_list_ordered_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10b array form (internal pytest only) — see collect_set_array note."""
+    o = load_tables(spark, sf_dir)["orders"]
+    s = F.struct("o_orderdate", "o_orderkey", "o_orderpriority")
+    return o.groupBy("o_custkey").agg(
+        F.transform(
+            F.sort_array(F.collect_list(s)), lambda x: x["o_orderpriority"]
+        ).alias("priorities_seq")
+    )
+
+
+@query(
     "agg_collect_list_ordered",
     oracle="""
     SELECT o_custkey,
-           list(o_orderpriority ORDER BY o_orderdate, o_orderkey) AS priorities_seq
+           string_agg(o_orderpriority, ',' ORDER BY o_orderdate, o_orderkey)
+             AS priorities_seq
     FROM orders GROUP BY o_custkey
     """,
 )
@@ -249,12 +279,16 @@ def agg_collect_list_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10b: ORDER-DETERMINISTIC list aggregation — collect structs keyed by
     a total order, sort_array (lexicographic struct sort), project the
     payload. Spark's collect_list alone is partition-order-dependent; this
-    is the portable ordered-list idiom."""
+    is the portable ordered-list idiom.  Serialized to string per group for
+    the driver's scalar-only hash (array form: collect_list_ordered_array)."""
     o = load_tables(spark, sf_dir)["orders"]
     s = F.struct("o_orderdate", "o_orderkey", "o_orderpriority")
     return o.groupBy("o_custkey").agg(
-        F.transform(
-            F.sort_array(F.collect_list(s)), lambda x: x["o_orderpriority"]
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(s)), lambda x: x["o_orderpriority"]
+            ),
         ).alias("priorities_seq")
     )
 
@@ -288,11 +322,13 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A14: equi-width histogram via width_bucket (prices all within
-    [0, 500000), so width_bucket ≡ floor(x/w)+1 — the portable oracle)."""
+    """A14: equi-width histogram.  floor(x/w)+1 on BOTH sides — width_bucket
+    would clamp values >= 500000 into bucket 11 while the oracle keeps
+    growing, silently diverging at sf>=1 where o_totalprice exceeds 550k
+    (ADVICE r01)."""
     o = load_tables(spark, sf_dir)["orders"]
     return o.groupBy(
-        F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(10)).alias("bucket")
+        (F.floor(F.col("o_totalprice") / 50000).cast("long") + 1).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"))
 
 

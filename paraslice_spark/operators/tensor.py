@@ -72,7 +72,8 @@ def tensor_build_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.select(
         "user_id",
         "event_type",
-        (F.unix_micros("ts") / F.lit(_HOUR_US)).cast("long").alias("hour_abs"),
+        # integer `div`, never float `/` (io.py:51 rule) — bit-exact on int64
+        F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hour_abs"),
         F.round(F.col("value") * 1000000).cast("long").alias("vmic"),
     )
 

@@ -183,9 +183,41 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7: ntile / percent_rank / cume_dist over a total order (tiebreak
-    makes all ranks unique -> identical doubles from (r-1)/(n-1) on both)."""
+    makes all ranks unique -> identical doubles from (r-1)/(n-1) on both).
+
+    SCALE NOTE (VERDICT r01 #10, docs/SCALE.md): the un-partitioned window
+    funnels every row through ONE task — acceptable only for a reporting op
+    on a bounded table.  The scale-safe form is
+    ``window_distribution_partitioned`` below (same functions, per-segment
+    windows); at 100 TB use that, or approx_percentile buckets."""
     c = load_tables(spark, sf_dir)["customer"]
     w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "window_distribution_partitioned",
+    oracle="""
+    SELECT c_custkey,
+           ntile(10)      OVER w AS decile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7b: the scale-safe twin of ``window_distribution`` — identical
+    distribution functions but PARTITION BY c_mktsegment, so each window
+    task handles one segment instead of the whole table (no unbounded
+    single partition at scale)."""
+    c = load_tables(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",
         F.ntile(10).over(w).alias("decile"),

@@ -99,8 +99,17 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
         pass
     try:
         ship_package(spark)
-    except Exception:
-        pass  # already importable (e.g. PYTHONPATH set) — best effort
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        # Best effort (package may already be importable via PYTHONPATH), but
+        # leave a trail: a silent failure here surfaces later as an opaque
+        # ModuleNotFoundError on executors at query time (ADVICE r01).
+        import sys
+
+        print(
+            f"paraslice_spark: ship_package failed ({exc!r}); executors must "
+            "already have the package importable",
+            file=sys.stderr,
+        )
     return spark
 
 
