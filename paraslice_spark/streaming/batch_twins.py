@@ -127,6 +127,84 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(load_tables(spark, sf_dir)["events"])
 
 
+def asof_lookback(purchases: DataFrame, clicks: DataFrame, lookback_us: int) -> DataFrame:
+    """ST9 core (batch form): for each purchase, the latest same-user click
+    with ``c.ts`` in ``[p.ts - lookback, p.ts]``; no match -> NULL.
+
+    Same one-shuffle union-tag + running ``last(ignorenulls)`` shape as
+    ``join_asof`` (joins.py), plus a running last-click timestamp so
+    out-of-lookback matches can be nulled without a second join.  Inputs are
+    ``(user_id, ts, event_id)``-shaped frames.
+    """
+    c = clicks.select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(0).alias("is_purchase"),
+    )
+    p = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("is_purchase"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        c.unionByName(p)
+        .withColumn("click_us", F.when(F.col("is_purchase") == 0, F.unix_micros("ts")))
+        .withColumn("last_click", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("last_click_us", F.last("click_us", ignorenulls=True).over(w))
+        .where(F.col("is_purchase") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.when(
+                F.col("last_click_us") >= F.unix_micros("ts") - F.lit(lookback_us),
+                F.col("last_click"),
+            ).alias("click_id"),
+        )
+    )
+
+
+@query(
+    "stream_asof_join",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      date_trunc('microseconds', ts) AS ts
+               FROM events),
+    p AS (SELECT event_id AS purchase_id, user_id, ts FROM e
+          WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts FROM e
+          WHERE event_type = 'click')
+    SELECT p.purchase_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.click_id END
+             AS click_id
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def stream_asof_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9 batch twin (VERDICT r01 #7): stream-stream AS-OF join, 1-hour
+    lookback.  The streaming form is the ``applyInPandasWithState`` operator
+    :func:`paraslice_spark.streaming.streams.stream_asof_join`;
+    tests/test_streaming.py asserts replay equivalence against this twin.
+    Oracle: DuckDB ASOF picks the latest click <= purchase ts; the CASE nulls
+    it when it falls outside the lookback (if the latest is outside, every
+    earlier one is too)."""
+    from paraslice_spark.streaming.streams import ASOF_LOOKBACK_US
+
+    ev = load_tables(spark, sf_dir)["events"]
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    c = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    return asof_lookback(p, c, ASOF_LOOKBACK_US)
+
+
 @query(
     "stream_dedup_exact",
     oracle="""

@@ -127,12 +127,20 @@ def stream_asof_join(
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
-            us = pd.to_datetime(pdf["ts"]).astype("datetime64[us]").astype("int64")
+            us = (
+                pd.to_datetime(pdf["ts"])
+                .astype("datetime64[us]")
+                .astype("int64")
+                .to_numpy()
+            )
             left = pdf["is_left"].to_numpy() == 1
-            lts += list(us[left])
-            lid += list(pdf["id"].to_numpy()[left])
-            rts += list(us[~left])
-            rid += list(pdf["id"].to_numpy()[~left])
+            ids = pdf["id"].to_numpy()
+            # .tolist() -> plain Python ints: state rows round-trip through
+            # the JVM pickler, which rejects numpy scalars
+            lts += us[left].tolist()
+            lid += ids[left].tolist()
+            rts += us[~left].tolist()
+            rid += ids[~left].tolist()
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         # right history sorted once per batch; emission scans it per left
@@ -223,3 +231,76 @@ def running_count_per_user(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Kafka source (VERDICT r01 #8) — wired, container-untestable end-to-end
+# --------------------------------------------------------------------------
+#
+# The container ships neither a broker nor the spark-sql-kafka connector
+# jar, so ``kafka_events_stream`` cannot run here; the value-parsing stage
+# is factored out as :func:`parse_kafka_events` and tested on a batch
+# DataFrame with kafka-shaped columns (tests/test_streaming.py) — the
+# connector handoff is the only untested seam, and it is one `.load()`.
+
+#: JSON payload schema expected in the kafka record value (ts is the raw
+#: ns-epoch long, exactly like the parquet fixtures before repair)
+KAFKA_EVENTS_JSON_SCHEMA = EVENTS_RAW_SCHEMA
+
+
+def parse_kafka_events(kafka_df: DataFrame) -> DataFrame:
+    """Kafka records -> events rows, same ts repair as the file sources.
+
+    ``kafka_df`` has the connector's fixed schema (key/value binary, topic,
+    partition, offset, timestamp, timestampType).  The value is a JSON
+    events payload with a raw ns-epoch ``ts``; repair is integer
+    ``div 1000`` to µs (never float ``/1000`` — CLAUDE.md trap).  Rows whose
+    value fails to parse surface as NULL event_id rather than killing the
+    query (dead-letter them downstream if needed).  Pure codegen — works
+    identically on batch kafka-shaped frames, which is how it is tested.
+    """
+    parsed = kafka_df.select(
+        F.col("partition").alias("_kafka_partition"),
+        F.col("offset").alias("_kafka_offset"),
+        F.from_json(F.col("value").cast("string"), KAFKA_EVENTS_JSON_SCHEMA).alias("e"),
+    )
+    return parsed.select(
+        "e.event_id",
+        F.col("e.ts").alias("ts_ns"),
+        F.timestamp_micros(F.expr("e.ts div 1000")).alias("ts"),
+        "e.user_id",
+        "e.event_type",
+        "e.value",
+        "e.props",
+        "_kafka_partition",
+        "_kafka_offset",
+    )
+
+
+def kafka_events_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream from a Kafka topic of JSON events (S-source matrix row).
+
+    Scale notes: one Spark input partition per Kafka partition — size the
+    topic's partition count to the executor core count; bound micro-batches
+    with ``maxOffsetsPerTrigger``; exactly-once downstream comes from
+    checkpointed offsets + idempotent/partitioned sinks (see
+    ``run_to_memory``/foreachBatch patterns).  Requires the
+    ``spark-sql-kafka-0-10`` connector on the classpath; raises Spark's
+    DATA_SOURCE_NOT_FOUND otherwise (not swallowed — a silent fallback
+    would mask a broken deployment).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return parse_kafka_events(reader.load())

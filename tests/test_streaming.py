@@ -264,6 +264,84 @@ def test_stream_stream_join_equals_batch(spark, events_dir):
     assert got == want and len(got) > 0
 
 
+def test_st9_stream_asof_join_equals_batch_twin(spark, tmp_path):
+    """ST9: stream-stream AS-OF join (applyInPandasWithState) replay equals
+    the batch twin.  Batch 0 carries the whole fixture; two far-future
+    sentinel clicks in later micro-batches push the watermark past every
+    real purchase (the second forces one more batch so EventTimeTimeout
+    drains pending state even if no no-data batch runs)."""
+    import os
+
+    d = str(tmp_path / "asof")
+    os.makedirs(d)
+    shutil.copy(f"{SF_SMALL}/events.parquet", f"{d}/batch-000.parquet")
+    os.utime(f"{d}/batch-000.parquet", (1_700_000_000, 1_700_000_000))
+    # ~2025-03 and later — far beyond the 2024 fixture range
+    _write_batch(spark, d, 1, [(10_000_001, _ns(400_000), 1, "click", 0.0, "{}")])
+    _write_batch(spark, d, 2, [(10_000_002, _ns(500_000), 1, "click", 0.0, "{}")])
+
+    stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+    p = stream.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    c = stream.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    name = _mem_name()
+    streams.run_to_memory(
+        streams.stream_asof_join(streams.tag_asof_streams(p, c)), name, "append"
+    )
+    got = _rows(spark.table(name), "purchase_id", "user_id", "click_id")
+
+    ev = load_tables(spark, SF_SMALL)["events"]
+    bp = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    bc = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    want = _rows(
+        batch_twins.asof_lookback(bp, bc, streams.ASOF_LOOKBACK_US),
+        "purchase_id",
+        "user_id",
+        "click_id",
+    )
+    assert got == want and len(got) > 0
+    # lookback actually bites: some purchases matched, some nulled
+    matched = [r for r in got if r[2] is not None]
+    assert 0 < len(matched) < len(got)
+
+
+def test_kafka_parse_stage_repairs_ts(spark):
+    """Kafka wiring (VERDICT r01 #8): the value-parse stage on a batch
+    kafka-shaped frame — same ns->µs integer repair as the file sources;
+    malformed payloads null out instead of failing the query."""
+    import json
+
+    payload = {"event_id": 7, "ts": 1717200000123456789, "user_id": 3,
+               "event_type": "click", "value": 1.5, "props": "{}"}
+    kafka_shaped = spark.createDataFrame(
+        [
+            (None, json.dumps(payload).encode(), "events", 0, 42, None, 1),
+            (None, b"not json", "events", 0, 43, None, 1),
+        ],
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp, timestampType int",
+    )
+    out = streams.parse_kafka_events(kafka_shaped).orderBy("_kafka_offset").collect()
+    assert out[0]["event_id"] == 7 and out[0]["user_id"] == 3
+    # integer div 1000: ...456789 ns -> ...456 µs exactly
+    assert out[0]["ts"] == datetime.datetime(2024, 6, 1, 0, 0, 0, 123456)
+    assert out[0]["ts_ns"] == 1717200000123456789
+    assert out[1]["event_id"] is None  # malformed -> null row, query survives
+    assert [r["_kafka_offset"] for r in out] == [42, 43]
+
+
+def test_kafka_source_wiring_raises_without_connector(spark):
+    """The container has no spark-sql-kafka jar: the reader must surface
+    Spark's DATA_SOURCE_NOT_FOUND (not silently fall back). If a connector
+    is ever on the classpath this becomes a live plan-shape check instead."""
+    try:
+        df = streams.kafka_events_stream(spark, "broker:9092", "events")
+    except Exception as ex:
+        assert "KAFKA" in str(ex).upper() or "DATA_SOURCE" in str(ex).upper(), ex
+    else:
+        # connector present: the parse stage must be wired over the source
+        assert df.isStreaming and "ts_ns" in df.columns
+
+
 def test_st8_output_modes_complete_vs_update(spark, tmp_path):
     d = str(tmp_path / "modes")
     _write_batch(spark, d, 0, [(1, _ns(0), 1, "click", 1.0, "{}")])
