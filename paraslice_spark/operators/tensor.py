@@ -324,6 +324,163 @@ def parafac(
     return model
 
 
+# --------------------------------------------------------------------------
+# Distributed-A CP-ALS (VERDICT r01 #9, docs/SCALE.md §CP-ALS extension)
+# --------------------------------------------------------------------------
+#
+# When the mode-0 dimension is huge (10^8 users), the I×R factor A no longer
+# fits the driver or a broadcast.  The slab layout makes the fix natural:
+# mode-0 MTTKRP writes only acc[ids] and modes 1/2 read only A[ids] — each
+# slab ever touches exactly its own rows of A.  So A lives row-partitioned
+# WITH the slabs: the mode-0 update is fully partition-local (M0_blk @ pinv,
+# zero shuffle), and the network carries only the R×R Gram AᵀA, the J×R /
+# K×R partials, and the (tiny) B/C broadcasts.  A is never normalized in
+# place; its raw column scales D = sqrt(diag(AᵀA_raw)) are divided out of
+# the Gram and the partials driver-side (Ã = A·D⁻¹ ⇒ M̃ = M·D⁻¹), which is
+# algebraically identical to the driver-local path without a second
+# distributed pass.  Lineage stays flat: each iteration maps over the
+# persisted slabs root, never over the previous iteration's RDD.
+
+
+@dataclass
+class CPModelDist:
+    """T7-dist output: mode-0 factor stays row-partitioned on the cluster —
+    ``a_blocks`` is an RDD of ``(ids, A_block)`` (normalized, λ-ordered
+    columns); only B, C, λ and the fit trace are driver-local."""
+
+    a_blocks: object  # RDD[(np.ndarray(m,), np.ndarray(m, R))]
+    B: np.ndarray
+    C: np.ndarray
+    lam: np.ndarray
+    fit: float
+    n_iter: int
+    fit_trace: list = field(default_factory=list)
+    shape: tuple = ()
+
+
+def parafac_distributed(
+    spark: SparkSession,
+    coords: DataFrame,
+    rank: int = 3,
+    tol: float = 1e-6,
+    max_iter: int = 25,
+    seed: int = 42,
+    n_parts: int = 8,
+) -> CPModelDist:
+    """T7-dist: CP-ALS with the mode-0 factor row-partitioned (never on the
+    driver, never broadcast).  Per iteration: one partition-local map (A
+    update fused with the slab scan) + two aggregate jobs (Gram+M1, then
+    M2).  Same kernels and fit identity as :func:`parafac`."""
+    sc = spark.sparkContext
+    shape = tensor_shape(coords)
+    si, sj, sk = shape
+    slabs = build_slices(coords, shape, n_parts)
+    norm_x_sq = slabs.treeAggregate(
+        0.0, lambda acc, it: acc + float((it[1] ** 2).sum()), lambda a, b: a + b, depth=2
+    )
+
+    rng = np.random.default_rng(seed)
+    B, _ = _normalize(rng.standard_normal((sj, rank)))
+    C, _ = _normalize(rng.standard_normal((sk, rank)))
+    lam = np.ones(rank)
+
+    def agg(rdd, zero, seq, comb, numel):
+        # same threshold as _mttkrp: tree only when partials are MB-sized
+        if numel <= 1_000_000:
+            return rdd.aggregate(zero, seq, comb)
+        return rdd.treeAggregate(zero, seq, comb, depth=2)
+
+    state = None
+    fit_prev, fit, trace = 0.0, 0.0, []
+    it = 0
+    for it in range(1, max_iter + 1):
+        bB, bC = sc.broadcast(B), sc.broadcast(C)
+        pinv_bc = np.linalg.pinv((B.T @ B) * (C.T @ C))
+
+        def update_a(items, _p=pinv_bc, _bB=bB, _bC=bC):
+            # mode-0 update, partition-local: each slab owns its A rows
+            for ids, x in items:
+                m0 = ((x @ _bC.value) * _bB.value[None, :, :]).sum(axis=1)
+                yield ids, x, m0 @ _p
+
+        prev = state
+        state = slabs.mapPartitions(update_a).persist(StorageLevel.MEMORY_AND_DISK)
+
+        def seq1(acc, item, _bC=bC):
+            g, m1 = acc
+            _ids, x, a = item
+            g += a.T @ a
+            m1 += ((x @ _bC.value) * a[:, None, :]).sum(axis=0)
+            return g, m1
+
+        gram_raw, m1_raw = agg(
+            state,
+            (np.zeros((rank, rank)), np.zeros((sj, rank))),
+            seq1,
+            lambda p, q: (p[0] + q[0], p[1] + q[1]),
+            (rank + sj) * rank,
+        )
+
+        d_inv = 1.0 / np.sqrt(np.clip(np.diag(gram_raw), 1e-300, None))
+        gram_a = gram_raw * d_inv[:, None] * d_inv[None, :]  # Ã = A·D⁻¹
+        B = _solve(m1_raw * d_inv[None, :], gram_a * (C.T @ C))
+        B, _ = _normalize(B)
+        bB2 = sc.broadcast(B)
+
+        def seq2(acc, item, _bB2=bB2):
+            _ids, x, a = item
+            return acc + ((np.swapaxes(x, 1, 2) @ _bB2.value) * a[:, None, :]).sum(axis=0)
+
+        m2 = (
+            agg(state, np.zeros((sk, rank)), seq2, lambda p, q: p + q, sk * rank)
+            * d_inv[None, :]
+        )
+        c_raw = _solve(m2, gram_a * (B.T @ B))
+        C, lam = _normalize(c_raw)
+
+        inner = float((m2 * c_raw).sum())
+        norm_model_sq = float(lam @ ((gram_a * (B.T @ B) * (C.T @ C)) @ lam))
+        resid_sq = max(0.0, norm_x_sq - 2.0 * inner + norm_model_sq)
+        fit = 1.0 - np.sqrt(resid_sq) / np.sqrt(norm_x_sq)
+        trace.append(fit)
+
+        for b in (bB, bC, bB2):
+            b.unpersist()
+        if prev is not None:
+            prev.unpersist()
+        if it > 1 and abs(fit - fit_prev) < tol:
+            break
+        fit_prev = fit
+
+    order = np.argsort(-lam)
+    a_blocks = state.map(
+        lambda t, _d=d_inv, _o=order: (t[0], (t[2] * _d[None, :])[:, _o])
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a_blocks.count()  # materialize before releasing the parents
+    state.unpersist()
+    slabs.unpersist()
+    return CPModelDist(
+        a_blocks=a_blocks, B=B[:, order], C=C[:, order], lam=lam[order],
+        fit=float(fit), n_iter=it, fit_trace=trace, shape=shape,
+    )
+
+
+def dist_factors_a_df(spark: SparkSession, model: CPModelDist, scale: int = 4) -> DataFrame:
+    """T8-dist: row-partitioned mode-0 factor -> DataFrame WITHOUT any
+    driver collect (flatMap over the blocks; rows stay on executors)."""
+    rank = len(model.lam)
+
+    def rows(t):
+        ids, a = t
+        return [
+            (int(ids[m]), *[float(round(a[m, r], scale)) for r in range(rank)])
+            for m in range(len(ids))
+        ]
+
+    schema = "row_idx long, " + ", ".join(f"r{r} double" for r in range(rank))
+    return spark.createDataFrame(model.a_blocks.flatMap(rows), schema=schema)
+
+
 def factors_to_df(spark: SparkSession, factor: np.ndarray, scale: int = 6) -> DataFrame:
     """Factor matrix -> DataFrame (row_idx, r0..r{R-1}) rounded for stable
     display (declared rows-only: float reduction order varies ~1e-12)."""
@@ -392,6 +549,32 @@ def parafac_cp_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     λ + fit summary (fixed seed + fixed partitioning → stable row count and
     near-identical values)."""
     model = _fitted(spark, sf_dir)
+    rows = [
+        (r, float(round(model.lam[r], 4)), float(round(model.fit, 4)), model.n_iter)
+        for r in range(len(model.lam))
+    ]
+    return spark.createDataFrame(
+        rows, schema="component long, lam double, fit double, n_iter long"
+    )
+
+
+_model_cache_dist: dict[tuple[str, str], CPModelDist] = {}
+
+
+def _fitted_dist(spark: SparkSession, sf_dir: str) -> CPModelDist:
+    key = _tensor_key(spark, sf_dir)
+    if key not in _model_cache_dist:
+        _model_cache_dist[key] = parafac_distributed(
+            spark, _coords(spark, sf_dir), rank=3, max_iter=10, seed=42
+        )
+    return _model_cache_dist[key]
+
+
+@query("parafac_cp_als_dist")  # rows-only: float reduction order ~1e-12 variance
+def parafac_cp_als_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7-dist declared: distributed-A CP-ALS on the T1 tensor — mode-0
+    factor never leaves the cluster; summary mirrors parafac_cp_als."""
+    model = _fitted_dist(spark, sf_dir)
     rows = [
         (r, float(round(model.lam[r], 4)), float(round(model.fit, 4)), model.n_iter)
         for r in range(len(model.lam))

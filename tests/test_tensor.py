@@ -71,6 +71,41 @@ def test_slices_cover_tensor_exactly(spark):
     assert total == pytest.approx(want, rel=1e-9)
 
 
+def test_distributed_planted_factor_recovery(spark):
+    """VERDICT r01 #9 done-criterion: distributed-A path recovers a planted
+    rank-3 tensor with the factor spread over >1 partition, and the mode-0
+    factor never materializes on the driver as a single matrix."""
+    from paraslice_spark.operators.tensor import dist_factors_a_df, parafac_distributed
+
+    coords = _planted_coords(spark, si=24, sj=6, sk=10, seed=7)
+    model = parafac_distributed(spark, coords, rank=3, max_iter=40, seed=1, n_parts=4)
+    assert model.fit >= 0.999, model.fit_trace
+    assert model.a_blocks.getNumPartitions() > 1
+    # blocks partition the row space exactly
+    ids = sorted(model.a_blocks.flatMap(lambda t: [int(i) for i in t[0]]).collect())
+    assert ids == list(range(24))
+    # columns normalized + λ descending, like the driver-local model
+    sq = model.a_blocks.map(lambda t: (t[1] ** 2).sum(axis=0)).sum()
+    np.testing.assert_allclose(np.sqrt(sq), 1.0, atol=1e-9)
+    assert (np.diff(model.lam) <= 1e-12).all()
+    # factor export is a distributed DataFrame with one row per mode-0 index
+    fa = dist_factors_a_df(spark, model)
+    assert fa.columns == ["row_idx", "r0", "r1", "r2"]
+    assert fa.count() == 24
+
+
+def test_distributed_matches_driver_local_lambdas(spark):
+    """On an exactly-rank-3 tensor both paths converge to the tensor's true
+    component weights (CP uniqueness) — λs agree across implementations."""
+    from paraslice_spark.operators.tensor import parafac_distributed
+
+    coords = _planted_coords(spark, seed=23)
+    local = parafac(spark, coords, rank=3, max_iter=40, seed=3)
+    dist = parafac_distributed(spark, coords, rank=3, max_iter=40, seed=4, n_parts=3)
+    assert dist.fit >= 0.999 and local.fit >= 0.999
+    np.testing.assert_allclose(dist.lam, local.lam, rtol=1e-3)
+
+
 def test_fixture_tensor_decomposes(spark):
     coords = tensor_build_coords(spark, SF_SMALL)
     model = parafac(spark, coords, rank=3, max_iter=10, seed=42)
