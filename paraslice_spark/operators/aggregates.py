@@ -412,3 +412,37 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
         F.max("o_totalprice").cast("double").alias("top_price"),
     )
+
+
+@query(
+    "agg_decimal_money",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+             AS total_dec,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: DECIMAL-typed money aggregation (VERDICT r01 missing #5).
+
+    The engine's default money path is integer cents (canon.py — measured
+    decimal codegen stragglers + 38-digit overflow on 3-factor products),
+    but users porting decimal SQL get this real DECIMAL path: exact
+    decimal(12,2) sums on both engines, serialized to a scale-2 string so
+    the hash compare is representation-exact.  Double→decimal casts round
+    half-up identically on both engines; 2-decimal fixture values are never
+    at a .005 boundary.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.sum(dec).alias("s"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderpriority",
+            F.col("s").cast("string").alias("total_dec"),
+            "n_orders",
+        )
+    )

@@ -148,6 +148,129 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_NLIST = 16  # coarse-quantizer cells
+_IVF_NPROBE = 4  # cells probed per query
+_IVF_ITERS = 2  # Lloyd refinement sweeps
+
+#: (application id, sf_dir) -> fitted centroid matrix (see _session_key)
+_ivf_cache: dict[tuple[str, str], "object"] = {}
+
+
+def _ivf_centroids(base: DataFrame, n_list: int, n_iters: int, seed: int):
+    """Fit the IVF coarse quantizer: deterministic hash-ordered sample of
+    ``n_list`` corpus vectors + a few distributed Lloyd sweeps.
+
+    Per sweep: ONE corpus pass (Arrow-batched argmax-cosine assignment) +
+    a (cell, dim) avg agg whose result is O(n_list × dim) — the only data
+    that ever reaches the driver.  Unit-normalized centroids (spherical
+    k-means: cosine assignment ⇔ dot with unit centroids)."""
+    import numpy as np
+
+    rows = (
+        base.select("vec_id", "emb")
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
+        .limit(n_list)
+        .collect()
+    )
+    cents = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in rows])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    dim = cents.shape[1]
+    for _ in range(n_iters):
+        assign = _ivf_assign_udf(cents, 1)
+        sums = (
+            base.select(assign(F.col("emb")).alias("cells"), F.posexplode("emb"))
+            .select(F.col("cells")[0].alias("cell"), F.col("pos").alias("d"), F.col("col").alias("x"))
+            .groupBy("cell", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cents.copy()  # empty cells keep their old centroid
+        acc = np.zeros((len(cents), dim))
+        cnt = np.zeros(len(cents))
+        for r in sums:
+            acc[r["cell"], r["d"]] += r["s"]
+            cnt[r["cell"]] = r["n"]
+        mask = cnt > 0
+        new[mask] = acc[mask] / cnt[mask, None]
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cents = new
+    return cents
+
+
+def _ivf_assign_udf(cents, n_probe: int):
+    """pandas UDF: embedding -> the ``n_probe`` nearest cell ids (by cosine
+    against unit centroids) — one BLAS matmul per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def fn(emb):
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cents.T  # (n, n_list)
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series(list(top.astype(np.int64)))
+
+    return pandas_udf(fn, "array<long>")
+
+
+@query("similarity_ivf_ann")  # rows-only: quantizer cells are model-internal
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4b: ANN via an IVF-flat index (the second scale path next to LSH).
+
+    Spherical-k-means coarse quantizer (``_ivf_centroids``); every corpus
+    vector is assigned to its nearest cell (1 Arrow pass), queries probe
+    their ``n_probe`` nearest cells, and the exact cosine re-rank runs on
+    the probed cells only — at 100 TB that is a ~n_probe/n_list fraction of
+    the corpus per query, reached by equi-join on the cell id, never a
+    cross-join.  IDs-only through the candidate shuffle; vectors join back
+    once for the verify (house discipline).  Recall is property-tested with
+    planted near-duplicates (tests/test_similarity.py)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    base = e.select("vec_id", _as_double(F.col("embedding")).alias("emb")).persist()
+    # quantizer fit memoized per (session, sf): O(n_list×dim) numpy — same
+    # house pattern as the tensor model cache (tensor.py _fitted)
+    from paraslice_spark.sources.io import _session_key
+
+    key = (_session_key(spark), sf_dir.rstrip("/"))
+    if key not in _ivf_cache:
+        _ivf_cache[key] = _ivf_centroids(base, _IVF_NLIST, _IVF_ITERS, seed=4242)
+    cents = _ivf_cache[key]
+
+    assigned = base.select(
+        "vec_id", _ivf_assign_udf(cents, 1)(F.col("emb"))[0].alias("cell")
+    )
+    probes = (
+        base.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(_ivf_assign_udf(cents, _IVF_NPROBE)(F.col("emb"))).alias("cell"),
+        )
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qe = base.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    ne = base.select(F.col("vec_id").alias("neighbor_id"), "emb")
+    cos = rnd(
+        _dot(F.col("q_emb"), F.col("emb")) / (_norm(F.col("q_emb")) * _norm(F.col("emb"))), 6
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        cand.join(F.broadcast(qe), "q_id")
+        .join(ne, "neighbor_id")
+        .select("q_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .select("q_id", "neighbor_id", "cos")
+    )
+
+
 _SHINGLE_K = 8
 _N_SIG = 16  # minhash signature length
 _BANDS = 4  # 4 bands × 4 rows

@@ -66,6 +66,57 @@ def test_embedding_neardup_finds_planted_pairs(spark):
     assert pairs == {(i, i + 10000) for i in range(5)}, pairs
 
 
+def test_ivf_ann_finds_planted_near_duplicates(spark, tmp_path):
+    """IVF recall on planted near-identical vectors: a copy of each query
+    vector (tiny noise) must land in the query's probed cells and win the
+    exact re-rank at cos ≈ 1."""
+    import numpy as np
+
+    from paraslice_spark.operators.similarity import similarity_ivf_ann
+
+    base = load_tables(spark, SF_SMALL)["embeddings"]
+    rows = base.where(F.col("vec_id") < 5).collect()
+    rng = np.random.default_rng(7)
+    planted = [
+        (
+            int(r["vec_id"]) + 10000,
+            [float(x) + float(e) for x, e in
+             zip(r["embedding"], rng.normal(0, 1e-3, len(r["embedding"])))],
+            r["label"],
+        )
+        for r in rows
+    ]
+    aug = base.select(
+        "vec_id", _f_to_double("embedding").alias("embedding"), "label"
+    ).unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<double>, label string")
+    )
+    # run the declared query against a dir where only `embeddings` differs
+    # (load_tables reads every fixture table, so link the rest across)
+    import os
+
+    from paraslice_spark.sources.io import TABLES
+
+    sfdir = str(tmp_path / "sf_aug")
+    os.makedirs(sfdir)
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{sfdir}/{t}.parquet")
+    aug.coalesce(1).write.parquet(f"{sfdir}/embeddings.parquet")
+    got = similarity_ivf_ann(spark, sfdir).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["neighbor_id"], r["cos"]))
+    for q in range(5):
+        top = sorted(by_q[q], key=lambda t: -t[1])[0]
+        assert top[0] == q + 10000 and top[1] >= 0.999, (q, by_q[q])
+        assert len(by_q[q]) <= 5
+
+
+def _f_to_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
 def test_minhash_matches_brute_force_on_fixtures(spark):
     docs = load_tables(spark, SF_SMALL)["documents"].cache()
     got = {(r["doc_a"], r["doc_b"]) for r in minhash_near_dup_pairs(docs, 0.8).collect()}
