@@ -98,3 +98,58 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     """S4: partitioned parquet sink — the only sane sink shape at 100 TB
     (partition pruning on read; no single-file bottleneck)."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+# --------------------------------------------------------------------------
+# Format matrix beyond parquet (S1 companions): csv / json / orc
+# --------------------------------------------------------------------------
+
+_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Sink in any supported format; partitioned when asked.
+
+    Columnar formats (parquet/orc) are the 100 TB defaults — splittable,
+    compressed, statistics for pruning.  csv/json exist for interchange:
+    they serialize timestamps as ISO strings and csv drops complex types,
+    so they are edge formats, not engine-internal ones.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r} (one of {_FORMATS})")
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.format(fmt).save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet", schema=None) -> DataFrame:
+    """Scan any supported format.  For csv/json pass the explicit schema
+    (DDL string or StructType): schema inference costs an extra full pass
+    and infers csv columns as strings — never acceptable at scale."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r} (one of {_FORMATS})")
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    elif fmt in ("csv", "json"):
+        import warnings
+
+        warnings.warn(
+            f"read_table({fmt}) without an explicit schema triggers a full "
+            "inference pass and weak types — pass the schema at scale",
+            stacklevel=2,
+        )
+        if fmt == "csv":
+            r = r.option("inferSchema", True)
+    if fmt == "csv":
+        r = r.option("header", True)
+    return r.format(fmt).load(path)

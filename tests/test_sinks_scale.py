@@ -64,3 +64,31 @@ def test_salted_join_matches_plain_join(spark):
     g = got.groupBy().sum("o_totalprice").first()[0]
     w = want.groupBy().sum("o_totalprice").first()[0]
     assert g == pytest.approx(w, rel=1e-9)
+
+
+def test_format_matrix_round_trip(spark, tmp_path):
+    """S1 companions: csv/json/orc sinks round-trip a typed aggregate
+    losslessly when the read passes the explicit schema back."""
+    from paraslice_spark.sources.io import load_tables, read_table, write_table
+
+    agg = (
+        load_tables(spark, SF_SMALL)["orders"]
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
+    )
+    want = sorted(tuple(r) for r in agg.collect())
+    ddl = "o_orderpriority string, n bigint, s double"
+    for fmt in ("parquet", "orc", "csv", "json"):
+        path = str(tmp_path / f"rt_{fmt}")
+        write_table(agg, path, fmt=fmt)
+        got = sorted(tuple(r) for r in read_table(spark, path, fmt=fmt, schema=ddl).collect())
+        assert got == want, fmt
+
+
+def test_format_matrix_rejects_unknown(spark, tmp_path):
+    import pytest as _pytest
+
+    from paraslice_spark.sources.io import read_table, write_table
+
+    with _pytest.raises(ValueError):
+        read_table(spark, "/nope", fmt="avro")
