@@ -114,6 +114,39 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_custkey")
 
 
+@query(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE md5(CAST(o_orderkey AS VARCHAR)) <
+          CASE WHEN o_orderpriority = '1-URGENT' THEN '8'
+               WHEN o_orderpriority = '2-HIGH' THEN '4'
+               ELSE '1' END
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by content hash — per-class rates
+    via a lexicographic threshold on md5(key): '8' keeps the 8/16 of hash
+    space below it (50%), '4' → 25%, '1' → 6.25%.
+
+    This is the reproducible curriculum-sampling primitive a training-data
+    pipeline needs: the keep/drop decision is a pure function of the row
+    key, so it is stable across engines, runs, repartitions, and incremental
+    reprocessing — unlike RNG `sample()` (see sample_bernoulli), which is
+    engine-specific. Embarrassingly parallel: a codegen'd hash + string
+    compare per row, no shuffle, filter pushed to the scan."""
+    o = load_tables(spark, sf_dir)["orders"]
+    rate = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "8")
+        .when(F.col("o_orderpriority") == "2-HIGH", "4")
+        .otherwise("1")
+    )
+    return o.where(F.md5(F.col("o_orderkey").cast("string")) < rate).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
 @query("agg_approx_quantile")  # rows-only: sketch estimates are engine-specific
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via the Greenwald-Khanna sketch — the 100 TB

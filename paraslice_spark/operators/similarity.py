@@ -357,6 +357,87 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(load_tables(spark, sf_dir)["documents"])
 
 
+_NGJ_T = 0.6  # bigram-set Jaccard threshold (planted dups ≥0.9, noise <0.15)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    g AS (SELECT DISTINCT doc_id, words[i.i] || ' ' || words[i.i + 1] AS gram
+          FROM w CROSS JOIN LATERAL (SELECT unnest(range(1, len(words))) AS i) i),
+    s AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN s sa ON sa.doc_id = doc_a
+    JOIN s sb ON sb.doc_id = doc_b
+    WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= {_NGJ_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram (word-bigram) set-Jaccard near-dup pairs at J ≥ 0.6 —
+    the deterministic member of the dedup family (MinHash/SimHash are its
+    probabilistic accelerations), hash-matched against a naive all-pairs
+    oracle.
+
+    Scale path is PPJoin-style prefix filtering (Xiao et al., WWW'08 —
+    public algorithm), which keeps the result EXACT: order each doc's grams
+    by ascending corpus frequency (rarest first, ties by gram), keep only
+    the first n - ceil(t*n) + 1 as its "prefix"; any pair with J ≥ t must
+    share a prefix gram, so the candidate join runs on the prefix inverted
+    index (at t=0.6 that is ~40% of postings, and because prefixes hold the
+    RAREST grams the quadratic per-posting blowup collapses), then the
+    exact intersection verifies candidates only. Every step is an
+    equi-join/groupBy shuffle — no all-pairs scan anywhere."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+    nw = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, nw - 1),
+        F.slice(words, 2, nw - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    # distinct gram set per doc, kept both exploded (for the prefix index)
+    # and as an array (for the verify step). persist: feeds 4 subplans and
+    # self-join sides share no common subplan (CLAUDE.md trap).
+    garr = d.select("doc_id", F.array_distinct(bigrams).alias("grams")).persist()
+    g = garr.select("doc_id", F.explode("grams").alias("gram"))
+    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = (F.col("n") - F.ceil(F.lit(_NGJ_T) * F.col("n")) + 1).cast("int")
+    prefix = (
+        g.join(dfreq, "gram")
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "gram"))
+        )
+        .join(garr.select("doc_id", F.size("grams").alias("n")), "doc_id")
+        .where(F.col("rn") <= prefix_len)
+        .select("doc_id", "gram")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "gram")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "gram"), "gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ga = garr.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
+    gb = garr.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = (F.size("g_a") + F.size("g_b")).cast("double") - inter
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("doc_a", "doc_b", rnd(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= _NGJ_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @query(
     "dedup_simhash_bands",
     oracle=None,  # Spark xxhash64 has no DuckDB twin — rows-only

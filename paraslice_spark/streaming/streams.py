@@ -200,6 +200,144 @@ def stream_asof_join(
     )
 
 
+def stream_asof_join_tws(
+    tagged: DataFrame,
+    lookback_us: int = ASOF_LOOKBACK_US,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST9 twin on the Spark 4 state-v2 API (``transformWithStateInPandas``).
+
+    Same semantics and state bounds as :func:`stream_asof_join` (latest
+    right row within ``[l.ts - lookback, l.ts]`` per matured left; append
+    once the watermark passes the left's timestamp), re-expressed on the
+    ``StatefulProcessor`` API: the pending-left and right-history buffers
+    become typed ``ListState`` columns (RocksDB-backed — state no longer
+    round-trips through one pickled blob, and each can be appended without
+    rewriting the other), and the drain-without-traffic path is an explicit
+    event-time timer instead of ``EventTimeTimeout``.  Requires the RocksDB
+    state store provider (state-v2 contract; tests set it).
+
+    Container caveat (same class as the Kafka source): Spark's
+    transform_with_state_driver_worker hard-imports ``google.protobuf``,
+    which this container does not ship, so the operator cannot EXECUTE
+    here — plan construction is tested unconditionally and the replay
+    equivalence test (vs the v1 operator's batch twin) runs wherever
+    protobuf is installed (tests/test_streaming.py gates on importorskip).
+    """
+    import bisect
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    lookback_ms = lookback_us // 1000
+
+    class AsofProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._pending = handle.getListState("pending", "ts long, id long")
+            self._rights = handle.getListState("rights", "ts long, id long")
+
+        def _drain(self, key, wm_us, new_left, new_right):
+            """Merge new rows into state, emit matured lefts, prune, re-arm
+            the timer. Shared by the input and timer paths."""
+            lts, lid = [], []
+            for t, i in self._pending.get():
+                lts.append(t)
+                lid.append(i)
+            rts, rid = [], []
+            for t, i in self._rights.get():
+                rts.append(t)
+                rid.append(i)
+            lts += new_left[0]
+            lid += new_left[1]
+            rts += new_right[0]
+            rid += new_right[1]
+            order = sorted(range(len(rts)), key=rts.__getitem__)
+            rts = [rts[o] for o in order]
+            rid = [rid[o] for o in order]
+
+            out_p, out_u, out_c, pend_ts, pend_id = [], [], [], [], []
+            for t, i in zip(lts, lid):
+                if t > wm_us:
+                    pend_ts.append(t)
+                    pend_id.append(i)
+                    continue
+                pos = bisect.bisect_right(rts, t) - 1
+                match = rid[pos] if pos >= 0 and rts[pos] >= t - lookback_us else None
+                out_p.append(i)
+                out_u.append(key[0])
+                out_c.append(match)
+
+            cut = bisect.bisect_left(rts, wm_us - lookback_us)
+            rts, rid = rts[cut:], rid[cut:]
+
+            self._pending.clear()
+            if pend_ts:
+                self._pending.appendList(list(zip(pend_ts, pend_id)))
+            self._rights.clear()
+            if rts:
+                self._rights.appendList(list(zip(rts, rid)))
+
+            # one live timer per key: re-arm at the next horizon
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            wm_ms = wm_us // 1000
+            if pend_ts:
+                self._handle.registerTimer(max(min(pend_ts) // 1000 + 1, wm_ms + 1))
+            elif rts:
+                self._handle.registerTimer(wm_ms + lookback_ms + 1)
+
+            if out_p:
+                yield pd.DataFrame(
+                    {"purchase_id": out_p, "user_id": out_u, "click_id": out_c}
+                )
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            lts, lid, rts, rid = [], [], [], []
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                us = (
+                    pd.to_datetime(pdf["ts"])
+                    .astype("datetime64[us]")
+                    .astype("int64")
+                    .to_numpy()
+                )
+                left = pdf["is_left"].to_numpy() == 1
+                ids = pdf["id"].to_numpy()
+                lts += us[left].tolist()
+                lid += ids[left].tolist()
+                rts += us[~left].tolist()
+                rid += ids[~left].tolist()
+            wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+            yield from self._drain(key, wm_us, (lts, lid), (rts, rid))
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ):
+            wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+            yield from self._drain(key, wm_us, ([], []), ([], []))
+
+        def close(self) -> None:
+            pass
+
+    return (
+        tagged.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            AsofProcessor(),
+            outputStructType="purchase_id long, user_id long, click_id long",
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
+
+
 def tag_asof_streams(left: DataFrame, right: DataFrame) -> DataFrame:
     """Union-tag two ``(user_id, ts, event_id)`` streams for
     :func:`stream_asof_join` (left=1 rows are the probe side)."""

@@ -352,3 +352,74 @@ def test_st8_output_modes_complete_vs_update(spark, tmp_path):
     streams.run_to_memory(counts, name, "complete")
     rows = _rows(spark.table(name), "event_type", "n")
     assert rows == [("click", 2)]
+
+
+def test_st9_tws_plan_builds(spark):
+    """ST9 state-v2 twin, container-safe part: the
+    transformWithStateInPandas plan constructs (analysis succeeds, output
+    schema is the ST9 contract) without starting the query — execution
+    needs google.protobuf, which this container does not ship."""
+    ev = load_tables(spark, SF_SMALL)["events"]
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    c = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    df = streams.stream_asof_join_tws(streams.tag_asof_streams(p, c))
+    assert [f.name for f in df.schema.fields] == ["purchase_id", "user_id", "click_id"]
+    assert "transformwithstate" in df._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_st9_tws_asof_join_equals_v1_and_batch(spark, tmp_path):
+    """ST9 state-v2 twin: transformWithStateInPandas as-of join replays to
+    the SAME rows as the applyInPandasWithState operator and the batch
+    twin. Same feed shape as the v1 test (full fixture + two far-future
+    sentinel clicks so timers drain every pending left)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="Spark's transform_with_state driver worker requires protobuf",
+    )
+    import os
+
+    d = str(tmp_path / "asof_tws")
+    os.makedirs(d)
+    shutil.copy(f"{SF_SMALL}/events.parquet", f"{d}/batch-000.parquet")
+    os.utime(f"{d}/batch-000.parquet", (1_700_000_000, 1_700_000_000))
+    _write_batch(spark, d, 1, [(10_000_001, _ns(400_000), 1, "click", 0.0, "{}")])
+    _write_batch(spark, d, 2, [(10_000_002, _ns(500_000), 1, "click", 0.0, "{}")])
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+        p = stream.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        c = stream.where(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        name = _mem_name()
+        streams.run_to_memory(
+            streams.stream_asof_join_tws(streams.tag_asof_streams(p, c)),
+            name,
+            "append",
+        )
+        got = _rows(spark.table(name), "purchase_id", "user_id", "click_id")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    ev = load_tables(spark, SF_SMALL)["events"]
+    bp = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    bc = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    want = _rows(
+        batch_twins.asof_lookback(bp, bc, streams.ASOF_LOOKBACK_US),
+        "purchase_id",
+        "user_id",
+        "click_id",
+    )
+    assert got == want and len(got) > 0
+    matched = [r for r in got if r[2] is not None]
+    assert 0 < len(matched) < len(got)
