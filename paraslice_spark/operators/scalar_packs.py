@@ -193,8 +193,10 @@ def scalar_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT)            AS n_words,
            string_split(text, ' ')[1]                              AS first_word,
-           list_slice(string_split(text, ' '), 1, 3)               AS first3,
-           list_sort(list_distinct(string_split(text, ' ')))       AS uniq_sorted,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), ',')
+                                                                   AS first3,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',')
+                                                                   AS uniq_sorted,
            list_contains(string_split(text, ' '), 'query')         AS has_query,
            len(list_intersect(string_split(text, ' '),
                               ['query', 'engine'])) > 0            AS overlaps_qe
@@ -203,15 +205,19 @@ def scalar_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: array family over tokenized text (1-based element_at both sides;
-    distinct is order-unstable in both engines -> always sorted after)."""
+    distinct is order-unstable in both engines -> always sorted after).
+    Array-valued outputs are serialized to one string per cell (array_join ↔
+    array_to_string) because the driver's canonicalizer cannot hash ndarray
+    cells — same pattern as agg_collect_set; the genuine array forms remain
+    pytest-checked via scalar_array_pack_arrays."""
     d = load_tables(spark, sf_dir)["documents"]
     words = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(words).cast("long").alias("n_words"),
         F.element_at(words, 1).alias("first_word"),
-        F.slice(words, 1, 3).alias("first3"),
-        F.sort_array(F.array_distinct(words)).alias("uniq_sorted"),
+        F.array_join(F.slice(words, 1, 3), ",").alias("first3"),
+        F.array_join(F.sort_array(F.array_distinct(words)), ",").alias("uniq_sorted"),
         F.array_contains(words, "query").alias("has_query"),
         F.arrays_overlap(words, F.array(F.lit("query"), F.lit("engine"))).alias("overlaps_qe"),
     )
@@ -223,15 +229,18 @@ def scalar_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INT)  AS k_int,
            CAST(json_extract_string(props, '$.k') AS INT)  AS k_struct,
-           ['k']                                           AS mkeys,
-           [CAST(json_extract_string(props, '$.k') AS INT)] AS mvals
+           'k'                                             AS mkeys,
+           coalesce(CAST(CAST(json_extract_string(props, '$.k') AS INT)
+                         AS VARCHAR), '')                  AS mvals
     FROM events
     """,
 )
 def scalar_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6: JSON + map family. get_json_object and a from_json struct read
-    the same field; map built from the parsed value, oracle replicates the
-    key/value arrays literally (DuckDB MAP not needed for parity)."""
+    the same field; map built from the parsed value. map_keys/map_values
+    arrays are serialized to one string per cell (array_join skips nulls,
+    mirrored by the oracle's coalesce-to-'') because the driver's
+    canonicalizer cannot hash ndarray cells — see scalar_array_pack."""
     ev = load_tables(spark, sf_dir)["events"]
     k_int = F.get_json_object("props", "$.k").cast("int")
     k_struct = F.from_json("props", "k INT")["k"]
@@ -240,8 +249,8 @@ def scalar_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         k_int.alias("k_int"),
         k_struct.alias("k_struct"),
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.array_join(F.map_keys(m), ",").alias("mkeys"),
+        F.array_join(F.map_values(m).cast("array<string>"), ",").alias("mvals"),
     )
 
 

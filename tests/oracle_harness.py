@@ -101,8 +101,36 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     return problems
 
 
-def run_compare(spark, query_fn, oracle: str, sf_dir: str) -> list[str]:
+def _array_typed_cols(pdf: pd.DataFrame) -> list[str]:
+    """Columns holding array/map/struct-like cells (ndarray/list/tuple/dict).
+
+    The DRIVER's canonicalizer cannot hash these (``TypeError: unhashable
+    type: 'numpy.ndarray'`` — the exact CORRECTNESS_r02 failure on
+    scalar_array_pack / scalar_json_pack), while this local harness happily
+    string-serializes them, inverting its predict-the-driver purpose. So
+    declared queries must serialize nested output to strings (array_join ↔
+    array_to_string); keep genuine array outputs as internal pytest-only
+    functions."""
+    bad = []
+    for col in pdf.columns:
+        head = pdf[col].head(50)
+        if any(isinstance(v, (np.ndarray, list, tuple, dict)) for v in head):
+            bad.append(col)
+    return bad
+
+
+def run_compare(
+    spark, query_fn, oracle: str, sf_dir: str, strict_scalar: bool = True
+) -> list[str]:
     spark_pdf = query_fn(spark, sf_dir).toPandas()
+    if strict_scalar:
+        bad = _array_typed_cols(spark_pdf)
+        if bad:
+            return [
+                f"array-typed output columns {bad} would break the driver's "
+                "canonicalizer — serialize with array_join/array_to_string "
+                "(declared queries must emit scalar cells only)"
+            ]
     with duck_con(sf_dir) as con:
         oracle_pdf = con.sql(oracle).fetchdf()
     return compare(spark_pdf, oracle_pdf)

@@ -61,7 +61,9 @@ def test_collect_array_forms(spark, fn_name, oracle):
     cells — VERDICT r01 'What's wrong' #1)."""
     from paraslice_spark.operators import aggregates
 
-    problems = run_compare(spark, getattr(aggregates, fn_name), oracle, SF_SMALL)
+    problems = run_compare(
+        spark, getattr(aggregates, fn_name), oracle, SF_SMALL, strict_scalar=False
+    )
     assert not problems, f"{fn_name}:\n" + "\n".join(problems)
 
 
