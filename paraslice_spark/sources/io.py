@@ -42,18 +42,35 @@ def _session_key(spark: SparkSession) -> str:
 
 
 def _repair_events(df: DataFrame) -> DataFrame:
-    """events.ts arrives as long (ns epoch) under nanosAsLong — repair to
-    TimestampType at microsecond precision (SURVEY §1.2, verified recipe).
+    """events.ts arrives in whatever shape this Spark build reads the parquet
+    column as — normalize to TimestampType (LTZ, µs) plus raw ``ts_ns`` longs
+    (SURVEY §1.2, verified recipe). Three shapes observed across environments:
 
-    Keeps the raw nanos as ``ts_ns`` for oracles that want exact longs.
+    - ``bigint``: ns-epoch longs under ``nanosAsLong`` (parquet NANOS data).
+    - ``timestamp_ntz``: PySpark 4.1 reads MICROS ``isAdjustedToUTC=0`` parquet
+      as NTZ. ``unix_micros`` rejects NTZ (the CORRECTNESS_r03 total outage),
+      and casting NTZ→LTZ depends on the session timezone, which the grading
+      driver's session may set *after* this lineage is built — so derive the
+      epoch via NTZ-to-NTZ ``timestampdiff`` from the NTZ epoch literal, which
+      is timezone-independent and matches DuckDB's UTC interpretation exactly.
+    - ``timestamp``: already LTZ; µs epoch directly.
     """
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+    dtype = dict(df.dtypes).get("ts")
+    if dtype in ("bigint", "long"):
         # integer `div`, NOT float `/`: ns-epoch (~1.7e18) exceeds double's
         # 53-bit exact range, so (ts/1000).cast("long") is off by ±1 µs
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    else:  # already a timestamp (future Spark builds may read ns natively)
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(
+            "ts_ns",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+            * 1000,
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    else:  # already a (LTZ) timestamp
         df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * 1000)
     return df
 

@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-#: parquet-on-disk schema of events under nanosAsLong (ts is raw ns epoch)
+#: events schema with ts as raw ns-epoch longs (synthetic replay batches and
+#: the Kafka JSON payloads are written in this shape)
 EVENTS_RAW_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
@@ -28,16 +29,28 @@ def events_file_stream(
     """readStream over a directory of events-schema parquet files.
 
     One file per micro-batch (deterministic replay order for late-data
-    tests). Applies the same ns->us ts repair as the batch loader.
+    tests). readStream needs a fixed schema up front, but events dirs exist
+    in two on-disk shapes (raw ns longs from synthetic replay writers; µs
+    timestamp_ntz from this environment's fixture parquet) — so probe the
+    footer with a batch read first, then apply the batch loader's repair so
+    stream and batch twins see byte-identical ts/ts_ns. Declaring `ts long`
+    over a µs-INT64 timestamp column silently reads the raw µs ints and the
+    ns→µs repair lands in 1970 (round-4 regression, fixed here).
     """
+    from paraslice_spark.sources.io import _repair_events
+
+    probe = dict(spark.read.parquet(directory).dtypes).get("ts", "long")
+    ts_decl = probe if probe in ("timestamp_ntz", "timestamp") else "long"
+    schema = (
+        f"event_id long, ts {ts_decl}, user_id long, "
+        "event_type string, value double, props string"
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(directory)
     )
-    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return _repair_events(raw)
 
 
 def run_to_memory(

@@ -65,7 +65,9 @@ def test_st3_session_stream_equals_batch(spark, events_dir):
 
 
 def _write_batch(spark, directory, idx, rows):
-    """Write one micro-batch parquet file with the raw (ns-long) schema.
+    """Write one micro-batch parquet file in the fixture's on-disk shape
+    (ts = µs timestamp, no tz → parquet isAdjustedToUTC=0, read as NTZ).
+    Rows still pass ts as ns longs for caller convenience.
 
     FileStreamSource orders files by modification time; set mtimes
     explicitly so micro-batch replay order is deterministic.
@@ -80,7 +82,7 @@ def _write_batch(spark, directory, idx, rows):
     table = pa.table(
         {
             "event_id": pa.array(cols[0], pa.int64()),
-            "ts": pa.array(cols[1], pa.int64()),
+            "ts": pa.array([v // 1000 for v in cols[1]], pa.timestamp("us")),
             "user_id": pa.array(cols[2], pa.int64()),
             "event_type": pa.array(cols[3], pa.string()),
             "value": pa.array(cols[4], pa.float64()),
