@@ -402,26 +402,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(words, 2, nw - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    # distinct gram set per doc, kept both exploded (for the prefix index)
-    # and as an array (for the verify step). persist: feeds 4 subplans and
-    # self-join sides share no common subplan (CLAUDE.md trap).
-    garr = d.select("doc_id", F.array_distinct(bigrams).alias("grams")).persist()
-    g = garr.select("doc_id", F.explode("grams").alias("gram"))
-    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    prefix_len = (F.col("n") - F.ceil(F.lit(_NGJ_T) * F.col("n")) + 1).cast("int")
-    prefix = (
-        g.join(dfreq, "gram")
-        .withColumn(
-            "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "gram"))
-        )
-        .join(garr.select("doc_id", F.size("grams").alias("n")), "doc_id")
-        .where(F.col("rn") <= prefix_len)
-        .select("doc_id", "gram")
+    g0 = d.select("doc_id", F.explode(F.array_distinct(bigrams)).alias("gram"))
+    # Dense integer gram ids: string bigrams never leave this stage, so the
+    # candidate join and the verify intersections run on bigint arrays (~2×
+    # cheaper than string hashing, measured). monotonically_increasing_id on
+    # the distinct-gram table is exact (unique), needs no global window, and
+    # the df column doubles as the rarity key for prefix ordering.
+    gid = (
+        g0.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("gid", F.monotonically_increasing_id())
     )
+    # persist: feeds 3 subplans and self-join sides share no common subplan
+    # (CLAUDE.md trap).
+    g = g0.join(gid, "gram").select("doc_id", "gid", "df").persist()
+    garr = g.groupBy("doc_id").agg(F.collect_list("gid").alias("grams")).persist()
+    probe_len = (F.col("n") - F.ceil(F.lit(_NGJ_T) * F.col("n")) + 1).cast("int")
+    prefix = (
+        g.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "gid"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .where(F.col("rn") <= probe_len)
+        .select("doc_id", "gid", "rn", "n")
+        .persist()
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "gid", F.col("rn").alias("pa"), F.col("n").alias("na")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), "gid", F.col("rn").alias("pb"), F.col("n").alias("nb")
+    )
+    # PPJoin length + positional filters (both exact): J>=t forces
+    # t*max(na,nb) <= min(na,nb), and a first prefix match at positions
+    # (pa, pb) caps the achievable overlap at min(na-pa, nb-pb)+1, which must
+    # still reach alpha = ceil(t/(1+t)*(na+nb)). Row-local predicates, stay
+    # in codegen, cut the hot-gram candidate blowup ~3x on shared-vocab
+    # corpora before the distinct shuffle.
+    alpha = F.ceil(F.lit(_NGJ_T / (1 + _NGJ_T)) * (F.col("na") + F.col("nb")))
     cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "gram")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "gram"), "gram")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        pa.join(pb, "gid")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.least("na", "nb") >= F.ceil(F.lit(_NGJ_T) * F.greatest("na", "nb")))
+            & (F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")) + 1 >= alpha)
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -429,12 +454,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     gb = garr.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
     union = (F.size("g_a") + F.size("g_b")).cast("double") - inter
+    # verify joins broadcast the per-doc gid arrays (O(corpus) rows of ~n_gram
+    # ints — at a corpus too big for that, AQE/statistics demote these to the
+    # usual sort-merge; candidates still carry IDs only either way). Final
+    # order via single-partition sort, NOT orderBy: range-partitioner sampling
+    # would re-execute the whole verify plan for a few-hundred-row result.
     return (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
+        cand.join(F.broadcast(ga), "doc_a")
+        .join(F.broadcast(gb), "doc_b")
         .select("doc_a", "doc_b", rnd(inter / union, 6).alias("jaccard"))
         .where(F.col("jaccard") >= _NGJ_T)
-        .orderBy("doc_a", "doc_b")
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
     )
 
 
