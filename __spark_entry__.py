@@ -18,13 +18,44 @@ from pyspark.sql import DataFrame, SparkSession
 import paraslice_spark.operators  # noqa: F401  (registers all queries)
 from paraslice_spark.registry import ORACLES, QUERIES
 
-# Queries already graded green (rows+schema+hash or rows-only-by-design) in
-# CORRECTNESS_r01.json.  Round 1's driver graded exactly the first 50 queries
-# in registration order and stopped, leaving the other 50 without a verdict
-# (VERDICT.md "Next round" #1) — so we order the dicts with not-yet-green
-# queries FIRST.  Anything newly added or previously failed also sorts first
-# automatically (it isn't in this tuple).
-_R1_GREEN: tuple[str, ...] = (
+# The driver grades the FIRST ~50 queries of this dict per round, so order
+# encodes grading priority.  Tier 1: never graded in any round (the window
+# family + text_fingerprint sorted last among non-greens for two rounds and
+# were never sampled; scalar_array/json_pack FAILed r2 and their r3 re-check
+# died in the NTZ outage).  Tier 2: hash-oracled queries whose only r3 row is
+# the load_tables NTZ error — refresh their green.  Tier 3: rows-only
+# queries from the r3 sample (their no_oracle+rows verdict is standing and
+# weaker by design; least info lost if the sample cutoff lands here).
+# Tier 4: standing r1/r2 greens never errored since.  Anything newly added
+# is in no tuple and sorts into tier 0, ahead of everything.
+_T1_NEVER_GRADED: tuple[str, ...] = (
+    "window_ranking", "window_topn_per_group", "window_lag_lead",
+    "window_running_sum", "window_moving_avg", "window_range_frame",
+    "window_distribution", "window_distribution_partitioned",
+    "window_first_last", "text_fingerprint",
+    "scalar_array_pack", "scalar_json_pack",
+)
+_T2_REFRESH_ORACLED: tuple[str, ...] = (
+    "agg_collect_list_ordered", "agg_collect_set", "agg_decimal_money",
+    "dedup_exact", "dedup_ngram_jaccard", "embedding_label_stats",
+    "events_hourly_gapfill", "join_right_outer", "multimodal_join",
+    "sample_stratified_hash", "scalar_bitwise_pack", "scalar_cast_pack",
+    "scalar_conditional_pack", "scalar_datetime_pack", "scalar_math_pack",
+    "scalar_string_pack", "set_except", "set_except_all", "set_intersect",
+    "set_intersect_all", "set_union_all", "set_union_distinct",
+    "similarity_topk_cosine", "sort_limit_offset", "sort_multikey_nulls",
+    "stream_asof_join", "subquery_correlated_scalar", "subquery_in",
+    "subquery_scalar", "tensor_build_coords", "text_langid", "text_ngrams",
+    "text_profile", "text_quality", "text_tfidf", "text_wordcount",
+    "topk_revenue",
+)
+_T3_REFRESH_ROWSONLY: tuple[str, ...] = (
+    "agg_approx_quantile", "dedup_embedding_cosine", "dedup_minhash_pairs",
+    "dedup_simhash_bands", "parafac_cp_als", "parafac_cp_als_dist",
+    "parafac_factors_a", "sample_bernoulli", "similarity_ivf_ann",
+    "similarity_lsh_ann", "tensor_slices",
+)
+_T4_STANDING_GREEN: tuple[str, ...] = (
     "stream_tumbling_counts", "stream_sliding_avg", "stream_session_windows",
     "stream_dedup_exact", "udf_scalar_py", "udf_pandas_vectorized",
     "udf_grouped_map", "udf_udtf_tokenize", "agg_pricing_summary",
@@ -43,11 +74,21 @@ _R1_GREEN: tuple[str, ...] = (
 
 
 def _rotated(d: dict) -> dict:
-    """Not-yet-driver-green queries first, round-1 greens last."""
-    green = set(_R1_GREEN)
-    first = {k: v for k, v in d.items() if k not in green}
-    rest = {k: v for k, v in d.items() if k in green}
-    return {**first, **rest}
+    """Order queries by grading priority (tier comment above)."""
+    tier = {}
+    for t, names in enumerate(
+        (
+            _T1_NEVER_GRADED,
+            _T2_REFRESH_ORACLED,
+            _T3_REFRESH_ROWSONLY,
+            _T4_STANDING_GREEN,
+        ),
+        start=1,
+    ):
+        for i, n in enumerate(names):
+            tier[n] = (t, i)
+    keys = sorted(d, key=lambda k: tier.get(k, (0, 0)))
+    return {k: d[k] for k in keys}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -187,6 +187,33 @@ def scalar_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_array_pack_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 array form (internal pytest only): the genuine ``array<string>``
+    outputs.  The declared twin serializes these to one string per cell
+    because the driver's canonicalizer cannot hash ndarray cells — same
+    split as collect_set_array / agg_collect_set."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.slice(words, 1, 3).alias("first3"),
+        F.sort_array(F.array_distinct(words)).alias("uniq_sorted"),
+    )
+
+
+def scalar_json_pack_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 array form (internal pytest only): genuine map_keys/map_values
+    arrays — see scalar_array_pack_arrays note."""
+    ev = load_tables(spark, sf_dir)["events"]
+    k_int = F.get_json_object("props", "$.k").cast("int")
+    m = F.map_from_arrays(F.array(F.lit("k")), F.array(k_int))
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(m).alias("mvals"),
+    )
+
+
 @query(
     "scalar_array_pack",
     oracle="""

@@ -113,8 +113,10 @@ def _array_typed_cols(pdf: pd.DataFrame) -> list[str]:
     functions."""
     bad = []
     for col in pdf.columns:
-        head = pdf[col].head(50)
-        if any(isinstance(v, (np.ndarray, list, tuple, dict)) for v in head):
+        # scan the whole column, not a prefix: an array column whose first N
+        # cells are all null would escape a head()-based check yet still blow
+        # up the driver's canonicalizer on the first non-null cell (ADVICE r03)
+        if any(isinstance(v, (np.ndarray, list, tuple, dict)) for v in pdf[col]):
             bad.append(col)
     return bad
 
