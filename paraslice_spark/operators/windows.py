@@ -146,7 +146,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
            CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
-                OVER (PARTITION BY o_orderstatus
+                OVER (PARTITION BY o_custkey
                       ORDER BY CAST(round(o_totalprice*100) AS BIGINT)
                       RANGE BETWEEN 500000 PRECEDING AND CURRENT ROW)
                 AS DOUBLE) / 100.0 AS band_sum
@@ -154,12 +154,15 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W6: RANGE frame over a numeric key ($5000 trailing price band).
-    Peers (equal keys) share a frame, so ties are inherently deterministic."""
+    """W6: RANGE frame over a numeric key ($5000 trailing price band per
+    customer).  Peers (equal keys) share a frame, so ties are inherently
+    deterministic.  Partitioned by o_custkey — a key whose cardinality grows
+    with the data (VERDICT r02 #5: the previous 3-value o_orderstatus key
+    funneled the whole table through 3 window tasks, a skew wall at scale)."""
     o = load_tables(spark, sf_dir)["orders"]
     pc = cents("o_totalprice")
     w = (
-        Window.partitionBy("o_orderstatus")
+        Window.partitionBy("o_custkey")
         .orderBy(pc)
         .rangeBetween(-500000, Window.currentRow)
     )
