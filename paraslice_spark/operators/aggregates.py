@@ -446,3 +446,61 @@ def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@query(
+    "agg_money_split_sum",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))
+                    * (100 + CAST(round(l_tax*100) AS BIGINT))) AS VARCHAR)
+             AS charge_micro,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_money_split_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: EXACT 3-factor money product (Q1's sum_charge =
+    price*(1-disc)*(1+tax)) at unbounded group size — the canon.py 100 TB
+    note made real.  Per-row fixed-point product in micro-currency
+    (cents * (100-d) * (100+t), ≤ ~1.2e11) stays int64; the GROUP SUM is
+    the overflow risk past ~2e7 rows/group, so it runs as a SPLIT SUM: two
+    int64 accumulators over (v div 1e6, v mod 1e6) buy 1e6× headroom
+    (~1e13 rows/group) with zero decimal/codegen cost in the hot path; the
+    single recombine per output group is decimal(38,0).  Output serialized
+    as a plain integer string — exact on both engines (DuckDB sums the
+    product as HUGEINT natively; its decimal division would re-scale, so no
+    decimal point crosses the hash).
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pc = cents("l_extendedprice")
+    d2 = cents("l_discount")
+    t2 = cents("l_tax")
+    return (
+        li.withColumn("v", pc * (F.lit(100) - d2) * (F.lit(100) + t2))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.expr("v div 1000000").alias("v_hi"),
+            (F.col("v") % F.lit(1_000_000)).alias("v_lo"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("v_hi").alias("s_hi"),
+            F.sum("v_lo").alias("s_lo"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            (
+                F.col("s_hi").cast("decimal(38,0)") * F.lit(1_000_000)
+                + F.col("s_lo").cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("charge_micro"),
+            "n_lines",
+        )
+    )

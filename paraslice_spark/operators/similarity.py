@@ -271,6 +271,180 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 8  # product-quantizer subspaces (dim 64 -> 8-dim subvectors)
+_PQ_KS = 16  # codewords per subspace (4-bit codes)
+_PQ_SAMPLE = 512  # training sample for the codebooks
+_PQ_ITERS = 4  # Lloyd sweeps per subspace (driver-local, on the sample)
+_PQ_SHORTLIST = 8 * _TOP_K  # ADC shortlist re-ranked exactly
+
+#: (application id, sf_dir) -> (centroids, codebooks)
+_ivfpq_cache: dict[tuple[str, str], "object"] = {}
+
+
+def _pq_codebooks(base: DataFrame, cents, m: int, ks: int, sample: int, seed: int):
+    """Fit per-subspace PQ codebooks on the RESIDUALS (x/||x|| − cell
+    centroid) of a deterministic hash-ordered sample.  Driver-local numpy on
+    O(sample × dim) — bounded like the Lloyd sweep in ``_ivf_centroids``;
+    the full corpus is never collected."""
+    import numpy as np
+
+    rows = (
+        base.select("vec_id", "emb")
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    x = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in rows])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    resid = x - cents[np.argmax(x @ cents.T, axis=1)]
+    dim = x.shape[1]
+    sub = dim // m
+    books = np.zeros((m, ks, sub))
+    for mm in range(m):
+        s = resid[:, mm * sub : (mm + 1) * sub]
+        c = s[:ks].copy()  # deterministic init: first ks sample residuals
+        for _ in range(_PQ_ITERS):
+            d = ((s[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for k in range(ks):
+                if (a == k).any():
+                    c[k] = s[a == k].mean(0)
+        books[mm] = c
+    return books
+
+
+def _pq_encode_udf(cents, books):
+    """pandas UDF: embedding -> [cell, code_0 … code_{M-1}] (one BLAS pass
+    per Arrow batch; codes are 4-bit ints in a long array)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m, ks, sub = books.shape
+
+    def fn(emb):
+        x = np.stack(emb.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax(x @ cents.T, axis=1)
+        resid = x - cents[cell]
+        out = np.empty((len(x), 1 + m), dtype=np.int64)
+        out[:, 0] = cell
+        for mm in range(m):
+            s = resid[:, mm * sub : (mm + 1) * sub]
+            d = ((s[:, None, :] - books[mm][None, :, :]) ** 2).sum(-1)
+            out[:, 1 + mm] = d.argmin(1)
+        return pd.Series(list(out))
+
+    return pandas_udf(fn, "array<long>")
+
+
+@query("similarity_ivfpq_ann")  # rows-only: quantizer/codebooks model-internal
+def similarity_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4c: IVF-PQ-lite ANN (Jégou et al., TPAMI'11 — public algorithm),
+    the memory-bound scale path next to IVF-flat.
+
+    Index = coarse cell + M×4-bit product-quantization codes of the
+    RESIDUAL — ~3 bytes/vector instead of dim×4, so at 100 TB the candidate
+    scoring stage shuffles compact codes, never float vectors.  Query path:
+    probe n_probe cells (equi-join), score candidates by ADC (asymmetric
+    distance: per-(query, cell) lookup tables over codebook entries, one
+    vectorized numpy gather per Arrow batch), keep a 4k shortlist per
+    query, and exact-cosine re-rank ONLY the shortlist against the true
+    vectors.  IDs+codes through every shuffle; full vectors touched once at
+    re-rank (house discipline).  Recall property-tested with planted
+    near-duplicates (tests/test_similarity.py).  On the i.i.d.
+    near-orthogonal fixture, measured recall@5 vs exact is 8/25 against
+    IVF-flat's 12/25 ceiling at the same n_probe — the expected ADC loss at
+    32-bit codes on unclustered noise; planted true near-dups are recovered
+    at rank 1."""
+    import numpy as np
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    base = e.select("vec_id", _as_double(F.col("embedding")).alias("emb")).persist()
+    from paraslice_spark.sources.io import _session_key
+
+    key = (_session_key(spark), sf_dir.rstrip("/"))
+    if key not in _ivfpq_cache:
+        if key not in _ivf_cache:
+            _ivf_cache[key] = _ivf_centroids(base, _IVF_NLIST, _IVF_ITERS, seed=4242)
+        cents = _ivf_cache[key]
+        _ivfpq_cache[key] = (cents, _pq_codebooks(base, cents, _PQ_M, _PQ_KS, _PQ_SAMPLE, seed=99))
+    cents, books = _ivfpq_cache[key]
+    m, ks, sub = books.shape
+
+    enc = _pq_encode_udf(cents, books)(F.col("emb"))
+    codes = base.select(
+        "vec_id", enc[0].alias("cell"), F.slice(enc, 2, m).alias("codes")
+    )
+    # query-side: residual LUTs for every (query, probed cell): n_q × n_probe
+    # tables of (M, ks) squared sub-distances — tiny, shipped in the UDF
+    # closure (at many-query scale this becomes a broadcast-joined table).
+    q_rows = base.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "emb").collect()
+    luts: dict[tuple[int, int], "np.ndarray"] = {}
+    probe_pairs = []
+    for r in q_rows:
+        qv = np.asarray(r["emb"], dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        cells = np.argsort(-(cents @ qv))[:_IVF_NPROBE]
+        for c in cells:
+            resid = qv - cents[c]
+            lut = np.stack(
+                [
+                    ((books[mm] - resid[mm * sub : (mm + 1) * sub]) ** 2).sum(-1)
+                    for mm in range(m)
+                ]
+            )
+            luts[(int(r["vec_id"]), int(c))] = lut
+            probe_pairs.append((int(r["vec_id"]), int(c)))
+    probes = spark.createDataFrame(probe_pairs, "q_id long, cell long")
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    lut_keys = {k: i for i, k in enumerate(sorted(luts))}
+    lut_arr = np.stack([luts[k] for k in sorted(luts)])  # (n_lut, M, ks)
+
+    # NB: no type hints — pandas_udf hint inference can't resolve the
+    # locally-imported pd name (CLAUDE.md trap)
+    @pandas_udf("double")
+    def adc(q_id, cell, codes):
+        idx = np.array([lut_keys[(q, c)] for q, c in zip(q_id, cell)])
+        cm = np.stack(codes.to_numpy()).astype(np.int64)  # (n, M)
+        d = lut_arr[idx[:, None], np.arange(m)[None, :], cm].sum(1)
+        return pd.Series(d)
+
+    shortlist = (
+        codes.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cell", "codes")
+        .withColumn("adc", adc("q_id", "cell", "codes"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy("adc", "neighbor_id")
+            ),
+        )
+        .where(F.col("rn") <= _PQ_SHORTLIST)
+        .select("q_id", "neighbor_id")
+    )
+    qe = base.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    ne = base.select(F.col("vec_id").alias("neighbor_id"), "emb")
+    cos = rnd(
+        _dot(F.col("q_emb"), F.col("emb")) / (_norm(F.col("q_emb")) * _norm(F.col("emb"))), 6
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        shortlist.join(F.broadcast(qe), "q_id")
+        .join(ne, "neighbor_id")
+        .select("q_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .select("q_id", "neighbor_id", "cos")
+    )
+
+
 _SHINGLE_K = 8
 _N_SIG = 16  # minhash signature length
 _BANDS = 4  # 4 bands × 4 rows
@@ -359,10 +533,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGJ_T = 0.6  # bigram-set Jaccard threshold (planted dups ≥0.9, noise <0.15)
 
-
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+#: the exact pair query as an embeddable DuckDB subquery (shared by the
+#: dedup_ngram_jaccard oracle and the dedup_groups recursive-CTE oracle)
+_NGJ_PAIRS_SQL = f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     g AS (SELECT DISTINCT doc_id, words[i.i] || ' ' || words[i.i + 1] AS gram
           FROM w CROSS JOIN LATERAL (SELECT unnest(range(1, len(words))) AS i) i),
@@ -376,24 +549,19 @@ _NGJ_T = 0.6  # bigram-set Jaccard threshold (planted dups ≥0.9, noise <0.15)
     JOIN s sa ON sa.doc_id = doc_a
     JOIN s sb ON sb.doc_id = doc_b
     WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= {_NGJ_T}
-    ORDER BY doc_a, doc_b
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT n-gram (word-bigram) set-Jaccard near-dup pairs at J ≥ 0.6 —
-    the deterministic member of the dedup family (MinHash/SimHash are its
-    probabilistic accelerations), hash-matched against a naive all-pairs
-    oracle.
+"""
+
+
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-bigram set-Jaccard pairs at J ≥ _NGJ_T (unsorted).
 
     Scale path is PPJoin-style prefix filtering (Xiao et al., WWW'08 —
     public algorithm), which keeps the result EXACT: order each doc's grams
     by ascending corpus frequency (rarest first, ties by gram), keep only
     the first n - ceil(t*n) + 1 as its "prefix"; any pair with J ≥ t must
     share a prefix gram, so the candidate join runs on the prefix inverted
-    index (at t=0.6 that is ~40% of postings, and because prefixes hold the
-    RAREST grams the quadratic per-posting blowup collapses), then the
-    exact intersection verifies candidates only. Every step is an
-    equi-join/groupBy shuffle — no all-pairs scan anywhere."""
+    index, then the exact intersection verifies candidates only. Every step
+    is an equi-join/groupBy shuffle — no all-pairs scan anywhere."""
     d = load_tables(spark, sf_dir)["documents"]
     words = F.split("text", " ")
     nw = F.size(words)
@@ -456,16 +624,118 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = (F.size("g_a") + F.size("g_b")).cast("double") - inter
     # verify joins broadcast the per-doc gid arrays (O(corpus) rows of ~n_gram
     # ints — at a corpus too big for that, AQE/statistics demote these to the
-    # usual sort-merge; candidates still carry IDs only either way). Final
-    # order via single-partition sort, NOT orderBy: range-partitioner sampling
-    # would re-execute the whole verify plan for a few-hundred-row result.
+    # usual sort-merge; candidates still carry IDs only either way).
     return (
         cand.join(F.broadcast(ga), "doc_a")
         .join(F.broadcast(gb), "doc_b")
         .select("doc_a", "doc_b", rnd(inter / union, 6).alias("jaccard"))
         .where(F.col("jaccard") >= _NGJ_T)
+    )
+
+
+#: (application id, sf_dir) -> persisted exact pair table (house memoization
+#: pattern, same as tensor._coords_cache / _ivf_cache: dedup_ngram_jaccard
+#: and dedup_groups share one pair computation per session+sf)
+_ngj_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paraslice_spark.sources.io import _session_key
+
+    key = (_session_key(spark), sf_dir.rstrip("/"))
+    if key not in _ngj_cache:
+        _ngj_cache[key] = _ngram_pairs(spark, sf_dir).persist()
+    return _ngj_cache[key]
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_NGJ_PAIRS_SQL + "    ORDER BY doc_a, doc_b",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2b: EXACT n-gram Jaccard near-dup pairs — the deterministic member
+    of the dedup family (MinHash/SimHash are its probabilistic
+    accelerations), hash-matched against a naive all-pairs oracle.  Plan in
+    :func:`_ngram_pairs`.  Final order via single-partition sort, NOT
+    orderBy: range-partitioner sampling would re-execute the whole verify
+    plan for a few-hundred-row result."""
+    return (
+        _ngram_pairs_cached(spark, sf_dir)
         .repartition(1)
         .sortWithinPartitions("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_NGJ_PAIRS_SQL})),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    rep AS (SELECT src AS doc_id, MIN(node) AS rep_id FROM reach GROUP BY src)
+    SELECT doc_id, rep_id,
+           COUNT(*) OVER (PARTITION BY rep_id) AS group_size
+    FROM rep ORDER BY doc_id
+    """,
+)
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2e: duplicate-GROUP assignment — every doc mapped to the canonical
+    (minimum) doc_id of its connected component in the exact J ≥ 0.6 pair
+    graph.  This is the step a real dedup pipeline needs beyond pairs: pick
+    one representative per cluster, drop the rest.
+
+    Spark plan: min-label propagation ("hash-to-min") to a fixpoint — labels
+    start as each node's own id; each round every node takes the min of its
+    label and its neighbors' labels (one equi-join + groupBy per round, all
+    shuffles on ids only).  Rounds needed = graph diameter; near-dup
+    clusters are near-cliques (diameter ≤ 2-3), so this converges in 2-3
+    rounds where the general-purpose large-star/small-star alternation
+    (Kiveris et al., MapReduce & Beyond '14) would pay its constant-factor
+    overhead for no benefit.  Labels live only on EDGE-PARTICIPATING nodes
+    (the dup graph is ≪ the corpus; isolated docs rejoin as their own rep
+    at the end), and convergence is detected from sum(lbl) — min-labels
+    decrease monotonically, so an unchanged checksum IS the fixpoint: one
+    tiny agg per round instead of a join-diff, and only that scalar ever
+    reaches the driver.  Oracle: DuckDB recursive reachability closure +
+    MIN per source."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    pairs = _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("node", "nbr")
+        .persist()
+    )
+    labels = (
+        edges.select("node").distinct().withColumn("lbl", F.col("node")).persist()
+    )
+    prev = labels.agg(F.sum("lbl")).first()[0] or 0
+    while True:
+        nbr_lbl = (
+            edges.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .select("node", "lbl")
+        )
+        new_labels = (
+            labels.unionByName(nbr_lbl).groupBy("node").agg(F.min("lbl").alias("lbl")).persist()
+        )
+        tot = new_labels.agg(F.sum("lbl")).first()[0] or 0
+        labels.unpersist()
+        labels = new_labels
+        if tot == prev:
+            break
+        prev = tot
+    edges.unpersist()
+    w = Window.partitionBy("rep_id")
+    return (
+        docs.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("lbl", "doc_id").alias("rep_id"))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )
 
 

@@ -259,3 +259,43 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("fp_exact"),
         F.md5(F.array_join(F.sort_array(F.array_distinct(words)), " ")).alias("fp_shingle"),
     )
+
+
+#: GPT-style pre-tokenizer shape, restricted to a syntax Java regex and
+#: DuckDB RE2 interpret identically (verified cell-for-cell): a token is an
+#: optionally space-prefixed letter run, digit run, or punctuation run.
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)  AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)
+                                                         AS n_bpe_tokens,
+           ROUND(len(text) * 1.0
+                 / GREATEST(len(regexp_extract_all(text, '{_BPE_PAT}')), 1), 6)
+                                                         AS chars_per_token
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace tokens plus a
+    BPE-ish regex pre-tokenization (letter/digit/punct runs with leading
+    space, the GPT-2 pre-tokenizer shape) and chars-per-token — the
+    standard corpus-size estimator before an expensive real tokenizer run.
+    Pure JVM regexp in one codegen stage; no UDF (the UDTF tokenizer X5 is
+    the declared slow-path demonstration, this is the scale path)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        rnd(
+            F.length("text").cast("double")
+            / F.greatest(F.size(bpe), F.lit(1)).cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )

@@ -122,3 +122,48 @@ def test_minhash_matches_brute_force_on_fixtures(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in minhash_near_dup_pairs(docs, 0.8).collect()}
     want = _brute_force_pairs(docs, 0.8)
     assert got == want, (got ^ want)
+
+
+def test_ivfpq_ann_finds_planted_near_duplicates(spark, tmp_path):
+    """IVF-PQ recall on planted near-identical vectors: the copy shares the
+    query's cell, its residual PQ codes are (near-)identical, so ADC puts it
+    at the top of the shortlist and the exact re-rank scores it cos ≈ 1."""
+    import numpy as np
+
+    from paraslice_spark.operators.similarity import similarity_ivfpq_ann
+
+    base = load_tables(spark, SF_SMALL)["embeddings"]
+    rows = base.where(F.col("vec_id") < 5).collect()
+    rng = np.random.default_rng(11)
+    planted = [
+        (
+            int(r["vec_id"]) + 10000,
+            [float(x) + float(e) for x, e in
+             zip(r["embedding"], rng.normal(0, 1e-3, len(r["embedding"])))],
+            r["label"],
+        )
+        for r in rows
+    ]
+    aug = base.select(
+        "vec_id", _f_to_double("embedding").alias("embedding"), "label"
+    ).unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<double>, label string")
+    )
+    import os
+
+    from paraslice_spark.sources.io import TABLES
+
+    sfdir = str(tmp_path / "sf_aug_pq")
+    os.makedirs(sfdir)
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{sfdir}/{t}.parquet")
+    aug.coalesce(1).write.parquet(f"{sfdir}/embeddings.parquet")
+    got = similarity_ivfpq_ann(spark, sfdir).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["neighbor_id"], r["cos"]))
+    for q in range(5):
+        top = sorted(by_q[q], key=lambda t: -t[1])[0]
+        assert top[0] == q + 10000 and top[1] >= 0.999, (q, by_q[q])
+        assert len(by_q[q]) <= 5
