@@ -504,3 +504,39 @@ def agg_money_split_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lines",
         )
     )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: SALTED two-stage aggregation — the hand-rolled skew treatment,
+    hash-matched against the plain GROUP BY.
+
+    l_returnflag has 3 values: a direct groupBy funnels the whole table
+    into 3 reduce tasks.  Stage 1 groups by (key, xxhash64(row) % 16) so
+    the shuffle fans out over 48 partial groups; stage 2 re-aggregates the
+    48 partials.  Counts and integer-cents sums are associative, so the
+    result is EXACTLY the unsalted one (that is what the oracle proves).
+    At local scale Spark's map-side partial aggregation already does this
+    implicitly — the explicit salt is the portable form for skewed
+    HIGH-CARDINALITY composites (hot keys among many) where map-side
+    combine stops helping and AQE skew handling only covers joins."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pc = cents("l_extendedprice")
+    partial = (
+        li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(pc).alias("s"))
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("n").alias("n_lines"),
+        (F.sum("s").cast("double") / 100.0).alias("sum_price"),
+    )

@@ -705,9 +705,24 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN per source."""
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
     pairs = _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _min_label_components(pairs)
+    w = Window.partitionBy("rep_id")
+    return (
+        docs.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("lbl", "doc_id").alias("rep_id"))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected pair list -> (node, lbl)
+    where lbl is the component's minimum node id.  Only edge-participating
+    nodes appear; see dedup_groups for the algorithm + convergence notes."""
     edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("node", "nbr")
+        pairs.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr"))
+        .union(pairs.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr")))
         .persist()
     )
     labels = (
@@ -729,14 +744,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev = tot
     edges.unpersist()
-    w = Window.partitionBy("rep_id")
-    return (
-        docs.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-        .select("doc_id", F.coalesce("lbl", "doc_id").alias("rep_id"))
-        .withColumn("group_size", F.count(F.lit(1)).over(w))
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
-    )
+    return labels
 
 
 @query(
@@ -1008,4 +1016,93 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_norm"
         ),
         (F.sum(dim1_mic).cast("double") / 1000000.0).alias("sum_dim1"),
+    )
+
+
+@query(
+    "pipeline_curriculum",
+    oracle=f"""
+    WITH RECURSIVE
+    s3 AS (
+        SELECT doc_id, lang, source FROM (
+            SELECT doc_id, lang, source, text,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                     AS rn
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 20
+              AND len(replace(text, ' ', '')) * 1.0
+                    / len(string_split(text, ' ')) <= 12.0
+              AND lang = 'en'
+        ) WHERE rn = 1
+    ),
+    p AS (
+        SELECT doc_a, doc_b FROM ({_NGJ_PAIRS_SQL})
+        WHERE doc_a IN (SELECT doc_id FROM s3)
+          AND doc_b IN (SELECT doc_id FROM s3)
+    ),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+    reach(src, node) AS (
+        SELECT doc_id, doc_id FROM s3
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    rep AS (SELECT src AS doc_id, MIN(node) AS rep_id FROM reach GROUP BY src)
+    SELECT s3.doc_id, lang, source
+    FROM s3 JOIN rep ON rep.doc_id = s3.doc_id
+    WHERE rep.rep_id = s3.doc_id
+      AND md5(CAST(s3.doc_id AS VARCHAR))
+            < CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                   THEN '8' ELSE '4' END
+    ORDER BY s3.doc_id
+    """,
+)
+def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curriculum build — the composition the
+    individual L-ops exist for, declared as ONE hash-matched query:
+
+    1. quality gate: ≥20 words and avg word length ≤12 (pure codegen
+       predicates, pushed to the scan),
+    2. language gate: lang = 'en',
+    3. exact dedup: min doc_id per md5(text) (one shuffle on the hash),
+    4. near-dup removal: keep only component REPRESENTATIVES of the exact
+       J ≥ 0.6 graph — the memoized pair table is reused and restricted to
+       surviving endpoints (edge (a,b) survives iff both docs survive, so
+       filtering the full-corpus pairs yields exactly the filtered-corpus
+       graph), components via :func:`_min_label_components`,
+    5. reproducible stratified downsample: md5(doc_id) threshold per source
+       bucket (50% for src0-9, 25% for the rest) — pure function of the
+       row key, stable across engines/runs/repartitions.
+
+    At 100 TB every stage is a scan-filter, one hash-shuffle, or an
+    id-only equi-join; document text never moves after stage 3."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+    nw = F.size(words)
+    awl = F.length(F.regexp_replace("text", " ", "")).cast("double") / nw
+    s12 = d.where((nw >= 20) & (awl <= 12.0) & (F.col("lang") == "en"))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    s3 = (
+        s12.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+    ids = s3.select("doc_id")
+    pairs = (
+        _ngram_pairs_cached(spark, sf_dir)
+        .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select("doc_a", "doc_b")
+    )
+    labels = _min_label_components(pairs)
+    reps = (
+        s3.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .where(F.coalesce("lbl", F.col("doc_id")) == F.col("doc_id"))
+    )
+    rate = F.when(F.substring("source", 4, 10).cast("int") < 10, "8").otherwise("4")
+    return (
+        reps.where(F.md5(F.col("doc_id").cast("string")) < rate)
+        .select("doc_id", "lang", "source")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )
