@@ -95,3 +95,43 @@ def test_set_ops_rewrite_to_joins_or_aggregates(spark):
     exc = optimized(QUERIES["set_except"](spark, SF_SMALL))
     assert "LeftSemi" in inter, inter
     assert "LeftAnti" in exc, exc
+
+
+def test_curriculum_quality_filter_pushed_to_scan(spark):
+    """Stage-1 quality/lang predicates must reach the documents scan — at
+    100 TB the pipeline's selectivity has to apply at the reader."""
+    p = plan(QUERIES["pipeline_curriculum"](spark, SF_SMALL))
+    assert "PushedFilters: [" in p
+    assert "EqualTo(lang,en)" in p, p
+
+
+def test_salted_agg_is_two_hash_aggregate_stages(spark):
+    """Salted rollup = partial+final pair per stage, two exchanges total —
+    and the salt column must not survive into the final output."""
+    df = QUERIES["agg_salted_skew"](spark, SF_SMALL)
+    p = plan(df)
+    assert p.count("HashAggregate") >= 4, p  # 2 stages x (partial+final)
+    assert "salt" not in df.columns
+
+
+def test_money_split_sum_aggregates_longs_not_decimals(spark):
+    """The hot path (partial aggregation) must sum int64 split halves; the
+    only decimal node is the final per-group recombine projection."""
+    p = plan(QUERIES["agg_money_split_sum"](spark, SF_SMALL))
+    import re
+
+    partials = [ln for ln in p.splitlines() if "partial_sum" in ln]
+    assert partials and not any("Decimal" in ln for ln in partials), p
+
+
+def test_range_frame_partitions_by_high_cardinality_key(spark):
+    p = plan(QUERIES["window_range_frame"](spark, SF_SMALL))
+    assert "o_custkey" in p.split("Window")[1][:300], p
+
+
+def test_dedup_groups_shuffles_ids_only(spark):
+    """Component propagation must never carry text/gram payloads — the
+    optimized plan's exchanges operate on id/label longs."""
+    df = QUERIES["dedup_groups"](spark, SF_SMALL)
+    assert [f.name for f in df.schema.fields] == ["doc_id", "rep_id", "group_size"]
+    assert all(f.dataType.typeName() == "long" for f in df.schema.fields)
