@@ -134,3 +134,51 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole binary+Arrow round-trip is hash-checked."""
     d = load_tables(spark, sf_dir)["documents"]
     return decode_media(with_media_column(d))
+
+
+@query(
+    "multimodal_resize_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(GREATEST(1, FLOOR((n_chars % 64 + 1) * 0.5)) AS INT) AS width,
+           CAST(GREATEST(1, FLOOR((doc_id % 48 + 1) * 0.5)) AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared resize path: binary media column → mapInPandas resize (stub
+    pixel transform, real header decode + Arrow plumbing) → new dimensions.
+    The binary payload stays engine-internal; the hash-checked surface is
+    the recomputed metadata."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return resize_media(with_media_column(d), scale=0.5).select(
+        "media_id", "width", "height"
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(f.fi AS INT) AS frame_idx,
+           CAST((SELECT SUM(ascii(substr(text, CAST(f.fi*16 + j.j + 1 AS INT), 1)))
+                 FROM (SELECT unnest(range(0, 16)) AS j) j) % 65536 AS INT)
+             AS checksum
+    FROM documents
+    CROSS JOIN LATERAL (SELECT unnest(range(0, len(text) // 16, 4)) AS fi) f
+    ORDER BY media_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared frame-sample path: every 4th 16-byte 'frame' of the payload
+    with a per-frame byte-sum checksum, via mapInPandas over the binary
+    column.  The corpus is pure ASCII (verified at every sf), so the oracle
+    recomputes byte sums with ascii(substr(...)) — the whole
+    binary→Arrow→python-bytes round trip is hash-checked, not just row
+    counts."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        frame_sample(with_media_column(d), every=4)
+        .repartition(1)
+        .sortWithinPartitions("media_id", "frame_idx")
+    )

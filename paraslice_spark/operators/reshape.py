@@ -9,7 +9,7 @@ that also underpins streaming backfills.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from paraslice_spark.functions.canon import micros_units
@@ -156,4 +156,50 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(1000)).alias("approx_median"),
         F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(1000)).alias("approx_p90"),
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+               CASE WHEN epoch_ns(ts)
+                         - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY epoch_ns(ts), event_id)
+                         > 1800000000000
+                         OR lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY epoch_ns(ts), event_id)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY ts_ns, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_idx
+    FROM t
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based SESSIONIZATION: assign each event its per-user session ordinal
+    (a new session starts after a >30-min silence).  lag() marks session
+    starts, a running sum numbers them — two stacked windows over ONE
+    partition/order, so the whole thing is a single shuffle on user_id
+    (the plan shares the sort).  This is the per-event twin of the
+    session-WINDOW aggregate (ST3): pipelines that label rows (training
+    examples) need the id on each event, not just per-session rollups.
+    Comparisons run on ts_ns longs — exact, no timestamp arithmetic."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    new_sess = (gap > 1_800_000_000_000) | F.lag("ts_ns").over(w).isNull()
+    return (
+        ev.withColumn("new_sess", new_sess.cast("int"))
+        .withColumn(
+            "session_idx",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .select("event_id", "user_id", "session_idx")
     )
