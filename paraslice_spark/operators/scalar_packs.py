@@ -334,3 +334,33 @@ def scalar_cast_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal") > 0).alias("in_credit"),
         F.round("c_acctbal").cast("long").cast("string").alias("bal_str"),
     )
+
+
+@query(
+    "scalar_variant_pack",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT)    AS k_var,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl,
+           'OBJECT<k: BIGINT>'                               AS vschema,
+           json_extract_string(props, '$.missing') IS NULL   AS miss_is_null
+    FROM events
+    """,
+)
+def scalar_variant_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: Spark 4 VARIANT — the modern semi-structured path next to the
+    string-JSON F6 pack.  parse_json builds the binary variant once; typed
+    reads via try_variant_get (int and double extractions of the same
+    field), schema_of_variant, and missing-path null semantics.  At scale
+    VARIANT beats get_json_object because the document parses ONCE per row
+    into a binary form all extractions share — the oracle reads the same
+    facts with DuckDB's JSON functions."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_var"),
+        F.try_variant_get(v, "$.k", "double").alias("k_dbl"),
+        F.schema_of_variant(v).alias("vschema"),
+        F.try_variant_get(v, "$.missing", "string").isNull().alias("miss_is_null"),
+    )
