@@ -299,3 +299,54 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chars_per_token"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    freq AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+    tot AS (SELECT SUM(c) AS t FROM freq),
+    lp AS (SELECT word,
+                  CAST(round(ln(c * 1.0 / (SELECT t FROM tot)) * 1000000)
+                       AS BIGINT) AS logp_micro
+           FROM freq)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(lp.logp_micro) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+             AS avg_logprob
+    FROM w JOIN lp USING (word)
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-probability scoring — the perplexity-proxy quality
+    filter real training-data pipelines run before an LM-based one: fit the
+    corpus unigram distribution (one agg), score every doc by its mean
+    token log-prob (join + agg).  Per-word log-probs are quantized to
+    int64 micro-units BEFORE the cross-row sum so group totals are exact
+    and order-independent on both engines (house float rule, canon.py);
+    the per-word vocabulary table broadcasts back against the token
+    stream.  At 100 TB: two shuffles (vocab agg, doc agg) + one broadcast
+    — the token stream is never shuffled twice."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    lp = freq.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.round(F.log(F.col("c").cast("double") / F.col("t")) * 1_000_000)
+        .cast("long")
+        .alias("logp_micro"),
+    )
+    return (
+        w.join(F.broadcast(lp), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            rnd(
+                F.sum("logp_micro").cast("double") / 1_000_000.0 / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )
