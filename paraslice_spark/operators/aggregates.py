@@ -540,3 +540,67 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_lines"),
         (F.sum("s").cast("double") / 100.0).alias("sum_price"),
     )
+
+
+@query("agg_hll_sketch_merge")  # rows-only: sketch estimates are engine-specific
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: HLL sketch MERGEABILITY — the pattern that matters at 100 TB:
+    materialize per-(type, day) sketches once, then answer any coarser
+    distinct-count rollup by UNIONING stored sketches instead of rescanning
+    raw events.  hll_sketch_agg builds the per-day sketches (one pass),
+    hll_union_agg merges them per type, and the exact twin column shows the
+    estimate lands within sketch error (asserted ≤5%% rel. err. in
+    tests/test_oracle.py).  Deterministic for fixed input — declared
+    rows-only because no DuckDB twin shares Spark's datasketches binary."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_daily"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(
+                "approx_users_merged"
+            ),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+        .join(
+            ev.groupBy("event_type").agg(
+                F.countDistinct("user_id").alias("exact_users")
+            ),
+            "event_type",
+        )
+    )
+
+
+@query(
+    "agg_stats_bivariate",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(corr(o_totalprice, o_custkey), 4)           AS corr_pc,
+           ROUND(covar_samp(o_totalprice, o_custkey), 2)     AS covs_pc,
+           ROUND(covar_pop(o_totalprice, o_custkey), 2)      AS covp_pc,
+           ROUND(regr_slope(o_totalprice, o_custkey), 6)     AS slope,
+           ROUND(regr_intercept(o_totalprice, o_custkey), 2) AS intercept,
+           ROUND(regr_r2(o_totalprice, o_custkey), 6)        AS r2
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_stats_bivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: bivariate statistics — corr, sample/population covariance, and
+    the regr_* least-squares family, all single-pass mergeable moment
+    aggregates (the formulas both engines share bit-stably at these
+    roundings; skewness/kurtosis were tested and REJECTED — DuckDB applies
+    sample bias correction where Spark computes population moments, a
+    formula difference rounding can't hide).  Verified digit-identical at
+    sf0.001/0.01/0.1."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.corr("o_totalprice", "o_custkey"), 4).alias("corr_pc"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("covs_pc"),
+        F.round(F.covar_pop("o_totalprice", "o_custkey"), 2).alias("covp_pc"),
+        F.round(F.regr_slope("o_totalprice", "o_custkey"), 6).alias("slope"),
+        F.round(F.regr_intercept("o_totalprice", "o_custkey"), 2).alias("intercept"),
+        F.round(F.regr_r2("o_totalprice", "o_custkey"), 6).alias("r2"),
+    )

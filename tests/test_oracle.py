@@ -110,3 +110,14 @@ def test_entry_smoke(spark):
     rows = e.entry(spark).collect()
     assert len(rows) > 0
     assert all(len(QUERIES[k].__query_name__) > 0 for k in QUERIES)
+
+
+def test_hll_sketch_merge_estimate_within_error(spark):
+    """Merged-sketch estimates must track the exact distinct count (HLL
+    default lgK=12 → ~1.6% standard error; assert a loose 5%)."""
+    rows = QUERIES["agg_hll_sketch_merge"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_users_merged"] - r["exact_users"]) <= max(
+            2, 0.05 * r["exact_users"]
+        ), dict(r.asDict())
