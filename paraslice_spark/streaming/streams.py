@@ -384,6 +384,45 @@ def running_count_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_sessionize(events: DataFrame, gap_ns: int = 1_800_000_000_000) -> DataFrame:
+    """Streaming SESSIONIZATION: assign each event its per-user session
+    ordinal incrementally — the stateful twin of the batch
+    ``events_sessionize`` query (same >gap_ns-silence rule).
+
+    State per user = (last event ts, current session ordinal).  Each
+    micro-batch sorts its per-user rows by (ts_ns, event_id) and continues
+    from state, so replaying batches in event-time order reproduces the
+    batch assignment exactly (tests/test_streaming.py asserts equality on
+    whole-fixture AND split replays).  State is two longs per user —
+    bounded by the user population, not the event count.  Late events
+    (ts before state's last ts) extend the current session rather than
+    rewriting history: assignment is append-only, the property a
+    training-example labeler needs."""
+    import pandas as pd  # local import: only needed when the op runs
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        last_ts, idx = state.get if state.exists else (None, 0)
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts_ns", "event_id"])
+            for eid, ts in zip(pdf["event_id"], pdf["ts_ns"]):
+                if last_ts is None or ts - last_ts > gap_ns:
+                    idx += 1
+                last_ts = max(ts, last_ts) if last_ts is not None else ts
+                out.append((eid, key[0], idx))
+        state.update((last_ts if last_ts is not None else 0, idx))
+        yield pd.DataFrame(out, columns=["event_id", "user_id", "session_idx"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="event_id long, user_id long, session_idx long",
+        stateStructType="last_ts long, idx long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --------------------------------------------------------------------------
 # Kafka source (VERDICT r01 #8) — wired, container-untestable end-to-end
 # --------------------------------------------------------------------------

@@ -425,3 +425,37 @@ def test_st9_tws_asof_join_equals_v1_and_batch(spark, tmp_path):
     assert got == want and len(got) > 0
     matched = [r for r in got if r[2] is not None]
     assert 0 < len(matched) < len(got)
+
+
+def test_stream_sessionize_equals_batch_twin(spark, events_dir):
+    """Whole-fixture replay through the stateful sessionizer must reproduce
+    the batch events_sessionize assignment exactly."""
+    import paraslice_spark.operators  # noqa: F401  (populates the registry)
+    from paraslice_spark.registry import QUERIES
+
+    stream = streams.events_file_stream(spark, events_dir)
+    name = _mem_name()
+    streams.run_to_memory(streams.stream_sessionize(stream), name, "append")
+    got = _rows(spark.table(name), "event_id", "user_id", "session_idx")
+    want = _rows(
+        QUERIES["events_sessionize"](spark, SF_SMALL),
+        "event_id", "user_id", "session_idx",
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stream_sessionize_incremental_split_replay(spark, tmp_path):
+    """Two time-ordered micro-batches must continue session numbering from
+    state — including a session that SPANS the batch boundary."""
+    d = str(tmp_path / "sess")
+    # user 1: events at t=0m,10m (batch 0) then 12m,60m (batch 1):
+    # sessions (0,10,12) and (60) -> ordinals 1,1,1,2 with a 30m gap rule
+    _write_batch(spark, d, 0, [(1, _ns(0), 1, "click", 1.0, "{}"),
+                               (2, _ns(10), 1, "click", 1.0, "{}")])
+    _write_batch(spark, d, 1, [(3, _ns(12), 1, "click", 1.0, "{}"),
+                               (4, _ns(60), 1, "click", 1.0, "{}")])
+    stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+    name = _mem_name()
+    streams.run_to_memory(streams.stream_sessionize(stream), name, "append")
+    got = _rows(spark.table(name), "event_id", "session_idx")
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 2)], got
