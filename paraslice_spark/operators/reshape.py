@@ -203,3 +203,54 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "session_idx")
     )
+
+
+@query(
+    "sample_temperature",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT SUM(n) AS total FROM c),
+    r AS (SELECT lang,
+                 ROUND(power(n * 1.0 / (SELECT total FROM t), -0.5)
+                       / MAX(power(n * 1.0 / (SELECT total FROM t), -0.5))
+                           OVER (), 6) AS rate
+          FROM c),
+    th AS (SELECT lang, CAST(FLOOR(rate * 4294967296.0) AS BIGINT) AS thresh
+           FROM r)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN th USING (lang)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UINTEGER
+          < th.thresh
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source REBALANCING (τ = 0.5) — the multi-source
+    mixing step of a training-data pipeline: per-language keep-rates
+    ∝ p^(τ−1) normalized so the rarest language keeps everything, so the
+    sampled mix flattens toward uniform without upsampling.
+
+    Reproducibility discipline: the keep decision is an INTEGER compare —
+    the first 8 md5 hex digits of the row key as a uint32 against
+    floor(rate·2³²) — so there is no float boundary for cross-engine
+    last-bit noise to flip (rates are rounded(6) before scaling; pow()
+    differences live at 1e-15, far below).  Plan: one tiny agg for rates
+    (broadcast back), then a scan-side filter — no data shuffle at all."""
+    d = load_tables(spark, sf_dir)["documents"]
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    total = c.agg(F.sum("n").alias("total"))
+    w = Window.partitionBy()
+    rates = (
+        c.crossJoin(F.broadcast(total))
+        .withColumn("raw", F.pow(F.col("n").cast("double") / F.col("total"), -0.5))
+        .withColumn("rate", F.round(F.col("raw") / F.max("raw").over(w), 6))
+        .withColumn("thresh", F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long"))
+        .select("lang", "thresh")
+    )
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .where(u32 < F.col("thresh"))
+        .select("doc_id", "lang")
+    )
