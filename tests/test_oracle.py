@@ -91,10 +91,11 @@ def test_rotation_unchecked_first():
 
     names = list(e.queries())
     tiers = (
-        e._T1_NEVER_GRADED,
-        e._T2_REFRESH_ORACLED,
-        e._T3_REFRESH_ROWSONLY,
-        e._T4_STANDING_GREEN,
+        e._T1_SIMHASH_ORACLE,
+        e._T2_LEFTOVER_ORACLED,
+        e._T3_EVENTS_R1,
+        e._T4_VINTAGE,
+        e._T5_R4_FRESH,
     )
     listed = [n for t in tiers for n in t]
     new = [n for n in names if n not in listed]
