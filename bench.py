@@ -62,19 +62,25 @@ def main() -> None:
     wallclock = round(time.perf_counter() - t_suite, 4)
     total = round(sum(t for t in times.values() if t > 0), 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_best_of_runs_sum",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "runs_per_query": runs,
-                "wallclock_all_runs": wallclock,
-            }
-        )
-    )
+    payload = {
+        "metric": "suite_best_of_runs_sum",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "runs_per_query": runs,
+        "wallclock_all_runs": wallclock,
+    }
+    print(json.dumps(payload))
+    # BENCH_r{N}.json keeps only the stdout tail, losing the front of the
+    # per-query map every round (VERDICT r4 #3) — persist the full map
+    # in-repo so rounds stay diffable.
+    try:
+        local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+        with open(local, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"# BENCH_LOCAL.json not written: {exc}", file=sys.stderr)
     spark.stop()
 
 

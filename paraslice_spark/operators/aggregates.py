@@ -553,7 +553,11 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_oracle.py).  Deterministic for fixed input — declared
     rows-only because no DuckDB twin shares Spark's datasketches binary."""
     ev = load_tables(spark, sf_dir)["events"]
-    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+    # day bucket from the tz-independent ts_ns longs, NOT to_date(ts): the
+    # latter shifts buckets under a different spark.sql.session.timeZone —
+    # the same tz-dependence class as the r3 outage (ADVICE r4).
+    day = F.expr("ts_ns div 86400000000000")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.countDistinct("user_id").alias("exact_daily"),
     )

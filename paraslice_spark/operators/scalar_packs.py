@@ -342,6 +342,9 @@ def scalar_cast_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INT)    AS k_var,
            CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl,
+           -- pinned constant: valid ONLY while the props fixture is the
+           -- uniform {"k": int} shape; diversify props and this twin must
+           -- become a per-row expression (VERDICT r4 hygiene note)
            'OBJECT<k: BIGINT>'                               AS vschema,
            json_extract_string(props, '$.missing') IS NULL   AS miss_is_null
     FROM events

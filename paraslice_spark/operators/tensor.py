@@ -550,9 +550,14 @@ def tensor_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(len(it[0]))
         ]
     )
-    return spark.createDataFrame(
-        meta, schema="slice_id long, nnz long, checksum_micro long"
-    ).orderBy("slice_id")
+    # small declared output + persist=False upstream: orderBy's range-
+    # partitioner sampling pass would execute the slab pipeline twice
+    # (ADVICE r4) — single-partition sort instead (house pattern).
+    return (
+        spark.createDataFrame(meta, schema="slice_id long, nnz long, checksum_micro long")
+        .repartition(1)
+        .sortWithinPartitions("slice_id")
+    )
 
 
 @query("parafac_cp_als")  # rows-only: float reduction order ~1e-12 variance
