@@ -552,8 +552,10 @@ _NGJ_PAIRS_SQL = f"""
 """
 
 
-def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT word-bigram set-Jaccard pairs at J ≥ _NGJ_T (unsorted).
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
+    """EXACT word-bigram set-Jaccard pairs at J ≥ _NGJ_T (unsorted), plus
+    the persisted intermediates the caller must unpersist once the pair
+    table is materialized.
 
     Scale path is PPJoin-style prefix filtering (Xiao et al., WWW'08 —
     public algorithm), which keeps the result EXACT: order each doc's grams
@@ -573,13 +575,21 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     g0 = d.select("doc_id", F.explode(F.array_distinct(bigrams)).alias("gram"))
     # Dense integer gram ids: string bigrams never leave this stage, so the
     # candidate join and the verify intersections run on bigint arrays (~2×
-    # cheaper than string hashing, measured). monotonically_increasing_id on
-    # the distinct-gram table is exact (unique), needs no global window, and
-    # the df column doubles as the rarity key for prefix ordering.
+    # cheaper than string hashing, measured).  ids must be DETERMINISTIC
+    # FROM DATA, not monotonically_increasing_id (ADVICE r4): prefix
+    # exactness needs one consistent global gram order, and an executor
+    # loss recomputing an mi_id-built table can reassign ids per partition
+    # and silently drop true pairs.  Bucketed row_number gives a unique
+    # reproducible id with no global window: gid = bucket<<40 | rank-in-
+    # bucket, bucket = hash(gram) mod 1024 (window partitions stay small at
+    # any corpus size; rank < 2^40 per bucket is unreachable).
     gid = (
         g0.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("gid", F.monotonically_increasing_id())
+        .withColumn("b", F.pmod(F.xxhash64("gram"), F.lit(1024)))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("b").orderBy("gram")))
+        .withColumn("gid", F.shiftleft(F.col("b"), 40) + F.col("rn"))
+        .drop("b", "rn")
     )
     # persist: feeds 3 subplans and self-join sides share no common subplan
     # (CLAUDE.md trap).
@@ -625,12 +635,13 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify joins broadcast the per-doc gid arrays (O(corpus) rows of ~n_gram
     # ints — at a corpus too big for that, AQE/statistics demote these to the
     # usual sort-merge; candidates still carry IDs only either way).
-    return (
+    pairs = (
         cand.join(F.broadcast(ga), "doc_a")
         .join(F.broadcast(gb), "doc_b")
         .select("doc_a", "doc_b", rnd(inter / union, 6).alias("jaccard"))
         .where(F.col("jaccard") >= _NGJ_T)
     )
+    return pairs, [g, garr, prefix]
 
 
 #: (application id, sf_dir) -> persisted exact pair table (house memoization
@@ -644,7 +655,12 @@ def _ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (_session_key(spark), sf_dir.rstrip("/"))
     if key not in _ngj_cache:
-        _ngj_cache[key] = _ngram_pairs(spark, sf_dir).persist()
+        pairs, temps = _ngram_pairs(spark, sf_dir)
+        p = pairs.persist()
+        p.count()  # force the pair table NOW so the inputs can release
+        for t in temps:  # ADVICE r4: g/garr/prefix otherwise stay pinned
+            t.unpersist()  # in executor storage for the whole suite run
+        _ngj_cache[key] = p
     return _ngj_cache[key]
 
 
@@ -666,9 +682,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_groups",
-    oracle=f"""
+#: component-assignment oracle shared by dedup_groups (hash-to-min) and
+#: dedup_groups_star (large-star/small-star): DuckDB recursive reachability
+#: closure + MIN per source — algorithm-independent ground truth.
+_GROUPS_ORACLE = f"""
     WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_NGJ_PAIRS_SQL})),
     edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
               UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -681,8 +698,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, rep_id,
            COUNT(*) OVER (PARTITION BY rep_id) AS group_size
     FROM rep ORDER BY doc_id
-    """,
-)
+    """
+
+
+@query("dedup_groups", oracle=_GROUPS_ORACLE)
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2e: duplicate-GROUP assignment — every doc mapped to the canonical
     (minimum) doc_id of its connected component in the exact J ≥ 0.6 pair
@@ -704,8 +723,12 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches the driver.  Oracle: DuckDB recursive reachability closure +
     MIN per source."""
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
-    pairs = _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
-    labels = _min_label_components(pairs)
+    labels = _components_cached(
+        spark, sf_dir, "all",
+        lambda: _min_label_components(
+            _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+        ),
+    )
     w = Window.partitionBy("rep_id")
     return (
         docs.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
@@ -714,6 +737,126 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+@query("dedup_groups_star", oracle=_GROUPS_ORACLE)
+def dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2e HIGH-DIAMETER twin of dedup_groups: identical output contract
+    (doc_id, rep_id, group_size — hash-matched against the same recursive-
+    CTE oracle), computed with the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm) instead of min-label propagation.
+
+    Why both: hash-to-min needs diameter-many rounds (fine for near-clique
+    dup groups), while large-star/small-star halves path lengths every
+    alternation — O(log² n) rounds on ANY graph shape, so chain-shaped
+    near-dup graphs (doc A ~ B ~ C without A ~ C, common under transitive
+    paraphrase chains) can't blow the round count at 100 TB.  Every round
+    is two groupBy-min + id-only equi-joins; edges stay canonical (u < v)
+    and deduped, so state never exceeds the (already ≪ corpus) pair graph."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    labels = _components_cached(
+        spark, sf_dir, "star",
+        lambda: _star_components(
+            _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+        ),
+    )
+    w = Window.partitionBy("rep_id")
+    return (
+        docs.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("lbl", "doc_id").alias("rep_id"))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def _star_components(pairs: DataFrame) -> DataFrame:
+    """Large-star/small-star alternation -> (node, lbl) star edges where lbl
+    is the component minimum.  Edge set is kept canonical (u < v, distinct)
+    between rounds; converged when an alternation returns the same set (two
+    tiny actions per round: a count and an is-empty set-diff — at the
+    fixpoint every edge already points at the component root, so both maps
+    reproduce the input).  Only edge-participating nodes appear, matching
+    :func:`_min_label_components`'s contract."""
+    # Lineage discipline: each alternation's plan embeds the previous
+    # round's plan ~12× (adj reads e twice, mins re-reads adj, …), so plain
+    # persist() grows the logical plan EXPONENTIALLY across rounds — the
+    # driver OOMs just rendering the cache-name plan string by round 3
+    # (observed on a vanilla 1g-driver session).  localCheckpoint(eager)
+    # materializes AND truncates lineage each round — the GraphX pattern
+    # for iterative graph state.  Trade-off (documented): checkpointed
+    # rounds can't recompute on executor loss; at cluster scale use
+    # reliable checkpoint() to HDFS instead — same call shape.
+    e = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("u"), F.greatest("doc_a", "doc_b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = e.count()
+    while True:
+        # LARGE-STAR: every node x links its strictly-larger neighbors to
+        # min(N(x) ∪ {x}) — adjacency is both orientations of e.
+        adj = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+            e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        mins = adj.groupBy("x").agg(F.min("y").alias("mn"))
+        large = (
+            adj.join(mins, "x")
+            .where(F.col("y") > F.col("x"))
+            .select(F.col("y").alias("a"), F.least("mn", "x").alias("b"))
+        )
+        e1 = (
+            large.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # SMALL-STAR: orient edges big→small; every node x links its
+        # ≤-neighbors and itself to min(N≤(x) ∪ {x}) (= min smaller nbr).
+        m2 = e1.groupBy(F.col("v").alias("x")).agg(F.min("u").alias("mn"))
+        members = e1.join(m2, e1["v"] == m2["x"]).select(
+            F.col("u").alias("a"), F.col("mn").alias("b")
+        )
+        centers = m2.select(F.col("x").alias("a"), F.col("mn").alias("b"))
+        e2 = (
+            members.unionByName(centers)
+            .where(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        converged = n2 == n_prev and e2.subtract(e).isEmpty()
+        e = e2
+        n_prev = n2
+        if converged:
+            break
+    # fixpoint edges are stars centered at the component min: v -> u = root
+    labels = e.select(F.col("v").alias("node"), F.col("u").alias("lbl")).persist()
+    labels.count()
+    return labels
+
+
+#: (session, sf_dir, scope) -> persisted component-label table.  dedup_groups
+#: and pipeline_curriculum label DIFFERENT pair graphs (curriculum semi-joins
+#: pairs to its quality/lang survivors), hence the scope tag.  Memoizing keeps
+#: executor storage at one tiny (node, lbl) table per scope instead of leaking
+#: a fresh persisted labels table per call (ADVICE r4 — bench calls each
+#: query 3×).
+_labels_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _components_cached(spark: SparkSession, sf_dir: str, scope: str, labels_fn) -> DataFrame:
+    from paraslice_spark.sources.io import _session_key
+
+    key = (_session_key(spark), sf_dir.rstrip("/"), scope)
+    if key not in _labels_cache:
+        _labels_cache[key] = labels_fn()
+    return _labels_cache[key]
 
 
 def _min_label_components(pairs: DataFrame) -> DataFrame:
@@ -749,20 +892,69 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
 
 @query(
     "dedup_simhash_bands",
-    oracle=None,  # Spark xxhash64 has no DuckDB twin — rows-only
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::UBIGINT AS hi,
+               ('0x' || substr(md5(w), 9, 8))::UBIGINT AS lo
+        FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, bb.b AS b,
+               CASE WHEN bb.b < 32 THEN (lo >> bb.b) & 1
+                    ELSE (hi >> (bb.b - 32)) & 1 END AS bit
+        FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+    ),
+    votes AS (
+        SELECT doc_id, b, SUM(bit) AS cnt, COUNT(*) AS n
+        FROM bits GROUP BY 1, 2
+    ),
+    sim AS (
+        SELECT doc_id,
+          SUM(CASE WHEN 2*cnt > n AND b // 16 = 0 THEN 1 << (b % 16) ELSE 0 END) AS b0,
+          SUM(CASE WHEN 2*cnt > n AND b // 16 = 1 THEN 1 << (b % 16) ELSE 0 END) AS b1,
+          SUM(CASE WHEN 2*cnt > n AND b // 16 = 2 THEN 1 << (b % 16) ELSE 0 END) AS b2,
+          SUM(CASE WHEN 2*cnt > n AND b // 16 = 3 THEN 1 << (b % 16) ELSE 0 END) AS b3
+        FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT)
+               AS hamming
+    FROM sim a JOIN sim b
+      ON a.doc_id < b.doc_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 16
+    ORDER BY doc_a, doc_b
+    """,
 )
 def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup with banded blocking — the pure-SQL scale path.
 
-    64-bit SimHash per doc from xxhash64(token) bit votes; candidate pairs
-    via equi-join on any of four 16-bit bands (shuffle join, no pairwise
-    scan), then exact Hamming distance filter via bit_count(xor).
+    64-bit SimHash per doc from per-token bit votes; candidate pairs via
+    equi-join on any of four 16-bit bands (shuffle join, no pairwise scan),
+    then exact Hamming distance filter via bit_count(xor).
+
+    The token hash is the first 16 md5 hex digits as (hi<<32)|lo — the house
+    cross-engine integer-hash pattern (see sample_temperature) — NOT
+    xxhash64, precisely so a DuckDB oracle can rebuild the identical
+    simhashes bit-for-bit and hash-grade the full pair output (the oracle
+    models the band blocking too: its all-pairs join is oracle-only; the
+    Spark plan never compares unblocked pairs).  r2-r4 this was declared
+    rows-only; md5 costs ~2× xxhash64 per token but stays whole-stage
+    codegen and buys a hash verdict.
     """
     d = load_tables(spark, sf_dir)["documents"]
     words = F.explode(F.split("text", " "))
-    tok = d.select("doc_id", words.alias("w")).select(
-        "doc_id", F.xxhash64("w").alias("h")
+    hexs = F.md5("w")
+    h64 = F.shiftleft(F.conv(F.substring(hexs, 1, 8), 16, 10).cast("long"), 32).bitwiseOR(
+        F.conv(F.substring(hexs, 9, 8), 16, 10).cast("long")
     )
+    tok = d.select("doc_id", words.alias("w")).select("doc_id", h64.alias("h"))
     # bit-vote counts, lane-packed: bit b set ⇔ 2·count_b > n_tokens, so we
     # only need per-bit set-counts + the token count.  Packing four 16-bit
     # counter lanes per long shrinks the pre-agg row from 64 columns to 16
@@ -840,7 +1032,10 @@ def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= 16)
-        .orderBy("doc_a", "doc_b")
+        # small declared output: single-partition sort, not orderBy (the
+        # range-partitioner sampling pass would re-run the band join)
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
     )
 
 
@@ -1019,6 +1214,101 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_K = 3  # neighbors per vector in the k-NN graph
+_KNN_BLOCKS = 8  # block grid side: B² matmul tiles
+
+
+@query(
+    "similarity_knn_graph",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+      FROM base a CROSS JOIN base b
+      WHERE a.vec_id != b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_KNN_K}
+    """,
+)
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT k-NN GRAPH over the whole corpus (every vector's top-k cosine
+    neighbors, k = _KNN_K) — the all-pairs member of the similarity
+    family, used for dedup clustering and curriculum neighborhoods.
+
+    Spark plan is a BLOCK-TILE matmul (the SUMMA shape): vectors hash into
+    _KNN_BLOCKS blocks, the B×B tile grid is a crossJoin of two B-row
+    block tables (each tile row carries two ~n/B vector slabs), and one
+    Arrow batch per tile runs a numpy (n/B × dim)@(dim × n/B) matmul with
+    a per-row partial top-k.  Row traffic is O(B·n) slab rows + O(n·B·k)
+    candidate rows — never the O(n²) score matrix — and at 100 TB you
+    raise B so each tile fits an executor core.  The per-tile cut keeps
+    top-k plus everything within 2e-6 of the tile k-th score, so the final
+    Spark-side window on ROUND(cos, 6) reproduces the oracle's
+    rounded-then-rank semantics exactly (a candidate below the margin
+    cannot round into contention; F.round half-away matches DuckDB ROUND,
+    numpy's banker's rounding is never used for the declared values)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    base = e.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    packed = (
+        base.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(_KNN_BLOCKS)))
+        .groupBy("blk")
+        .agg(F.collect_list("vec_id").alias("ids"), F.collect_list("emb").alias("embs"))
+    )
+    lhs = packed.select(
+        F.col("blk").alias("bl"), F.col("ids").alias("ids_l"), F.col("embs").alias("embs_l")
+    )
+    rhs = packed.select(
+        F.col("blk").alias("br"), F.col("ids").alias("ids_r"), F.col("embs").alias("embs_r")
+    )
+    tiles = lhs.crossJoin(rhs).repartition(_KNN_BLOCKS * _KNN_BLOCKS)
+
+    def tile_topk(batches):
+        for pdf in batches:
+            out_v, out_n, out_c = [], [], []
+            for ids_l, embs_l, ids_r, embs_r in zip(
+                pdf["ids_l"], pdf["embs_l"], pdf["ids_r"], pdf["embs_r"]
+            ):
+                il = np.asarray(ids_l, dtype=np.int64)
+                ir = np.asarray(ids_r, dtype=np.int64)
+                L = np.stack([np.asarray(v) for v in embs_l])
+                R = np.stack([np.asarray(v) for v in embs_r])
+                Ln = L / np.linalg.norm(L, axis=1, keepdims=True)
+                Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+                cos = Ln @ Rn.T
+                cos[il[:, None] == ir[None, :]] = -np.inf  # exclude self
+                for row in range(len(il)):
+                    c = cos[row]
+                    k = min(_KNN_K, int(np.isfinite(c).sum()))
+                    if k <= 0:
+                        continue
+                    kth = np.partition(c, -k)[-k]
+                    keep = np.flatnonzero(c >= kth - 2e-6)
+                    out_v.extend([int(il[row])] * len(keep))
+                    out_n.extend(int(x) for x in ir[keep])
+                    out_c.extend(float(x) for x in c[keep])
+            yield pd.DataFrame({"vec_id": out_v, "neighbor_id": out_n, "cos": out_c})
+
+    cand = tiles.mapInPandas(tile_topk, "vec_id long, neighbor_id long, cos double")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_r"), "neighbor_id")
+    return (
+        cand.withColumn("cos_r", rnd(F.col("cos"), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KNN_K)
+        .select("vec_id", "neighbor_id", F.col("cos_r").alias("cos"))
+    )
+
+
 @query(
     "pipeline_curriculum",
     oracle=f"""
@@ -1088,13 +1378,18 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
     )
     ids = s3.select("doc_id")
-    pairs = (
-        _ngram_pairs_cached(spark, sf_dir)
-        .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
-        .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
-        .select("doc_a", "doc_b")
+
+    def _pairs() -> DataFrame:
+        return (
+            _ngram_pairs_cached(spark, sf_dir)
+            .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+            .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+            .select("doc_a", "doc_b")
+        )
+
+    labels = _components_cached(
+        spark, sf_dir, "curriculum", lambda: _min_label_components(_pairs())
     )
-    labels = _min_label_components(pairs)
     reps = (
         s3.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .where(F.coalesce("lbl", F.col("doc_id")) == F.col("doc_id"))
