@@ -253,11 +253,54 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary fingerprint (md5 of the sorted distinct token set) — the
     join key for exact and bag-of-words dedup at scale."""
     d = load_tables(spark, sf_dir)["documents"]
-    words = F.split("text", " ")
     return d.select(
         "doc_id",
         F.md5("text").alias("fp_exact"),
-        F.md5(F.array_join(F.sort_array(F.array_distinct(words)), " ")).alias("fp_shingle"),
+        fp_shingle_col().alias("fp_shingle"),
+    )
+
+
+def fp_shingle_col():
+    """Order-insensitive vocabulary fingerprint expression (md5 of the
+    sorted distinct token set of ``text``) — shared by text_fingerprint,
+    dedup_incremental_fp, and the streaming incremental dedup so every
+    dedup surface keys on byte-identical fingerprints."""
+    words = F.split("text", " ")
+    return F.md5(F.array_join(F.sort_array(F.array_distinct(words)), " "))
+
+
+@query(
+    "dedup_incremental_fp",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                 AS fp_shingle
+        FROM documents
+    )
+    SELECT doc_id, fp_shingle FROM (
+        SELECT doc_id, fp_shingle,
+               row_number() OVER (PARTITION BY fp_shingle ORDER BY doc_id) AS rn
+        FROM fp
+    ) WHERE rn = 1
+    """,
+)
+def dedup_incremental_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the INCREMENTAL exact dedup on fp_shingle (VERDICT r4
+    depth item): first-arrival-wins on the vocabulary fingerprint, with
+    doc_id as the arrival order.  The streaming variant
+    (:func:`paraslice_spark.streaming.streams.stream_dedup_incremental`)
+    keeps one long of state per distinct fingerprint and emits each kept
+    doc exactly once; tests/test_streaming.py asserts whole-corpus AND
+    split-batch replays reproduce THIS query's output row-for-row.  One
+    shuffle on the fingerprint; WindowGroupLimit prunes per-partition."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("fp_shingle").orderBy("doc_id")
+    return (
+        d.select("doc_id", fp_shingle_col().alias("fp_shingle"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "fp_shingle")
     )
 
 

@@ -39,7 +39,13 @@ def events_file_stream(
     """
     from paraslice_spark.sources.io import _repair_events
 
-    probe = dict(spark.read.parquet(directory).dtypes).get("ts", "long")
+    try:
+        probe = dict(spark.read.parquet(directory).dtypes).get("ts", "long")
+    except Exception:
+        # empty / not-yet-created dir: schema inference fails but the
+        # start-stream-before-first-file pattern must still work (ADVICE
+        # r4) — fall back to the raw ns-long shape the replay writers emit.
+        probe = "long"
     ts_decl = probe if probe in ("timestamp_ntz", "timestamp") else "long"
     schema = (
         f"event_id long, ts {ts_decl}, user_id long, "
@@ -380,6 +386,59 @@ def running_count_per_user(events: DataFrame) -> DataFrame:
         outputStructType="user_id long, n_events long",
         stateStructType="n long",
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def documents_file_stream(spark: SparkSession, directory: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """readStream over a directory of documents-schema parquet files (the
+    corpus-ingest shape: new crawl shards land as files)."""
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(directory)
+    )
+
+
+def stream_dedup_incremental(docs: DataFrame) -> DataFrame:
+    """INCREMENTAL exact dedup on the vocabulary fingerprint — the streaming
+    member of the dedup family: as corpus shards arrive, emit each distinct
+    fp_shingle's FIRST document once and suppress every later duplicate,
+    without ever rescanning history.
+
+    applyInPandasWithState keyed by fp_shingle; state = one long (the kept
+    doc_id) per distinct fingerprint ever seen — the streaming analogue of
+    the dedup key shuffle, bounded by |distinct docs| not |stream|.  Within
+    a micro-batch the minimum doc_id wins (deterministic regardless of
+    partition order — plain dropDuplicates would keep an arbitrary row),
+    so replaying shards in doc_id order reproduces the batch twin
+    ``dedup_incremental_fp`` exactly (asserted in tests/test_streaming.py).
+    At 100 TB the state store is fp-hash partitioned by the groupBy, same
+    layout as the batch shuffle."""
+    import pandas as pd  # local import: only needed when the op runs
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from paraslice_spark.operators.text import fp_shingle_col
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:  # fingerprint already kept in an earlier batch
+            for _ in pdf_iter:
+                pass
+            return
+        best = None
+        for pdf in pdf_iter:
+            m = int(pdf["doc_id"].min())
+            best = m if best is None else min(best, m)
+        state.update((best,))
+        yield pd.DataFrame({"doc_id": [best], "fp_shingle": [key[0]]})
+
+    keyed = docs.select(fp_shingle_col().alias("fp_shingle"), "doc_id")
+    return keyed.groupBy("fp_shingle").applyInPandasWithState(
+        update,
+        outputStructType="doc_id long, fp_shingle string",
+        stateStructType="kept long",
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 

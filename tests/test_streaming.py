@@ -459,3 +459,55 @@ def test_stream_sessionize_incremental_split_replay(spark, tmp_path):
     streams.run_to_memory(streams.stream_sessionize(stream), name, "append")
     got = _rows(spark.table(name), "event_id", "session_idx")
     assert got == [(1, 1), (2, 1), (3, 1), (4, 2)], got
+
+
+def test_stream_dedup_incremental_equals_batch_twin(spark, tmp_path):
+    """Whole-corpus replay through the stateful incremental dedup must
+    reproduce the batch dedup_incremental_fp output row-for-row."""
+    import paraslice_spark.operators  # noqa: F401  (populates the registry)
+    from paraslice_spark.registry import QUERIES
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_SMALL}/documents.parquet", d / "part-000.parquet")
+    stream = streams.documents_file_stream(spark, str(d))
+    name = _mem_name()
+    streams.run_to_memory(streams.stream_dedup_incremental(stream), name, "append")
+    got = _rows(spark.table(name), "doc_id", "fp_shingle")
+    want = _rows(
+        QUERIES["dedup_incremental_fp"](spark, SF_SMALL), "doc_id", "fp_shingle"
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stream_dedup_incremental_split_replay(spark, tmp_path):
+    """Duplicates arriving in a LATER micro-batch must be suppressed by
+    state from the earlier batch (first-arrival-wins across batches)."""
+    import paraslice_spark.operators  # noqa: F401
+    from paraslice_spark.registry import QUERIES
+
+    docs = load_tables(spark, SF_SMALL)["documents"]
+    n = docs.count()
+    d = str(tmp_path / "docs_split")
+    # three shards in doc_id order -> arrival order == doc_id order
+    (docs.where(F.col("doc_id") < n // 3).repartition(1)
+         .write.parquet(f"{d}/b0", mode="overwrite"))
+    (docs.where((F.col("doc_id") >= n // 3) & (F.col("doc_id") < 2 * n // 3))
+         .repartition(1).write.parquet(f"{d}/b1", mode="overwrite"))
+    (docs.where(F.col("doc_id") >= 2 * n // 3).repartition(1)
+         .write.parquet(f"{d}/b2", mode="overwrite"))
+    merged = str(tmp_path / "docs_merged")
+    import os
+    import pathlib
+    os.makedirs(merged)
+    for i, b in enumerate(("b0", "b1", "b2")):
+        src = next(pathlib.Path(f"{d}/{b}").glob("part-*.parquet"))
+        shutil.copy(src, f"{merged}/batch-{i:03d}.parquet")
+    stream = streams.documents_file_stream(spark, merged, max_files_per_trigger=1)
+    name = _mem_name()
+    streams.run_to_memory(streams.stream_dedup_incremental(stream), name, "append")
+    got = _rows(spark.table(name), "doc_id", "fp_shingle")
+    want = _rows(
+        QUERIES["dedup_incremental_fp"](spark, SF_SMALL), "doc_id", "fp_shingle"
+    )
+    assert got == want and len(got) > 0
