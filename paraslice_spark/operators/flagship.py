@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from paraslice_spark.functions.canon import cents_sum, rev_cents
+from paraslice_spark.functions.canon import cents, cents_sum, rev_cents
 from paraslice_spark.registry import query
 from paraslice_spark.sources.io import load_tables
 
@@ -124,6 +124,106 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast-revenue-change — pure scan-side filter +
+    global agg, THE predicate-pushdown showcase (no join, no shuffle except
+    the final 1-row reduce).  The discount band compares integer CENTS
+    (round(×100)) on both engines, not raw doubles: `l_discount BETWEEN
+    0.05 AND 0.07` on binary floats is a cross-engine boundary trap."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    disc_c = cents("l_discount")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & disc_c.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(cents_sum(cents("l_extendedprice") * disc_c, 2).alias("revenue"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    HAVING SUM(l_quantity) > 300
+    ORDER BY total_qty DESC, o_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — fact⋈fact shuffle, HAVING on
+    the grouped sum, deterministic ordering.  l_quantity is an
+    integer-valued double (≤ 50/row, ≤ ~500/order), so the double sum is
+    exact and casts losslessly to BIGINT on both engines.  At scale the
+    groupBy pre-aggregates map-side per l_orderkey before the customer
+    broadcast joins in."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+        .repartition(1)
+        .sortWithinPartitions(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+@query(
+    "q4_priority_late_ship",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape adapted to the fixture's columns (no
+    l_commitdate/l_receiptdate here): orders counted per priority when ANY
+    line item shipped > 60 days after the order date — the EXISTS
+    decorrelates to a LEFT SEMI join in both engines.  The semi join keys
+    on l_orderkey with the date condition as a residual, so Spark shuffles
+    ids only and short-circuits per matching order."""
+    t = load_tables(spark, sf_dir)
+    late = F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")
+    return (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            (F.col("l_orderkey") == F.col("o_orderkey")) & late,
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .repartition(1)
+        .sortWithinPartitions("o_orderpriority")
     )
 
 

@@ -254,3 +254,66 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(u32 < F.col("thresh"))
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(epoch_ns(ts)) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t_click
+          GROUP BY e.user_id)
+    SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS users FROM v
+    UNION ALL SELECT 2, 'click', COUNT(*) FROM c
+    UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
+    ORDER BY stage
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNNEL analysis (view → click → purchase, strictly ordered in event
+    time): users reaching each stage, where a stage counts only if it
+    happens strictly AFTER the user's first completion of the previous
+    stage — the standard product-analytics sequence query.
+
+    All comparisons run on exact ts_ns longs (house events rule).  Plan:
+    three conditional min-aggs chained by user_id equi-joins — every
+    shuffle keys on user_id, so at scale the exchanges line up
+    (exchange-reuse across stages) and nothing but (user_id, long) pairs
+    moves after the first scan."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_ns") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts_ns") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, n: int, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(n).alias("stage"), F.lit(label).alias("event_type"), "users"
+        )
+
+    return (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "click"))
+        .unionByName(stage(p, 3, "purchase"))
+    )

@@ -135,3 +135,39 @@ def test_dedup_groups_shuffles_ids_only(spark):
     df = QUERIES["dedup_groups"](spark, SF_SMALL)
     assert [f.name for f in df.schema.fields] == ["doc_id", "rep_id", "group_size"]
     assert all(f.dataType.typeName() == "long" for f in df.schema.fields)
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    """Q6 is THE pushdown showcase: the shipdate bounds must reach the
+    parquet scan as PushedFilters, not run post-scan only."""
+    p = plan(QUERIES["q6_forecast_revenue"](spark, SF_SMALL))
+    assert "PushedFilters: [" in p
+    assert "l_shipdate" in p.split("PushedFilters:")[1].split("]")[0], p
+
+
+def test_q4_exists_rewrites_to_left_semi(spark):
+    p = plan(QUERIES["q4_priority_late_ship"](spark, SF_SMALL))
+    assert "LeftSemi" in p, p
+
+
+def test_q18_broadcasts_customer(spark):
+    p = plan(QUERIES["q18_large_orders"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_knn_graph_reads_tiles_not_pairs(spark):
+    """The k-NN graph must ship B² block tiles through one cross join of
+    two B-row aggregates — never a row-level n×n join: exactly one
+    cartesian product, fed by aggregated (collect_list) block slabs."""
+    p = plan(QUERIES["similarity_knn_graph"](spark, SF_SMALL))
+    assert p.count("CartesianProduct") + p.count("BroadcastNestedLoopJoin") == 1, p
+    assert "collect_list" in p, p
+
+
+def test_funnel_stages_shuffle_on_user_id_only(spark):
+    """Every exchange in the funnel keys on user_id (stage joins + aggs
+    line up on one key); no exchange repartitions on anything else."""
+    p = plan(QUERIES["events_funnel"](spark, SF_SMALL))
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-z_#0-9L]+)", p):
+        assert m.group(1).startswith("user_id"), m.group(0)
