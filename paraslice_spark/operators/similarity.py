@@ -926,9 +926,8 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
                AS hamming
     FROM sim a JOIN sim b
       ON a.doc_id < b.doc_id
-     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
     WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
-        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 16
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
     ORDER BY doc_a, doc_b
     """,
 )
@@ -939,14 +938,19 @@ def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on any of four 16-bit bands (shuffle join, no pairwise scan),
     then exact Hamming distance filter via bit_count(xor).
 
-    The token hash is the first 16 md5 hex digits as (hi<<32)|lo — the house
-    cross-engine integer-hash pattern (see sample_temperature) — NOT
-    xxhash64, precisely so a DuckDB oracle can rebuild the identical
-    simhashes bit-for-bit and hash-grade the full pair output (the oracle
-    models the band blocking too: its all-pairs join is oracle-only; the
-    Spark plan never compares unblocked pairs).  r2-r4 this was declared
-    rows-only; md5 costs ~2× xxhash64 per token but stays whole-stage
-    codegen and buys a hash verdict.
+    Threshold = 3 = n_bands − 1, so the band blocking is EXHAUSTIVE by
+    pigeonhole (a pair differing in ≤ 3 bits must agree on ≥ 1 of the 4
+    16-bit bands): the blocked Spark plan provably equals the unblocked
+    all-pairs semantics, and the oracle needs no blocking model — its
+    all-pairs join is oracle-only.  (r2-r4 declared hamming ≤ 16
+    rows-only; that band was blocking-DEPENDENT — at hamming 5-6 this
+    corpus already has band-miss pairs — and emitted 160k pairs at sf0.1,
+    ~3% of all pairs: not a near-dup semantics anyone would ship.)
+
+    The token hash is the first 16 md5 hex digits as (hi<<32)|lo — the
+    house cross-engine integer-hash pattern (see sample_temperature) —
+    NOT xxhash64, precisely so the DuckDB oracle can rebuild the
+    simhashes bit-for-bit and hash-grade the full pair output.
     """
     d = load_tables(spark, sf_dir)["documents"]
     words = F.explode(F.split("text", " "))
@@ -1029,9 +1033,12 @@ def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, ["band", "bucket"]).where(F.col("doc_a") < F.col("doc_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        pairs.dropDuplicates(["doc_a", "doc_b"])
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .where(F.col("hamming") <= 16)
+        # hamming is row-local: filter BEFORE the pair-distinct so the
+        # dedup shuffle carries only qualifying pairs, not every blocked
+        # candidate (hot buckets on a degenerate vocab)
+        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .dropDuplicates(["doc_a", "doc_b"])
         # small declared output: single-partition sort, not orderBy (the
         # range-partitioner sampling pass would re-run the band join)
         .repartition(1)
