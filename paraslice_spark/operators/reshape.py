@@ -317,3 +317,43 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(c, 2, "click"))
         .unionByName(stage(p, 3, "purchase"))
     )
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id,
+                        epoch_ns(ts) // 86400000000000 AS day
+                 FROM events),
+    cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+    SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+           COUNT(*) AS users
+    FROM act a JOIN cohort c ON a.user_id = c.user_id
+    WHERE a.day - c.cohort_day BETWEEN 0 AND 7
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION — users from each first-seen-day cohort active
+    again k days later (k = 0..7): the other standard product-analytics
+    rollup next to events_funnel.
+
+    Day buckets come from tz-independent ts_ns integer division (house
+    events rule — to_date(ts) would shift cohorts under a different
+    session timezone).  act is DISTINCT (user, day), so the per-
+    (cohort, offset) count needs no countDistinct — a plain count after
+    the user_id equi-join; both shuffles key on user_id then on the tiny
+    (cohort_day, offset) pairs."""
+    ev = load_tables(spark, sf_dir)["events"]
+    day = F.expr("ts_ns div 86400000000000")
+    act = ev.select("user_id", day.alias("day")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(cohort, "user_id")
+        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        .where(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .repartition(1)
+        .sortWithinPartitions("cohort_day", "day_offset")
+    )

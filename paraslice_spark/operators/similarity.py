@@ -1221,6 +1221,67 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH base AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    prods AS (
+        SELECT ii.i AS i, jj.j AS j,
+               CAST(round(emb[ii.i + 1] * emb[jj.j + 1] * 1000000) AS BIGINT)
+                 AS p
+        FROM base
+        CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+        CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+        WHERE ii.i <= jj.j
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(SUM(p) AS BIGINT) AS gram_micro
+    FROM prods GROUP BY i, j
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GRAM MATRIX (X^T X upper triangle) over the embedding
+    corpus — the one-pass precursor to PCA / whitening / covariance in an
+    embedding pipeline.
+
+    Scale shape: one mapInPandas pass accumulates a dim×dim int64 partial
+    per PARTITION (numpy chunked outer products), so the only shuffle is
+    n_partitions × dim(dim+1)/2 tiny rows into a final sum — the classic
+    partial-aggregate pattern for matrix sums; nothing reaches the driver.
+    Exactness: every per-row product is quantized half-away-from-zero to
+    int64 micro-units BEFORE summation (the house micros_units rule), so
+    partial sums are associative integers and the DuckDB twin — the same
+    round(x*1e6) per product — matches bit-for-bit regardless of row or
+    partition order.  numpy's rint (banker's) is deliberately NOT used."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    base = e.select(_as_double(F.col("embedding")).alias("emb"))
+    dim = 64
+    iu, ju = np.triu_indices(dim)
+
+    def partial_gram(batches):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            m = np.stack([np.asarray(v) for v in pdf["emb"]])
+            seen = True
+            for lo in range(0, len(m), 256):
+                chunk = m[lo : lo + 256]
+                outer = np.einsum("ni,nj->nij", chunk, chunk) * 1e6
+                acc += (np.sign(outer) * np.floor(np.abs(outer) + 0.5)).astype(
+                    np.int64
+                ).sum(axis=0)
+        if seen:
+            yield pd.DataFrame(
+                {"i": iu.astype("int64"), "j": ju.astype("int64"), "p": acc[iu, ju]}
+            )
+
+    partials = base.mapInPandas(partial_gram, "i long, j long, p long")
+    return partials.groupBy("i", "j").agg(F.sum("p").alias("gram_micro"))
+
+
 _KNN_K = 3  # neighbors per vector in the k-NN graph
 _KNN_BLOCKS = 8  # block grid side: B² matmul tiles
 
