@@ -357,3 +357,66 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("cohort_day", "day_offset")
     )
+
+
+@query(
+    "events_funnel_users",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(epoch_ns(ts)) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t_click
+          GROUP BY e.user_id)
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT
+             AS stage
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    ORDER BY v.user_id
+    """,
+)
+def events_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-USER funnel state (the row-level twin of events_funnel): each
+    user's first view, first qualifying click, first qualifying purchase
+    (all strictly ordered in event time) and the stage reached (1-3).
+    This is the table a labeler joins against; the streaming state-machine
+    twin is :func:`paraslice_spark.streaming.streams.stream_funnel`,
+    asserted replay-equal in tests/test_streaming.py."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_ns") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts_ns") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_purchase"))
+    )
+    stage = (
+        F.lit(1)
+        + F.col("t_click").isNotNull().cast("int")
+        + F.col("t_purchase").isNotNull().cast("int")
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase", stage.alias("stage"))
+        .repartition(1)
+        .sortWithinPartitions("user_id")
+    )

@@ -482,6 +482,60 @@ def stream_sessionize(events: DataFrame, gap_ns: int = 1_800_000_000_000) -> Dat
     )
 
 
+def stream_funnel(events: DataFrame) -> DataFrame:
+    """Streaming per-user FUNNEL STATE MACHINE — the stateful twin of the
+    batch ``events_funnel_users`` query: first view, first strictly-later
+    click, first strictly-later purchase, tracked incrementally.
+
+    applyInPandasWithState keyed by user_id; state = three ts_ns longs
+    (0 = not reached).  Each micro-batch sorts its per-user rows by
+    (ts_ns, event_id) and advances the machine, so replaying batches in
+    event-time order reproduces the batch MIN-based assignment exactly
+    (first qualifying event in time order IS the qualifying minimum).
+    Stage transitions are append-only: timestamps never rewrite once set —
+    the monotonicity a downstream labeler needs.  Emits the user's current
+    (t_view, t_click, t_purchase, stage) each batch (update semantics:
+    latest emission per user is the state)."""
+    import pandas as pd  # local import: only needed when the op runs
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        tv, tc, tp = state.get if state.exists else (0, 0, 0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts_ns", "event_id"])
+            for et, ts in zip(pdf["event_type"], pdf["ts_ns"]):
+                ts = int(ts)
+                if et == "view" and tv == 0:
+                    tv = ts
+                elif et == "click" and tv != 0 and tc == 0 and ts > tv:
+                    tc = ts
+                elif et == "purchase" and tc != 0 and tp == 0 and ts > tc:
+                    tp = ts
+        state.update((tv, tc, tp))
+        if tv != 0:
+            stage = 1 + (tc != 0) + (tp != 0)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "t_view": [tv],
+                    "t_click": [tc if tc else None],
+                    "t_purchase": [tp if tp else None],
+                    "stage": [stage],
+                }
+            )
+
+    keyed = events.select("user_id", "ts_ns", "event_id", "event_type")
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, t_view long, t_click long, t_purchase long, stage int"
+        ),
+        stateStructType="tv long, tc long, tp long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --------------------------------------------------------------------------
 # Kafka source (VERDICT r01 #8) — wired, container-untestable end-to-end
 # --------------------------------------------------------------------------

@@ -511,3 +511,53 @@ def test_stream_dedup_incremental_split_replay(spark, tmp_path):
         QUERIES["dedup_incremental_fp"](spark, SF_SMALL), "doc_id", "fp_shingle"
     )
     assert got == want and len(got) > 0
+
+
+def _funnel_final_rows(spark, name):
+    """Latest emission per user from an update-mode memory sink (stage is
+    monotone, so max stage = final; equal-stage re-emissions are
+    identical rows)."""
+    t = spark.table(name)
+    w_cols = ["user_id", "t_view", "t_click", "t_purchase", "stage"]
+    pdf = t.select(*w_cols).toPandas()
+    pdf = pdf.sort_values(["user_id", "stage"]).groupby("user_id").tail(1)
+    return sorted(
+        (int(r.user_id), int(r.t_view),
+         None if r.t_click != r.t_click or r.t_click is None else int(r.t_click),
+         None if r.t_purchase != r.t_purchase or r.t_purchase is None else int(r.t_purchase),
+         int(r.stage))
+        for r in pdf.itertuples()
+    )
+
+
+def test_stream_funnel_equals_batch_twin(spark, events_dir):
+    """Whole-fixture replay through the stateful funnel machine must
+    reproduce the batch events_funnel_users table exactly."""
+    import paraslice_spark.operators  # noqa: F401
+    from paraslice_spark.registry import QUERIES
+
+    stream = streams.events_file_stream(spark, events_dir)
+    name = _mem_name()
+    streams.run_to_memory(streams.stream_funnel(stream), name, "update")
+    got = _funnel_final_rows(spark, name)
+    want = sorted(
+        (r.user_id, r.t_view, r.t_click, r.t_purchase, r.stage)
+        for r in QUERIES["events_funnel_users"](spark, SF_SMALL).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stream_funnel_stage_spans_batch_boundary(spark, tmp_path):
+    """A click landing in a LATER micro-batch must advance the stage from
+    state (view in batch 0, click in batch 1, purchase in batch 1 but
+    before the click -> not counted)."""
+    d = str(tmp_path / "funnel")
+    _write_batch(spark, d, 0, [(1, _ns(0), 7, "view", 1.0, "{}")])
+    _write_batch(spark, d, 1, [(2, _ns(5), 7, "purchase", 1.0, "{}"),
+                               (3, _ns(10), 7, "click", 1.0, "{}")])
+    stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+    name = _mem_name()
+    streams.run_to_memory(streams.stream_funnel(stream), name, "update")
+    got = _funnel_final_rows(spark, name)
+    # purchase at t=5 precedes the first qualifying click (t=10): stage 2
+    assert got == [(7, _ns(0), _ns(10), None, 2)], got
