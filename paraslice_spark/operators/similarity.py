@@ -682,6 +682,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH cand AS (SELECT doc_a, doc_b FROM ({_NGJ_PAIRS_SQL})),
+    t AS (SELECT doc_id, text FROM documents)
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+           ROUND(1.0 - levenshtein(a.text, b.text)
+                 / GREATEST(len(a.text), len(b.text)), 6) AS edit_sim
+    FROM cand c
+    JOIN t a ON a.doc_id = c.doc_a
+    JOIN t b ON b.doc_id = c.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE refinement of the near-dup candidates — the precision
+    stage a dedup pipeline runs after set-similarity blocking: exact
+    Levenshtein (JVM built-in, O(len²) per pair) is affordable only on the
+    already-blocked pair table, never corpus-wide.  Reuses the memoized
+    exact n-gram pair table as the candidate set, joins the two text
+    payloads back by id (texts move only for candidate pairs — the same
+    IDs-only-through-shuffles discipline as the pair pipeline), and emits
+    the distance plus a length-normalized similarity.  Spark and DuckDB
+    agree on Levenshtein exactly (same unit-cost dynamic program)."""
+    pairs = _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    d = load_tables(spark, sf_dir)["documents"]
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    ed = F.levenshtein("text_a", "text_b")
+    sim = rnd(
+        F.lit(1.0)
+        - ed.cast("double") / F.greatest(F.length("text_a"), F.length("text_b")),
+        6,
+    )
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", ed.cast("long").alias("edit_dist"), sim.alias("edit_sim"))
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
+    )
+
+
 #: component-assignment oracle shared by dedup_groups (hash-to-min) and
 #: dedup_groups_star (large-star/small-star): DuckDB recursive reachability
 #: closure + MIN per source — algorithm-independent ground truth.
