@@ -608,3 +608,43 @@ def agg_stats_bivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("o_totalprice", "o_custkey"), 2).alias("intercept"),
         F.round(F.regr_r2("o_totalprice", "o_custkey"), 6).alias("r2"),
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+                      COUNT(*) AS n
+               FROM lineitem GROUP BY 1, 2)
+    SELECT l_returnflag, v AS mode_qty, n AS mode_count
+    FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY n DESC, v) AS rn
+          FROM c)
+    WHERE rn = 1 ORDER BY l_returnflag
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: DETERMINISTIC mode per group — Spark's built-in ``mode()``
+    breaks frequency ties arbitrarily (engine/partition-order dependent),
+    which can never hash-match a second engine.  The portable form is
+    count-then-rank with an explicit tiebreak (highest count, then
+    smallest value): two shuffles, both on grouped keys, and
+    WindowGroupLimit prunes the rank to one row per partition at scale.
+    l_quantity is integer-valued, so the BIGINT cast is lossless on both
+    engines."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    c = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), "v")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("v").alias("mode_qty"),
+            F.col("n").alias("mode_count"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("l_returnflag")
+    )

@@ -420,3 +420,40 @@ def events_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("user_id")
     )
+
+
+@query(
+    "events_topk_paths",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_ns(ts), event_id)
+                        AS next_type
+               FROM events)
+    SELECT event_type AS step_a, next_type AS step_b, COUNT(*) AS n
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY n DESC, step_a, step_b
+    LIMIT 10
+    """,
+)
+def events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP EVENT-TYPE TRANSITIONS (2-step paths): per-user event sequences
+    in (ts_ns, event_id) order → adjacent-type bigrams → global top-10 —
+    the "common user paths" query of product analytics and the Markov-
+    transition input of a behavior model.  One user_id window shuffle,
+    one small transition agg; the deterministic (ts_ns, event_id) sort
+    key makes the lead() assignment engine-stable."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("step_a"),
+        F.lead("event_type").over(w).alias("step_b"),
+    )
+    return (
+        s.where(F.col("step_b").isNotNull())
+        .groupBy("step_a", "step_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "step_a", "step_b")
+        .limit(10)
+    )
