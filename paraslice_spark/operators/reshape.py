@@ -457,3 +457,44 @@ def events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "step_a", "step_b")
         .limit(10)
     )
+
+
+@query(
+    "events_streaks",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id,
+                        epoch_ns(ts) // 86400000000000 AS day
+                 FROM events),
+    g AS (SELECT user_id, day,
+                 day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS grp
+          FROM act),
+    s AS (SELECT user_id, COUNT(*) AS streak_len
+          FROM g GROUP BY user_id, grp)
+    SELECT user_id, CAST(MAX(streak_len) AS BIGINT) AS max_streak,
+           COUNT(*) AS n_streaks
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS: longest consecutive-day activity streak and
+    streak count per user — the classic sequential-grouping pattern
+    (day − row_number collapses each run of consecutive days to a
+    constant group key, turning streak detection into a plain groupBy).
+    Day buckets from tz-independent ts_ns division; every shuffle keys
+    on user_id."""
+    ev = load_tables(spark, sf_dir)["events"]
+    day = F.expr("ts_ns div 86400000000000")
+    act = ev.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = act.withColumn("grp", F.col("day") - F.row_number().over(w))
+    s = g.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("streak_len"))
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("streak_len").alias("max_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("user_id")
+    )
