@@ -19,36 +19,19 @@ import paraslice_spark.operators  # noqa: F401  (registers all queries)
 from paraslice_spark.registry import ORACLES, QUERIES
 
 # The driver grades the FIRST ~50 queries of this dict per round, so order
-# encodes grading priority.  Round-5 re-tier (VERDICT r4 item #1): the 50
-# names r4 graded move to the standing-fresh tail; everything else carries a
-# verdict that PRE-DATES the r4 testdata regeneration + NTZ repair rewrite
-# and needs a fresh driver row.  Tier 1: dedup_simhash_bands — its only
-# verdict is r2 rows-only but the code has carried a DuckDB oracle since r4;
-# one grade converts it to hash-green.  Tier 2: the 14 oracled T2 names the
-# r4 sample cutoff missed.  Tier 3: the events-touching r1 greens whose data
-# AND load path (sources/io.py NTZ branch) both changed in r4 — highest
-# staleness risk.  Tier 4: remaining r1/r2 vintage, hash-oracled names
-# first (a fresh hash verdict carries more information than a fresh
-# rows-only row).  Tier 5: the 50 r4-fresh verdicts.  Anything newly added
-# in r5 is in no tuple and sorts into tier 0, ahead of everything.
-_T1_SIMHASH_ORACLE: tuple[str, ...] = ("dedup_simhash_bands",)
-_T2_LEFTOVER_ORACLED: tuple[str, ...] = (
-    "sort_limit_offset", "sort_multikey_nulls", "stream_asof_join",
-    "subquery_correlated_scalar", "subquery_in", "subquery_scalar",
-    "tensor_build_coords", "text_langid", "text_ngrams", "text_profile",
-    "text_quality", "text_tfidf", "text_wordcount", "topk_revenue",
-)
-_T3_EVENTS_R1: tuple[str, ...] = (
-    "scan_events_ts", "join_time_interval", "join_asof",
-    "join_self_sequences", "stream_tumbling_counts", "stream_sliding_avg",
-    "stream_session_windows", "stream_dedup_exact", "agg_count_distinct",
-    "agg_multi_distinct",
-)
-_T4_VINTAGE: tuple[str, ...] = (
-    # hash-oracled r1/r2 vintage first …
-    "agg_conditional", "agg_cube", "agg_global", "agg_grouping_sets",
-    "agg_histogram", "agg_max_by", "agg_percentile", "agg_pivot",
-    "agg_pricing_summary", "agg_rollup", "agg_stats", "agg_string_concat",
+# encodes grading priority.  Round-6 re-tier (VERDICT r5 item #1, the final
+# refresh): the r5 sample cutoff landed after agg_pricing_summary, leaving
+# exactly 39 names whose newest driver verdict still pre-dates the r4
+# testdata regeneration.  Tier 1: the 28 hash-oracled vintage (a fresh hash
+# verdict carries the most information) — tensor_slices joins them this
+# round because it now ships a checksum-column oracle (VERDICT r5 item #7).
+# Tier 2: the remaining 10 rows-only-by-design vintage.  Tier 3: every name
+# already graded post-regeneration (r4 or r5) — standing fresh, tail
+# position.  Anything newly added in r6 is in no tuple and sorts into
+# tier 0, ahead of everything; 39 vintage + ≤11 new keeps the whole refresh
+# inside the ~50-name sample.
+_T1_VINTAGE_ORACLED: tuple[str, ...] = (
+    "agg_rollup", "agg_stats", "agg_string_concat",
     "filter_between_in_like", "filter_compound", "filter_null_semantics",
     "filter_regexp", "join_anti", "join_broadcast_inner", "join_cross",
     "join_full_outer", "join_left_outer", "join_range_theta", "join_semi",
@@ -56,14 +39,33 @@ _T4_VINTAGE: tuple[str, ...] = (
     "project_arithmetic", "q10_returned_revenue", "q14_promo_share",
     "q3_shipping_priority", "reshape_unpivot", "scan_parquet",
     "scan_projection", "udf_grouped_map", "udf_pandas_vectorized",
-    "udf_scalar_py", "udf_udtf_tokenize",
-    # … then rows-only-by-design vintage (fresh row is weaker info).
+    "udf_scalar_py", "udf_udtf_tokenize", "tensor_slices",
+)
+_T2_VINTAGE_ROWSONLY: tuple[str, ...] = (
     "agg_approx_distinct", "agg_approx_quantile", "dedup_embedding_cosine",
     "dedup_minhash_pairs", "parafac_cp_als", "parafac_cp_als_dist",
     "parafac_factors_a", "sample_bernoulli", "similarity_ivf_ann",
-    "similarity_lsh_ann", "tensor_slices",
+    "similarity_lsh_ann",
 )
-_T5_R4_FRESH: tuple[str, ...] = (
+_T3_FRESH: tuple[str, ...] = (
+    # r5-graded …
+    "agg_mode_deterministic", "q6_forecast_revenue", "q18_large_orders",
+    "q4_priority_late_ship", "q7_volume_shipping",
+    "multimodal_feature_extract", "events_funnel", "events_retention",
+    "events_funnel_users", "events_topk_paths", "events_streaks",
+    "dedup_edit_distance", "dedup_groups_star", "embedding_gram_matrix",
+    "similarity_knn_graph", "dedup_incremental_fp", "dedup_simhash_bands",
+    "sort_limit_offset", "sort_multikey_nulls", "stream_asof_join",
+    "subquery_correlated_scalar", "subquery_in", "subquery_scalar",
+    "tensor_build_coords", "text_langid", "text_ngrams", "text_profile",
+    "text_quality", "text_tfidf", "text_wordcount", "topk_revenue",
+    "scan_events_ts", "join_time_interval", "join_asof",
+    "join_self_sequences", "stream_tumbling_counts", "stream_sliding_avg",
+    "stream_session_windows", "stream_dedup_exact", "agg_count_distinct",
+    "agg_multi_distinct", "agg_conditional", "agg_cube", "agg_global",
+    "agg_grouping_sets", "agg_histogram", "agg_max_by", "agg_percentile",
+    "agg_pivot", "agg_pricing_summary",
+    # … r4-graded.
     "agg_money_split_sum", "agg_salted_skew", "agg_hll_sketch_merge",
     "agg_stats_bivariate", "q5_local_supplier_volume",
     "multimodal_resize_meta", "multimodal_frame_sample", "events_sessionize",
@@ -90,11 +92,9 @@ def _rotated(d: dict) -> dict:
     tier = {}
     for t, names in enumerate(
         (
-            _T1_SIMHASH_ORACLE,
-            _T2_LEFTOVER_ORACLED,
-            _T3_EVENTS_R1,
-            _T4_VINTAGE,
-            _T5_R4_FRESH,
+            _T1_VINTAGE_ORACLED,
+            _T2_VINTAGE_ROWSONLY,
+            _T3_FRESH,
         ),
         start=1,
     ):

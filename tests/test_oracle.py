@@ -91,11 +91,9 @@ def test_rotation_unchecked_first():
 
     names = list(e.queries())
     tiers = (
-        e._T1_SIMHASH_ORACLE,
-        e._T2_LEFTOVER_ORACLED,
-        e._T3_EVENTS_R1,
-        e._T4_VINTAGE,
-        e._T5_R4_FRESH,
+        e._T1_VINTAGE_ORACLED,
+        e._T2_VINTAGE_ROWSONLY,
+        e._T3_FRESH,
     )
     listed = [n for t in tiers for n in t]
     new = [n for n in names if n not in listed]
