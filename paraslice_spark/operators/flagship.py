@@ -249,28 +249,62 @@ def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-border shipping volume between two nations by
-    ship year — fact⋈fact shuffle plus four broadcast dims, a symmetric
-    two-nation disjunction, and a year rollup.  At scale the nation
-    predicate prunes supplier/customer BEFORE the fact join (broadcast
-    semi-reduction), so only qualifying lineitem rows shuffle."""
+    ship year — fact⋈fact shuffle plus broadcast dims, a symmetric
+    two-nation disjunction, and a year rollup.  Physical intent at scale
+    (VERDICT r5 join-order fix): nation is filtered to the two qualifying
+    names FIRST, broadcast-joined into supplier and customer, and those
+    reduced dims broadcast onto lineitem and orders BEFORE the
+    lineitem ⋈ orders shuffle — so the fact⋈fact exchange carries only the
+    ~2/25-nations survivors on each side instead of 100% of both facts.
+    The cross-pair disjunction (3→7 or 7→3) is evaluated after the fact
+    join, where both nation names are finally in scope; the per-side
+    membership filter is already exhaustive below it.  Plan shape is
+    asserted in tests/test_plans.py."""
     t = load_tables(spark, sf_dir)
-    n1 = t["nation"].select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    names = ("NATION_3", "NATION_7")
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"]
+                .where(F.col("n_name").isin(*names))
+                .select(
+                    F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "supp_nation")
     )
-    n2 = t["nation"].select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    cust = (
+        t["customer"]
+        .join(
+            F.broadcast(
+                t["nation"]
+                .where(F.col("n_name").isin(*names))
+                .select(
+                    F.col("n_nationkey").alias("c_nk"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .select("c_custkey", "cust_nation")
     )
     pair = (
         ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
         | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     )
+    line_reduced = t["lineitem"].join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    orders_reduced = t["orders"].join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
     return (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        line_reduced
+        .join(orders_reduced, F.col("l_orderkey") == F.col("o_orderkey"))
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(cents_sum(rev_cents(), 2).alias("revenue"))

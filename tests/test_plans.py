@@ -164,6 +164,34 @@ def test_knn_graph_reads_tiles_not_pairs(spark):
     assert "collect_list" in p, p
 
 
+def test_q7_reduces_facts_before_fact_join(spark):
+    """VERDICT r5 join-order fix: nation-filtered supplier/customer must
+    broadcast-reduce lineitem and orders BELOW the fact⋈fact join, so at
+    scale the big shuffle carries only the ~2/25-nations survivors.  In the
+    optimized plan tree (parents print above children) the orderkey join
+    line must sit ABOVE both broadcast-hinted dim joins, and the two-nation
+    membership filter must sit on the nation relations themselves."""
+    p = optimized(QUERIES["q7_volume_shipping"](spark, SF_SMALL))
+    lines = p.splitlines()
+    fact_idx = next(
+        i
+        for i, ln in enumerate(lines)
+        if "Join Inner" in ln and "l_orderkey" in ln and "o_orderkey" in ln
+    )
+    supp_idx = next(
+        i
+        for i, ln in enumerate(lines)
+        if "strategy=broadcast" in ln and "s_suppkey" in ln
+    )
+    cust_idx = next(
+        i
+        for i, ln in enumerate(lines)
+        if "strategy=broadcast" in ln and "c_custkey" in ln
+    )
+    assert fact_idx < supp_idx and fact_idx < cust_idx, p
+    assert p.count("IN (NATION_3,NATION_7)") >= 2, p
+
+
 def test_funnel_stages_shuffle_on_user_id_only(spark):
     """Every exchange in the funnel keys on user_id (stage joins + aggs
     line up on one key); no exchange repartitions on anything else."""
