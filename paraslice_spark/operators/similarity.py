@@ -815,6 +815,19 @@ def dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the executor blocks behind a ``localCheckpoint(eager=True)``
+    DataFrame.  ``df.unpersist()`` is a NO-OP here — the blocks belong to
+    the checkpointed internal RDD, not the cache manager — so we reach the
+    ``LogicalRDD`` node's RDD through the analyzed plan and unpersist it
+    directly (verified: getPersistentRDDs drops to 0).  Best-effort: on any
+    plan-shape surprise the blocks simply age out as before (ADVICE r5)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _star_components(pairs: DataFrame) -> DataFrame:
     """Large-star/small-star alternation -> (node, lbl) star edges where lbl
     is the component minimum.  Edge set is kept canonical (u < v, distinct)
@@ -875,6 +888,12 @@ def _star_components(pairs: DataFrame) -> DataFrame:
         )
         n2 = e2.count()
         converged = n2 == n_prev and e2.subtract(e).isEmpty()
+        # e2 is materialized and the convergence diff (the last reader of
+        # e) has run: release the superseded round's checkpoint blocks so
+        # executor storage holds ONE edge copy, not one per round
+        # (ADVICE r5 unpersist hygiene).
+        _free_local_checkpoint(e)
+        _free_local_checkpoint(e1)
         e = e2
         n_prev = n2
         if converged:
@@ -882,6 +901,7 @@ def _star_components(pairs: DataFrame) -> DataFrame:
     # fixpoint edges are stars centered at the component min: v -> u = root
     labels = e.select(F.col("v").alias("node"), F.col("u").alias("lbl")).persist()
     labels.count()
+    _free_local_checkpoint(e)  # labels cache is materialized; drop the edges
     return labels
 
 
@@ -1395,8 +1415,16 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ir = np.asarray(ids_r, dtype=np.int64)
                 L = np.stack([np.asarray(v) for v in embs_l])
                 R = np.stack([np.asarray(v) for v in embs_r])
-                Ln = L / np.linalg.norm(L, axis=1, keepdims=True)
-                Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+                # Zero-norm guard (ADVICE r5): an all-zero embedding must
+                # score cos=0 against everything, not poison its row with
+                # NaN (np.partition sorts NaN last -> kth=NaN -> keep mask
+                # all-False -> the row's neighbors silently vanish).
+                nl = np.linalg.norm(L, axis=1, keepdims=True)
+                nr = np.linalg.norm(R, axis=1, keepdims=True)
+                nl[nl == 0.0] = 1.0
+                nr[nr == 0.0] = 1.0
+                Ln = L / nl
+                Rn = R / nr
                 cos = Ln @ Rn.T
                 cos[il[:, None] == ir[None, :]] = -np.inf  # exclude self
                 for row in range(len(il)):

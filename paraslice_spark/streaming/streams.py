@@ -39,12 +39,20 @@ def events_file_stream(
     """
     from paraslice_spark.sources.io import _repair_events
 
+    from pyspark.errors import AnalysisException
+
     try:
         probe = dict(spark.read.parquet(directory).dtypes).get("ts", "long")
-    except Exception:
-        # empty / not-yet-created dir: schema inference fails but the
+    except AnalysisException as ex:
+        # Only the empty / not-yet-created dir is the benign case where the
         # start-stream-before-first-file pattern must still work (ADVICE
-        # r4) — fall back to the raw ns-long shape the replay writers emit.
+        # r4): fall back to the raw ns-long shape the replay writers emit.
+        # Anything else (corrupt footer, permissions, …) must stay LOUD —
+        # swallowing it would resurface later as a confusing streaming
+        # schema mismatch (ADVICE r5).
+        cond = ex.getCondition() if hasattr(ex, "getCondition") else None
+        if cond not in ("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND"):
+            raise
         probe = "long"
     ts_decl = probe if probe in ("timestamp_ntz", "timestamp") else "long"
     schema = (
@@ -463,8 +471,16 @@ def stream_sessionize(events: DataFrame, gap_ns: int = 1_800_000_000_000) -> Dat
     def update(key, pdf_iter, state: GroupState):
         last_ts, idx = state.get if state.exists else (None, 0)
         out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts_ns", "event_id"])
+        # Concatenate BEFORE sorting: applyInPandasWithState splits a
+        # user's micro-batch rows into ~10k-row Arrow chunks, and a
+        # per-chunk sort would advance the state machine out of global
+        # time order whenever a user spans chunks (ADVICE r5).  Per-user
+        # micro-batch volume is bounded, so one concat is safe.
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_ns", "event_id"]
+            )
             for eid, ts in zip(pdf["event_id"], pdf["ts_ns"]):
                 if last_ts is None or ts - last_ts > gap_ns:
                     idx += 1
@@ -501,8 +517,15 @@ def stream_funnel(events: DataFrame) -> DataFrame:
 
     def update(key, pdf_iter, state: GroupState):
         tv, tc, tp = state.get if state.exists else (0, 0, 0)
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts_ns", "event_id"])
+        # Concatenate BEFORE sorting (ADVICE r5): per-chunk sorts would let
+        # t_view/t_click/t_purchase latch onto non-minimum events whenever a
+        # user's micro-batch rows span multiple Arrow chunks, breaking the
+        # documented replay-equality with events_funnel_users.
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_ns", "event_id"]
+            )
             for et, ts in zip(pdf["event_type"], pdf["ts_ns"]):
                 ts = int(ts)
                 if et == "view" and tv == 0:

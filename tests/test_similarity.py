@@ -167,3 +167,38 @@ def test_ivfpq_ann_finds_planted_near_duplicates(spark, tmp_path):
         top = sorted(by_q[q], key=lambda t: -t[1])[0]
         assert top[0] == q + 10000 and top[1] >= 0.999, (q, by_q[q])
         assert len(by_q[q]) <= 5
+
+
+def test_knn_graph_survives_zero_norm_embedding(spark, tmp_path):
+    """ADVICE r5 guard: an all-zero embedding must keep its k neighbor rows
+    (cos = 0 against everything) instead of silently vanishing via NaN
+    propagation in the tile top-k kernel."""
+    import math
+    import os
+
+    from paraslice_spark.operators.similarity import _KNN_K
+    from paraslice_spark.registry import QUERIES
+    from paraslice_spark.sources.io import TABLES
+
+    base = load_tables(spark, SF_SMALL)["embeddings"]
+    dim = len(base.first()["embedding"])
+    zeroed = base.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") == 0,
+            F.array(*[F.lit(0.0).cast("float") for _ in range(dim)]),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+        "label",
+    )
+    sfdir = str(tmp_path / "sf_zero_pq")
+    os.makedirs(sfdir)
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{sfdir}/{t}.parquet")
+    zeroed.coalesce(1).write.parquet(f"{sfdir}/embeddings.parquet")
+    got = QUERIES["similarity_knn_graph"](spark, sfdir).collect()
+    mine = [r for r in got if r["vec_id"] == 0]
+    assert len(mine) == _KNN_K, mine  # row not dropped
+    assert all(math.isfinite(r["cos"]) and abs(r["cos"]) < 1e-9 for r in mine), mine

@@ -561,3 +561,55 @@ def test_stream_funnel_stage_spans_batch_boundary(spark, tmp_path):
     got = _funnel_final_rows(spark, name)
     # purchase at t=5 precedes the first qualifying click (t=10): stage 2
     assert got == [(7, _ns(0), _ns(10), None, 2)], got
+
+
+def _with_small_arrow_chunks(spark, n, fn):
+    """Run fn() with arrow batches capped at n records so a single user's
+    micro-batch rows span multiple chunks inside applyInPandasWithState."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        return fn()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_stream_funnel_correct_across_arrow_chunks(spark, tmp_path):
+    """ADVICE r5: a user's rows split across Arrow chunks must still be
+    processed in GLOBAL time order.  File order puts the later view first;
+    with 2-row chunks a per-chunk sort would latch t_view onto _ns(10)
+    instead of the true minimum _ns(0)."""
+    d = str(tmp_path / "funnel_chunks")
+    _write_batch(spark, d, 0, [(2, _ns(10), 7, "view", 1.0, "{}"),
+                               (3, _ns(20), 7, "click", 1.0, "{}"),
+                               (1, _ns(0), 7, "view", 1.0, "{}")])
+    stream = streams.events_file_stream(spark, d)
+    name = _mem_name()
+    _with_small_arrow_chunks(
+        spark, 2,
+        lambda: streams.run_to_memory(streams.stream_funnel(stream), name, "update"),
+    )
+    got = _funnel_final_rows(spark, name)
+    assert got == [(7, _ns(0), _ns(20), None, 2)], got
+
+
+def test_stream_sessionize_correct_across_arrow_chunks(spark, tmp_path):
+    """Same chunk-order hazard for the sessionizer: with 2-row chunks and
+    the earliest event arriving in the second chunk, a per-chunk sort
+    would assign event 2 (t=10m) to the session OPENED at t=60m."""
+    d = str(tmp_path / "sess_chunks")
+    _write_batch(spark, d, 0, [(3, _ns(60), 1, "click", 1.0, "{}"),
+                               (1, _ns(0), 1, "click", 1.0, "{}"),
+                               (2, _ns(10), 1, "click", 1.0, "{}")])
+    stream = streams.events_file_stream(spark, d)
+    name = _mem_name()
+    _with_small_arrow_chunks(
+        spark, 2,
+        lambda: streams.run_to_memory(streams.stream_sessionize(stream), name, "append"),
+    )
+    got = _rows(spark.table(name), "event_id", "session_idx")
+    assert got == [(1, 1), (2, 1), (3, 2)], got
