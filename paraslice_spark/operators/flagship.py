@@ -354,3 +354,202 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(cents_sum(rev_cents(), 2).alias("revenue"))
     )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
+    (customers with zero orders must survive as c_count = 0) feeding a
+    two-level aggregation.  At scale the first agg shuffles on c_custkey
+    (COUNT(o_orderkey) ignores the null rows the outer join manufactures);
+    the second groups the tiny (c_count, custdist) histogram — a few dozen
+    distinct counts — so the heavy exchange happens exactly once."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .repartition(1)
+        .sortWithinPartitions(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                      * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                  AS BIGINT) AS rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(rev_c AS DOUBLE) / 10000.0 AS revenue
+    FROM supplier JOIN r ON s_suppkey = l_suppkey
+    WHERE rev_c = (SELECT MAX(rev_c) FROM r)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    the view + scalar-max-equality pattern.  The max comparison runs on
+    EXACT integer cents² (ties included, like the spec), never on the
+    divided double.  Plan: one shuffle for the per-supplier agg; the 1-row
+    max broadcasts back over it (no global sort, no single-partition
+    window); supplier broadcasts onto the handful of winners."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_cents()).alias("rev_c"))
+    )
+    mx = rev.agg(F.max("rev_c").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_c") == F.col("mx"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_c").cast("double") / 10000.0).alias("revenue"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("s_suppkey")
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicates over a
+    broadcast part join — the OR-of-ANDs pushdown exercise.  Catalyst can't
+    derive per-branch scan bounds from the disjunction, so the REDUNDANT
+    envelope conjuncts (l_quantity 1-30, p_size 1-15, brand IN the three)
+    are stated explicitly — they push to both parquet scans and cut the
+    join input to the union of the branches before the residual OR runs
+    (the standard Q19 rewrite; at 100 TB the envelope is the difference
+    between scanning 2% and 100% of lineitem)."""
+    t = load_tables(spark, sf_dir)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    part = t["part"].where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+        & F.col("p_size").between(1, 15)
+    )
+    line = t["lineitem"].where(F.col("l_quantity").between(1, 30))
+    return (
+        line.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(cents_sum(rev_cents(), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q22_dormant_balances",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(CAST(round(c_acctbal*100) AS BIGINT)) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    ),
+    eligible AS (
+      SELECT c_nationkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
+      FROM customer
+      WHERE CAST(round(c_acctbal*100) AS BIGINT) > (SELECT ab FROM avg_bal)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+    FROM eligible GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape adapted to this corpus (every customer has SOME
+    order, so "dormant" = no order since 1999): above-average-balance
+    customers with no recent orders, rolled up per nation — scalar-avg
+    subquery + LEFT ANTI join.
+
+    Determinism note: the threshold is AVG over integer CENTS — an exact
+    int64 sum divided by an exact count is the SAME IEEE double on both
+    engines regardless of summation order, so the > comparison can never
+    flip cross-engine (raw double AVG would differ in the last ulp).
+    Plan: the avg is a 1-row broadcast; the anti join shuffles only
+    (custkey) pairs against date-filtered orders; the final rollup is 25
+    nation rows."""
+    t = load_tables(spark, sf_dir)
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    avg_bal = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg(bal_c).alias("ab"))
+    )
+    recent = t["orders"].where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        t["customer"]
+        .withColumn("bal_c", bal_c)
+        .crossJoin(F.broadcast(avg_bal))
+        .where(F.col("bal_c") > F.col("ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_c").cast("double") / 100.0).alias("totacctbal"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("c_nationkey")
+    )

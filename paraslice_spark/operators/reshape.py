@@ -423,6 +423,129 @@ def events_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sessionized_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns,
+             CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                    OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+                       > 1800000000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ),
+    s2 AS (
+      SELECT user_id, event_type, ts_ns,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts_ns, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_idx
+      FROM s
+    ),
+    g AS (
+      SELECT user_id, session_idx,
+             MIN(CASE WHEN event_type = 'view' THEN ts_ns END) AS t_view
+      FROM s2 GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT s2.user_id, s2.session_idx, MIN(s2.ts_ns) AS t_click
+      FROM s2 JOIN g USING (user_id, session_idx)
+      WHERE s2.event_type = 'click' AND s2.ts_ns > g.t_view
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT s2.user_id, s2.session_idx, MIN(s2.ts_ns) AS t_purchase
+      FROM s2 JOIN c USING (user_id, session_idx)
+      WHERE s2.event_type = 'purchase' AND s2.ts_ns > c.t_click
+      GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.session_idx, g.t_view, c.t_click, p.t_purchase,
+           1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT
+             AS stage
+    FROM g
+    LEFT JOIN c ON g.user_id = c.user_id AND g.session_idx = c.session_idx
+    LEFT JOIN p ON g.user_id = p.user_id AND g.session_idx = p.session_idx
+    WHERE g.t_view IS NOT NULL
+    ORDER BY g.user_id, g.session_idx
+    """,
+)
+def events_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-SESSION funnel (VERDICT r5 item #7): the funnel state machine
+    scoped to a single session — first view, first strictly-later click,
+    first strictly-later purchase must all land inside the SAME >30-min-gap
+    session, one output row per session that opened with a view.
+
+    Plan is the window-over-window showcase: the sessionize pair (lag +
+    running sum, one shuffle on user_id) feeds THREE stacked min-windows
+    over (user_id, session_idx) — t_view, then t_click conditioned on
+    t_view, then t_purchase conditioned on t_click.  Spark stacks same-spec
+    Window operators on one exchange+sort, so the whole funnel adds exactly
+    ONE reshuffle (user_id → user_id,session_idx) after sessionization —
+    no per-stage self-joins like the per-user twin needs.  The final
+    per-session collapse groups on keys whose window values are
+    group-constant, so first() is deterministic."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    new_sess = (gap > 1_800_000_000_000) | F.lag("ts_ns").over(w).isNull()
+    sess = (
+        ev.select("user_id", "event_id", "event_type", "ts_ns")
+        .withColumn("new_sess", new_sess.cast("int"))
+        .withColumn(
+            "session_idx",
+            F.sum("new_sess")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+    )
+    ws = Window.partitionBy("user_id", "session_idx")
+    funneled = (
+        sess.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts_ns"))).over(ws),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_ns") > F.col("t_view")),
+                    F.col("ts_ns"),
+                )
+            ).over(ws),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_ns") > F.col("t_click")),
+                    F.col("ts_ns"),
+                )
+            ).over(ws),
+        )
+    )
+    stage = (
+        F.lit(1)
+        + F.col("t_click").isNotNull().cast("int")
+        + F.col("t_purchase").isNotNull().cast("int")
+    )
+    return (
+        funneled.where(F.col("t_view").isNotNull())
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.first("t_purchase").alias("t_purchase"),
+        )
+        .select("user_id", "session_idx", "t_view", "t_click", "t_purchase",
+                stage.alias("stage"))
+        .repartition(1)
+        .sortWithinPartitions("user_id", "session_idx")
+    )
+
+
+@query(
     "events_topk_paths",
     oracle="""
     WITH s AS (SELECT user_id, event_type,
@@ -497,4 +620,47 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1)
         .sortWithinPartitions("user_id")
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_abs,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour_abs, n,
+           ROUND((n - AVG(n) OVER (PARTITION BY event_type))
+                 / stddev_samp(n) OVER (PARTITION BY event_type), 4) AS z
+    FROM hourly
+    ORDER BY event_type, hour_abs
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOURLY ANOMALY SCORES: per-event-type z-score of each hour's volume
+    against that type's own distribution — the monitoring query an events
+    pipeline runs continuously (spikes/drops show as |z| > threshold; the
+    threshold is the CALLER's cut so the declared output carries every
+    hour, keeping row membership integer-deterministic cross-engine).
+
+    Aggregate-then-window: the hourly rollup shuffles once on (type, hour);
+    the mean/stddev window repartitions the tiny 3k-row hourly table by
+    event_type.  AVG(bigint) is int/int — the identical IEEE double on
+    both engines; stddev_samp agrees at the declared rnd(4) (house stats
+    rule: canon.py).  Day/hour buckets from tz-independent ts_ns division
+    (house events rule)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.select("event_type", F.expr("ts_ns div 3600000000000").alias("hour_abs"))
+        .groupBy("event_type", "hour_abs")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w)
+    return (
+        hourly.withColumn("z", F.round(z, 4))
+        .repartition(1)
+        .sortWithinPartitions("event_type", "hour_abs")
     )

@@ -528,10 +528,43 @@ def _fitted(spark: SparkSession, sf_dir: str) -> CPModel:
     return _model_cache[key]
 
 
-@query("tensor_slices")  # rows-only: slab layout is engine-internal
+@query(
+    "tensor_slices",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(date_trunc('microseconds', ts)) // 3600000000 AS hour_abs,
+             CAST(round(value * 1000000) AS BIGINT) AS vmic
+      FROM events
+    ),
+    idx AS (
+      SELECT vmic,
+             dense_rank() OVER (ORDER BY user_id) - 1   AS i,
+             dense_rank() OVER (ORDER BY event_type) - 1 AS j,
+             dense_rank() OVER (ORDER BY hour_abs) - 1   AS k
+      FROM e
+    ),
+    cells AS (
+      SELECT i, j, k, CAST(SUM(vmic) AS BIGINT) AS vm
+      FROM idx GROUP BY i, j, k
+    )
+    SELECT CAST(i AS BIGINT) AS slice_id,
+           COUNT(CASE WHEN vm <> 0 THEN 1 END) AS nnz,
+           CAST(SUM(vm) AS BIGINT) AS checksum_micro
+    FROM cells GROUP BY i
+    """,
+)
 def tensor_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 declared probe: one row per mode-0 slice with nnz + exact
     micro-unit checksum (validates the slab partitioning end-to-end).
+
+    Hash-oracled since r6 (VERDICT r5 item #7): the slab LAYOUT is
+    engine-internal, but the declared per-slice (nnz, checksum) contract is
+    layout-independent — a recursive dense_rank + µ-unit cell-sum rollup in
+    DuckDB.  The checksum rounds each dense cell back to its integer µ-unit
+    value BEFORE summing (v = vm/1e6 round-trips exactly through float64),
+    so the sum is integer-exact on both engines — summing doubles first and
+    rounding once would drift ~1 µ-unit at 1e11 magnitudes.
 
     Slice metadata goes executor→DataFrame via ``createDataFrame(rdd)`` and
     sorts relationally — nothing is collected to the driver (VERDICT r02
@@ -545,7 +578,7 @@ def tensor_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 int(it[0][m]),
                 int((it[1][m] != 0).sum()),
-                int(round(it[1][m].sum() * 1e6)),
+                int(np.round(it[1][m] * 1e6).sum()),
             )
             for m in range(len(it[0]))
         ]

@@ -199,3 +199,21 @@ def test_funnel_stages_shuffle_on_user_id_only(spark):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([a-z_#0-9L]+)", p):
         assert m.group(1).startswith("user_id"), m.group(0)
+
+
+def test_q19_envelope_predicates_reach_both_scans(spark):
+    """The explicit envelope conjuncts (quantity 1-30, size 1-15, brand IN)
+    must push to the parquet scans — the disjunction alone pushes nothing,
+    and at 100 TB the envelope is the scan-cut."""
+    p = plan(QUERIES["q19_discounted_revenue"](spark, SF_SMALL))
+    pushed = [seg.split("]")[0] for seg in p.split("PushedFilters: [")[1:]]
+    assert any("l_quantity" in s for s in pushed), p
+    assert any("p_size" in s and "p_brand" in s for s in pushed), p
+
+
+def test_q15_max_is_broadcast_not_global_sort(spark):
+    """The scalar max must come back as a broadcast join over the
+    per-supplier agg — no global sort, no single-partition window."""
+    p = plan(QUERIES["q15_top_supplier"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    assert "Window" not in p, p
