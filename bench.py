@@ -21,6 +21,26 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def cpu_sample() -> tuple[int, int] | None:
+    """(total_jiffies, steal_jiffies) from /proc/stat — the hypervisor
+    noisy-neighbor signal.  Identical code on this container measured
+    35s/62s/148s across runs (BASELINE.md §6), so every timing row should
+    carry the steal evidence for its own measurement window."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), (vals[7] if len(vals) > 7 else 0)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def steal_pct(before: tuple[int, int] | None, after: tuple[int, int] | None) -> float | None:
+    if before is None or after is None or after[0] <= before[0]:
+        return None
+    return round(100.0 * (after[1] - before[1]) / (after[0] - before[0]), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -46,15 +66,23 @@ def main() -> None:
     # otherwise land on one arbitrary query per run
     runs = int(os.environ.get("PARASLICE_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
+    noisy: dict[str, float] = {}
     t_suite = time.perf_counter()
+    cpu_suite0 = cpu_sample()
     for name, fn in sorted(QUERIES.items()):
         best = float("inf")
+        cpu0 = cpu_sample()
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()
                 materialize(fn(spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
             times[name] = round(best, 4)
+            sp = steal_pct(cpu0, cpu_sample())
+            if sp is not None and sp >= 1.0:
+                # the query's measurement window saw hypervisor steal —
+                # its row is noise-suspect, self-documented (VERDICT r5 #7)
+                noisy[name] = sp
             print(f"# {name}: {times[name]}s", file=sys.stderr)
         except Exception as exc:  # a broken query must not kill the bench
             times[name] = -1.0
@@ -70,6 +98,8 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": runs,
         "wallclock_all_runs": wallclock,
+        "suite_steal_pct": steal_pct(cpu_suite0, cpu_sample()),
+        "steal_suspect_queries": noisy,
     }
     print(json.dumps(payload))
     # BENCH_r{N}.json keeps only the stdout tail, losing the front of the

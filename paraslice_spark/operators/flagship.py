@@ -553,3 +553,147 @@ def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("c_nationkey")
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             CAST(round(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l_discount*100) AS BIGINT)) AS vol_c,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_9'
+                               THEN vol_c ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(vol_c) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's market share of ECONOMY-part
+    revenue sold into ASIA customers, by order year — the 8-way join with
+    nation playing TWO roles (customer side restricts through region;
+    supplier side only labels) and a conditional-ratio agg.
+
+    Physical intent at scale: part (type-filtered), supplier+nation,
+    customer+nation+region (region-filtered) all broadcast-reduce the
+    facts BEFORE the lineitem ⋈ orders shuffle — same discipline as the
+    r6 q7 fix; the date filter pushes to the orders scan.  Ratio on exact
+    integer cents², one rounded division per year row."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        t["customer"]
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    vol = (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev_cents().alias("vol_c"),
+            "supp_nation",
+        )
+    )
+    share = F.round(
+        F.sum(F.when(F.col("supp_nation") == "NATION_9", F.col("vol_c")).otherwise(F.lit(0)))
+        .cast("double")
+        / F.sum("vol_c").cast("double"),
+        6,
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(share.alias("mkt_share"))
+        .repartition(1)
+        .sortWithinPartitions("o_year")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pavg AS (
+      SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS qty_cut
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+           / 100.0 / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pavg ON pk = l_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < qty_cut
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost if small-quantity orders (below 20% of
+    the part's own average quantity) were dropped — the correlated-average
+    pattern, decorrelated into a per-part agg joined back to the fact.
+
+    Determinism: AVG(l_quantity) is an exact-integer-valued-double sum over
+    an exact count, so 0.2*avg is the identical IEEE double on both
+    engines and the < cut can never flip cross-engine.  At scale the
+    per-part averages are a map-side-combined agg shuffled on l_partkey,
+    re-joined on the same key (exchange reuse); the brand filter pushes to
+    the part scan and prunes the fact via the broadcast dim."""
+    t = load_tables(spark, sf_dir)
+    pavg = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut"))
+    )
+    part = t["part"].where(F.col("p_brand") == "Brand#23").select("p_partkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pavg, F.col("pk") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (F.sum(cents("l_extendedprice")).cast("double") / 100.0 / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
