@@ -449,6 +449,72 @@ _SHINGLE_K = 8
 _N_SIG = 16  # minhash signature length
 _BANDS = 4  # 4 bands × 4 rows
 
+#: MinHash permutation family: sig_i = min over shingles of
+#: (A_i·h + B_i) mod P, with h = first 8 md5 hex digits of the shingle as a
+#: uint32 (the house cross-engine integer-hash pattern — see
+#: sample_temperature / dedup_simhash_bands) and P = 2^31−1 (Mersenne
+#: prime).  A_i < P and h < 2^32 keep A_i·h + B_i ≤ 9.17e18 < 2^63 − 1, so
+#: the arithmetic is overflow-free int64 on BOTH engines (DuckDB BIGINT
+#: errors on overflow; Spark would wrap silently — neither happens).
+#: Constants are fixed literals (seeded once, offline) so the DuckDB oracle
+#: rebuilds the signatures digit-for-digit.
+_MH_P = 2147483647
+_MH_AB: tuple[tuple[int, int], ...] = (
+    (2058367755, 1250378731), (1328920189, 372282286),
+    (35052690, 260070992), (1425365892, 920539464),
+    (409468654, 638079615), (1652464807, 2033713062),
+    (1010120343, 873091422), (910172515, 1362467471),
+    (1577225783, 708511551), (1389507383, 1784693824),
+    (2003597556, 347112816), (2133395955, 1638263921),
+    (1962772767, 908613595), (1364526543, 932472842),
+    (1976978008, 656157898), (1457334632, 212322978),
+)
+
+
+def _minhash_oracle(threshold: float = 0.8) -> str:
+    """DuckDB twin of the FULL minhash pipeline: shingles → md5-affine
+    signatures → band agreement (all-pairs oracle-side; the Spark plan
+    blocks via the band equi-join) → exact Jaccard ≥ threshold."""
+    rows = _N_SIG // _BANDS
+    sig_cols = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {_MH_P}) AS s{i}"
+        for i, (a, b) in enumerate(_MH_AB)
+    )
+    band_conds = "\n        OR ".join(
+        "(" + " AND ".join(f"a.s{b * rows + r} = b.s{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, i.i, {_SHINGLE_K}) AS s
+      FROM documents CROSS JOIN LATERAL
+        (SELECT unnest(range(1, greatest(length(text) - {_SHINGLE_K - 2}, 2))) AS i) i
+    ),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(s), 1, 8))::UBIGINT::BIGINT AS h
+          FROM sh),
+    sig AS (SELECT doc_id,
+             {sig_cols}
+            FROM h GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE {band_conds}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b,
+           ROUND(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM cand c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE ROUND(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= {threshold}
+    ORDER BY c.doc_a, c.doc_b
+    """
+
 
 def shingle_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, distinct 8-char shingle array) — array-native, no python."""
@@ -482,9 +548,26 @@ def minhash_near_dup_pairs(
     # common subplan)
     sh = shingle_docs(docs).persist()
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sigs = exploded.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"sig{i}") for i in range(n_sig)]
+    # cross-engine md5-affine permutations (see _MH_AB) instead of
+    # xxhash64, so the DuckDB oracle rebuilds every signature exactly.
+    # md5 runs once per DISTINCT shingle, not per occurrence (this corpus:
+    # 13k distinct vs 1.35M occurrences at sf0.1 — the shared-vocabulary
+    # ratio; measured 2.40 → 1.3 s).  The dictionary is broadcast while it
+    # fits (bounded by vocabulary size, not corpus size); at dictionary
+    # scales beyond executor memory swap to a plain shuffle join — same
+    # shape _ngram_pairs uses for its gram ids.
+    gram_h = (
+        exploded.select("s")
+        .distinct()
+        .withColumn("h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long"))
     )
+    sigs = exploded.join(F.broadcast(gram_h), "s").groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a_) * F.col("h") + F.lit(b_)) % F.lit(_MH_P)).alias(f"sig{i}")
+            for i, (a_, b_) in enumerate(_MH_AB[:n_sig])
+        ]
+    )
+    key_cols = [f"k{r}" for r in range(rows_per_band)]
     band_vals = sigs.select(
         "doc_id",
         F.explode(
@@ -492,19 +575,20 @@ def minhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("bucket"),
+                        *[
+                            F.col(f"sig{b * rows_per_band + r}").alias(f"k{r}")
+                            for r in range(rows_per_band)
+                        ],
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    a = band_vals.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    b = band_vals.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    ).select("doc_id", "bb.band", *[f"bb.{k}" for k in key_cols])
+    a = band_vals.select(F.col("doc_id").alias("doc_a"), "band", *key_cols)
+    b = band_vals.select(F.col("doc_id").alias("doc_b"), "band", *key_cols)
     candidates = (
-        a.join(b, ["band", "bucket"])
+        a.join(b, ["band", *key_cols])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -518,16 +602,28 @@ def minhash_near_dup_pairs(
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", rnd(inter / union, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
+        # small declared output: single-partition sort, not orderBy (house
+        # trap — range-partitioner sampling re-executes the pipeline)
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
     )
 
 
-@query("dedup_minhash_pairs")  # rows-only: xxhash64 minhash has no DuckDB twin
+@query("dedup_minhash_pairs", oracle=_minhash_oracle())
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 declared: near-dup pairs at shingle-Jaccard ≥ 0.8. Fixture texts
-    are all distinct word soups (SURVEY §1.2), so this correctly returns
-    zero rows on fixtures; the pipeline's recall is property-tested with
-    planted near-duplicates in tests/test_similarity.py."""
+    """L2 declared: near-dup pairs at shingle-Jaccard ≥ 0.8.
+
+    HASH-ORACLED since r6 (previously rows-only): signatures switched from
+    xxhash64 to md5-affine permutations (``_MH_AB`` — one md5 per shingle,
+    16 overflow-free (A·h+B) mod 2^31−1 transforms), so the DuckDB oracle
+    reconstructs the signatures, the band agreement, and the exact-Jaccard
+    verify digit-for-digit.  The oracle models the SAME banding the Spark
+    plan blocks on (all-pairs oracle-side), so the declared
+    candidates ∩ J ≥ 0.8 output is fully hash-graded; banding recall
+    (P = 1−(1−J⁴)⁴ ≈ 87% at J = 0.8, ~100% at the corpus's J ≈ 1.0
+    near-dups) stays property-tested with planted duplicates in
+    tests/test_similarity.py.  The r4-regenerated corpus has ~25 real
+    J ≥ 0.8 pairs at sf0.01, so the grade is non-vacuous."""
     return minhash_near_dup_pairs(load_tables(spark, sf_dir)["documents"])
 
 
