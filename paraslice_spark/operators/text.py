@@ -393,3 +393,50 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rank FROM wc
+    )
+    SELECT ROUND(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+           ROUND(regr_r2(ln(n), ln(rank)), 6) AS fit_r2,
+           COUNT(*) AS vocab_size
+    FROM ranked
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW FIT over the corpus unigram distribution: OLS slope of
+    ln(frequency) against ln(rank) — the standard corpus-health diagnostic
+    (natural language ≈ −1; a synthetic or deduplicate-heavy corpus
+    drifts).  regr_slope/regr_r2 agree with DuckDB digit-for-digit at
+    rnd(6) (house stats rule — unlike skewness/kurtosis, which were
+    rejected; see canon.py).
+
+    The rank window is a single-partition sort over the VOCABULARY — 
+    bounded by distinct-word count, not corpus size (13k grams at sf0.1),
+    the same small-sort exemption the declared-output sorts use.  At a
+    100 TB corpus the word-count agg before it is the only data-sized
+    stage (map-side combined, one shuffle on the word)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = wc.select(
+        "n",
+        F.row_number().over(Window.orderBy(F.desc("n"), "w")).alias("rank"),
+    )
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("n"), F.log("rank")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("n"), F.log("rank")), 6).alias("fit_r2"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )

@@ -256,3 +256,49 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_type").over(w).alias("first_type"),
         F.last("event_type").over(w).alias("last_type"),
     ).distinct()
+
+
+@query(
+    "window_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY epoch_ns(ts), event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                                      ORDER BY ts_ns, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_distinct_types
+    FROM flagged
+    """,
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING DISTINCT COUNT per user — how many distinct event types the
+    user has touched as of each event.  COUNT(DISTINCT) isn't a window
+    function in either engine, and the collect_set-size workaround carries
+    an O(cardinality) set in every row's frame state; the scale pattern is
+    FIRST-OCCURRENCE FLAG + RUNNING SUM: row_number()==1 over
+    (user, type) marks each type's debut, a running sum over (user) counts
+    them.  Two window shuffles — (user_id, event_type) then user_id — each
+    carrying only (ids, flag); state per frame is one long regardless of
+    type cardinality."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w1 = Window.partitionBy("user_id", "event_type").orderBy("ts_ns", "event_id")
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.select("event_id", "user_id", "ts_ns", "event_type")
+        .withColumn("first_seen", (F.row_number().over(w1) == 1).cast("int"))
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("first_seen").over(w2).cast("long").alias("n_distinct_types"),
+        )
+    )

@@ -451,6 +451,56 @@ def stream_dedup_incremental(docs: DataFrame) -> DataFrame:
     )
 
 
+def stream_retention(events: DataFrame) -> DataFrame:
+    """Streaming COHORT RETENTION — the stateful twin of the batch
+    ``events_retention`` query: as events arrive, emit each user's newly
+    reached (cohort_day, day_offset ∈ 0..7) cells exactly once.
+
+    applyInPandasWithState keyed by user_id; state = (cohort_day, an
+    8-bit mask of offsets already emitted) — two longs per user, bounded
+    by the user population.  The cohort day latches on first sight
+    (append-only, like stream_sessionize): replaying shards in event-time
+    order reproduces the batch MIN-day cohort exactly, so
+    SUM-over-emissions == the batch (cohort_day, day_offset, users) table
+    (asserted whole-fixture and split in tests/test_streaming.py).  A
+    late event from before the latched cohort day extends nothing —
+    history is never rewritten."""
+    import pandas as pd  # local import: only needed when the op runs
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    day_ns = 86_400_000_000_000
+
+    def update(key, pdf_iter, state: GroupState):
+        cohort, mask = state.get if state.exists else (None, 0)
+        days = set()
+        for pdf in pdf_iter:  # order-insensitive: set of days, min latch
+            days.update(int(d) for d in (pdf["ts_ns"] // day_ns).unique())
+        if not days:
+            return
+        if cohort is None:
+            cohort = min(days)
+        out = []
+        for d in sorted(days):
+            off = d - cohort
+            if 0 <= off <= 7 and not (mask >> off) & 1:
+                mask |= 1 << off
+                out.append((key[0], cohort, off))
+        state.update((cohort, mask))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "cohort_day", "day_offset"]
+            )
+
+    keyed = events.select("user_id", "ts_ns")
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, cohort_day long, day_offset long",
+        stateStructType="cohort long, mask long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_sessionize(events: DataFrame, gap_ns: int = 1_800_000_000_000) -> DataFrame:
     """Streaming SESSIONIZATION: assign each event its per-user session
     ordinal incrementally — the stateful twin of the batch

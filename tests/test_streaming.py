@@ -613,3 +613,40 @@ def test_stream_sessionize_correct_across_arrow_chunks(spark, tmp_path):
     )
     got = _rows(spark.table(name), "event_id", "session_idx")
     assert got == [(1, 1), (2, 1), (3, 2)], got
+
+
+def test_stream_retention_equals_batch_twin(spark, events_dir):
+    """Whole-fixture replay: summing the stream's per-user emissions by
+    (cohort_day, day_offset) must reproduce the batch events_retention
+    table exactly."""
+    import paraslice_spark.operators  # noqa: F401
+    from paraslice_spark.registry import QUERIES
+
+    stream = streams.events_file_stream(spark, events_dir)
+    name = _mem_name()
+    streams.run_to_memory(streams.stream_retention(stream), name, "append")
+    got = _rows(
+        spark.table(name).groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("users")),
+        "cohort_day", "day_offset", "users",
+    )
+    want = _rows(
+        QUERIES["events_retention"](spark, SF_SMALL),
+        "cohort_day", "day_offset", "users",
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stream_retention_offset_spans_batch_boundary(spark, tmp_path):
+    """A later-day activity arriving in a later micro-batch must emit its
+    offset against the cohort latched in state, exactly once."""
+    d = str(tmp_path / "retention")
+    day = 24 * 60
+    _write_batch(spark, d, 0, [(1, _ns(0), 5, "view", 1.0, "{}")])
+    _write_batch(spark, d, 1, [(2, _ns(3 * day), 5, "click", 1.0, "{}"),
+                               (3, _ns(3 * day + 10), 5, "view", 1.0, "{}")])
+    stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+    name = _mem_name()
+    streams.run_to_memory(streams.stream_retention(stream), name, "append")
+    got = _rows(spark.table(name), "user_id", "day_offset")
+    assert got == [(5, 0), (5, 3)], got  # offset 3 emitted once, not twice
