@@ -501,6 +501,46 @@ def stream_retention(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_cumulative_distinct(events: DataFrame) -> DataFrame:
+    """Streaming RUNNING DISTINCT COUNT — the stateful twin of the batch
+    ``window_cumulative_distinct`` query: each event labeled with how many
+    distinct event types its user has touched so far.
+
+    State per user = the set of seen types, packed as one sorted
+    \\x1f-joined string (bounded by type cardinality, not event count —
+    the same reason the batch twin uses first-occurrence flags instead of
+    collect_set frames).  Chunks are concatenated before the time sort
+    (the r6 chunk-order rule), so replaying shards in event-time order
+    reproduces the batch labels exactly (tests/test_streaming.py, whole
+    and split replays)."""
+    import pandas as pd  # local import: only needed when the op runs
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        (packed,) = state.get if state.exists else ("",)
+        seen = set(packed.split("\x1f")) - {""}
+        out = []
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_ns", "event_id"]
+            )
+            for eid, et in zip(pdf["event_id"], pdf["event_type"]):
+                seen.add(et)
+                out.append((int(eid), key[0], len(seen)))
+        state.update(("\x1f".join(sorted(seen)),))
+        yield pd.DataFrame(out, columns=["event_id", "user_id", "n_distinct_types"])
+
+    keyed = events.select("user_id", "ts_ns", "event_id", "event_type")
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="event_id long, user_id long, n_distinct_types long",
+        stateStructType="seen string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_sessionize(events: DataFrame, gap_ns: int = 1_800_000_000_000) -> DataFrame:
     """Streaming SESSIONIZATION: assign each event its per-user session
     ordinal incrementally — the stateful twin of the batch

@@ -217,3 +217,32 @@ def test_q15_max_is_broadcast_not_global_sort(spark):
     p = plan(QUERIES["q15_top_supplier"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
     assert "Window" not in p, p
+
+
+def test_q8_reduces_facts_before_fact_join(spark):
+    """q8 must follow the q7 discipline: type-filtered part, supplier+nation
+    and region-restricted customer broadcast-reduce the facts BELOW the
+    lineitem⋈orders join (the only data-sized shuffle)."""
+    p = optimized(QUERIES["q8_market_share"](spark, SF_SMALL))
+    lines = p.splitlines()
+    fact_idx = next(
+        i
+        for i, ln in enumerate(lines)
+        if "Join Inner" in ln and "l_orderkey" in ln and "o_orderkey" in ln
+    )
+    part_idx = next(
+        i
+        for i, ln in enumerate(lines)
+        if "strategy=broadcast" in ln and "p_partkey" in ln
+    )
+    supp_idx = next(
+        i
+        for i, ln in enumerate(lines)
+        if "strategy=broadcast" in ln and "s_suppkey" in ln
+    )
+    cust_idx = next(
+        i
+        for i, ln in enumerate(lines)
+        if "strategy=broadcast" in ln and "c_custkey" in ln
+    )
+    assert fact_idx < part_idx and fact_idx < supp_idx and fact_idx < cust_idx, p

@@ -650,3 +650,35 @@ def test_stream_retention_offset_spans_batch_boundary(spark, tmp_path):
     streams.run_to_memory(streams.stream_retention(stream), name, "append")
     got = _rows(spark.table(name), "user_id", "day_offset")
     assert got == [(5, 0), (5, 3)], got  # offset 3 emitted once, not twice
+
+
+def test_stream_cumulative_distinct_equals_batch_twin(spark, events_dir):
+    """Whole-fixture replay must label every event with the same running
+    distinct-type count as the batch window_cumulative_distinct."""
+    import paraslice_spark.operators  # noqa: F401
+    from paraslice_spark.registry import QUERIES
+
+    stream = streams.events_file_stream(spark, events_dir)
+    name = _mem_name()
+    streams.run_to_memory(streams.stream_cumulative_distinct(stream), name, "append")
+    got = _rows(spark.table(name), "event_id", "user_id", "n_distinct_types")
+    want = _rows(
+        QUERIES["window_cumulative_distinct"](spark, SF_SMALL),
+        "event_id", "user_id", "n_distinct_types",
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stream_cumulative_distinct_state_spans_batches(spark, tmp_path):
+    """A type first seen in batch 0 must NOT re-count in batch 1; a new
+    type must increment from state."""
+    d = str(tmp_path / "cumdist")
+    _write_batch(spark, d, 0, [(1, _ns(0), 3, "view", 1.0, "{}"),
+                               (2, _ns(1), 3, "click", 1.0, "{}")])
+    _write_batch(spark, d, 1, [(3, _ns(2), 3, "view", 1.0, "{}"),
+                               (4, _ns(3), 3, "purchase", 1.0, "{}")])
+    stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+    name = _mem_name()
+    streams.run_to_memory(streams.stream_cumulative_distinct(stream), name, "append")
+    got = _rows(spark.table(name), "event_id", "n_distinct_types")
+    assert got == [(1, 1), (2, 2), (3, 2), (4, 3)], got
