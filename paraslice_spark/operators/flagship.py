@@ -697,3 +697,461 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "q12_late_lines_priority",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12_late_lines_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted to the fixture (no l_shipmode /
+    l_commitdate / l_receiptdate columns): late 1997 shipments grouped by
+    l_returnflag instead of ship mode, "late" = shipped > 60 days after
+    the order date (the q4 convention), priority split via the original's
+    CASE dual-count.  Plan: the l_shipdate year-band pushes to the
+    lineitem scan; the late predicate references both sides so it runs as
+    a residual on the fact⋈fact join; the 3-row conditional agg is
+    map-side combined."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("l_returnflag")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS price_c
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY 1, 2
+    ),
+    best AS (SELECT pk, MIN(price_c) AS best_c FROM offers GROUP BY pk)
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           CAST(price_c AS DOUBLE) / 100.0 AS best_price
+    FROM offers
+    JOIN best ON offers.pk = best.pk AND offers.price_c = best.best_c
+    JOIN part ON p_partkey = offers.pk
+    JOIN supplier ON s_suppkey = offers.sk
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_type = 'SMALL' AND p_size <= 15
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to the fixture (no partsupp table): the
+    "supply cost" of a (part, supplier) pair is the minimum observed line
+    price in lineitem, restricted to EUROPE suppliers; for each SMALL
+    part ≤ size 15 return the supplier(s) achieving the per-part minimum
+    (ties kept, like the spec's correlated MIN).
+
+    Plan: region⋈nation⋈supplier broadcast-reduces lineitem BEFORE its
+    only shuffle (the (pk, sk) agg); the per-part MIN regroups that small
+    offers table on pk and broadcast-joins back on exact integer cents
+    equality — the q15 scalar-max pattern, keyed per part.  part and
+    supplier attributes broadcast onto the few winners at the top."""
+    t = load_tables(spark, sf_dir)
+    eur_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        t["lineitem"]
+        .join(
+            F.broadcast(eur_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.min(cents("l_extendedprice")).alias("price_c"))
+    )
+    best = offers.groupBy("pk").agg(F.min("price_c").alias("best_c"))
+    best = best.select(F.col("pk").alias("bpk"), "best_c")
+    part = t["part"].where(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 15)
+    )
+    return (
+        offers.join(
+            best,
+            (F.col("pk") == F.col("bpk")) & (F.col("price_c") == F.col("best_c")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("pk"))
+        .join(F.broadcast(eur_supp), F.col("sk") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            (F.col("price_c").cast("double") / 100.0).alias("best_price"),
+        )
+        .repartition(1)
+        .sortWithinPartitions(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle="""
+    WITH profit AS (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             CAST(round(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l_discount*100) AS BIGINT))
+             - CAST(round(p_retailprice*100) AS BIGINT)
+               * CAST(l_quantity AS BIGINT) * 10 AS amount_c2
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%red%'
+    )
+    SELECT nation, o_year,
+           CAST(SUM(amount_c2) AS DOUBLE) / 10000.0 AS sum_profit
+    FROM profit GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted to the fixture (no partsupp, so no
+    ps_supplycost): profit per supplier nation × order year for parts
+    named '%red%', with cost proxied by 10% of p_retailprice per unit.
+    All arithmetic in integer cents² (retail cents × qty × 10 = 0.1 ×
+    retail in the same 1e-4-dollar unit), one final division.
+
+    Plan: the name-filtered part dim broadcast-reduces lineitem (~1/6 of
+    rows survive '%red%') and supplier⋈nation broadcasts in BEFORE the
+    lineitem ⋈ orders shuffle — the q7/q8 fact-reduction discipline; the
+    (nation, year) agg is map-side combined to ~25×7 groups."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].where(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    amount = rev_cents() - cents("p_retailprice") * F.col("l_quantity").cast(
+        "long"
+    ) * F.lit(10)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(cents_sum(amount, 2).alias("sum_profit"))
+        .repartition(1)
+        .sortWithinPartitions("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH value AS (
+      SELECT l_partkey AS p_partkey,
+             SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT))) AS value_c2
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_5'
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(value_c2) AS t FROM value)
+    SELECT p_partkey, CAST(value_c2 AS DOUBLE) / 10000.0 AS part_value
+    FROM value, tot WHERE value_c2 * 500 > t
+    ORDER BY value_c2 DESC, p_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape adapted to the fixture (no partsupp, so no
+    availqty×supplycost): a part's "stock value" is its discounted revenue
+    from NATION_5 suppliers; keep parts above 1/500 of the nation total.
+
+    Determinism: the threshold compares exact int64 cents² via
+    cross-multiplication (value_c2 * 500 > total) — no float fraction, so
+    the cut can never flip cross-engine.  Plan: the nation-filtered
+    supplier dim broadcast-reduces lineitem before its only shuffle (the
+    per-part agg); the grand total is a 1-row broadcast back over it —
+    the q15 scalar pattern with an inequality."""
+    t = load_tables(spark, sf_dir)
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].where(F.col("n_name") == "NATION_5")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    value = (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(rev_cents()).alias("value_c2"))
+    )
+    tot = value.agg(F.sum("value_c2").alias("t"))
+    return (
+        value.crossJoin(F.broadcast(tot))
+        .where(F.col("value_c2") * 500 > F.col("t"))
+        .select(
+            "p_partkey",
+            (F.col("value_c2").cast("double") / 10000.0).alias("part_value"),
+        )
+        .repartition(1)
+        .sortWithinPartitions(F.desc("part_value"), "p_partkey")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape adapted to the fixture (no partsupp: the
+    part⇄supplier relation is observed through lineitem; no "complaints"
+    comment text: negative account balance marks the excluded suppliers):
+    distinct supplier count per (brand, type, size) bucket with the
+    spec's NOT-IN exclusions.
+
+    Plan: the brand/type/size filters push to the broadcast part dim; the
+    excluded-supplier set (a handful of rows) broadcasts as a LEFT ANTI
+    join; countDistinct shuffles (brand, type, size, suppkey) once for
+    the partial-distinct expansion, then aggregates — both exchanges
+    carry ids only."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].where(
+        (F.col("p_brand") != "Brand#23")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad_supp = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .repartition(1)
+        .sortWithinPartitions(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "q20_bulk_shippers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE '%bolt%')
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey HAVING SUM(l_quantity) > 50
+      )
+    ORDER BY s_suppkey
+    """,
+)
+def q20_bulk_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted to the fixture (no partsupp availqty to
+    compare against, so the promotion threshold is an absolute one):
+    EUROPE suppliers who shipped more than 50 units of '%bolt%' parts
+    during 1997 — the nested-IN chain decorrelated into semi joins.
+
+    Plan: the part-name subquery broadcasts as a LEFT SEMI onto the
+    date-pruned lineitem scan; the per-supplier quantity agg shuffles
+    supplier ids only; the HAVING survivors broadcast as the final SEMI
+    against the region-filtered supplier dim.  l_quantity is
+    integer-valued so SUM is exact and the > 50 cut is deterministic."""
+    t = load_tables(spark, sf_dir)
+    bolt_parts = t["part"].where(F.col("p_name").like("%bolt%")).select("p_partkey")
+    shipped = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(bolt_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(shipped),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .repartition(1)
+        .sortWithinPartitions("s_suppkey")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH fl AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM fl l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE l1.late
+      AND n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM fl l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM fl l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape adapted to the fixture (no l_receiptdate /
+    l_commitdate: "late" = shipped > 60 days after the order date, the
+    q4/q12 convention): NATION_3 suppliers who were the ONLY late
+    supplier on a finished multi-supplier order.
+
+    Spark-first decorrelation: instead of the literal EXISTS + NOT EXISTS
+    (two more passes over the fact join), ONE per-order aggregate
+    computes n_supp = COUNT(DISTINCT supplier) and n_late = COUNT(
+    DISTINCT late supplier); a late line qualifies iff n_supp > 1 (some
+    other supplier exists) and n_late = 1 (the only late supplier is
+    itself).  Both the aggregate and the re-join key on l_orderkey, so
+    the second exchange reuses the first's partitioning.  The supplier⋈
+    nation dim broadcasts at the top; numwait counts distinct orders."""
+    t = load_tables(spark, sf_dir)
+    fl = (
+        t["lineitem"]
+        .join(
+            t["orders"].where(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")).alias(
+                "late"
+            ),
+        )
+    )
+    ord_stats = fl.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    late_pairs = (
+        fl.where(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    )
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].where(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        late_pairs.join(
+            ord_stats.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .repartition(1)
+        .sortWithinPartitions(F.desc("numwait"), "s_name")
+    )

@@ -246,3 +246,58 @@ def test_q8_reduces_facts_before_fact_join(spark):
         if "strategy=broadcast" in ln and "c_custkey" in ln
     )
     assert fact_idx < part_idx and fact_idx < supp_idx and fact_idx < cust_idx, p
+
+
+def test_q9_reduces_facts_before_fact_join(spark):
+    """q9 must follow the q7/q8 discipline: the '%red%'-filtered part dim
+    and supplier⋈nation broadcast-reduce lineitem BELOW the
+    lineitem⋈orders join, so the only data-sized shuffle carries just the
+    name-filtered survivors."""
+    p = optimized(QUERIES["q9_product_type_profit"](spark, SF_SMALL))
+    lines = p.splitlines()
+    fact_idx = next(
+        i
+        for i, ln in enumerate(lines)
+        if "Join Inner" in ln and "l_orderkey" in ln and "o_orderkey" in ln
+    )
+    part_idx = next(
+        i
+        for i, ln in enumerate(lines)
+        if "strategy=broadcast" in ln and "p_partkey" in ln
+    )
+    supp_idx = next(
+        i
+        for i, ln in enumerate(lines)
+        if "strategy=broadcast" in ln and "s_suppkey" in ln
+    )
+    assert fact_idx < part_idx and fact_idx < supp_idx, p
+
+
+def test_q21_exists_pair_is_one_aggregate_no_self_joins(spark):
+    """The Spark-first Q21 decorrelation replaces EXISTS + NOT EXISTS with
+    ONE per-order countDistinct aggregate re-joined on l_orderkey — the
+    plan must contain no semi/anti joins and both heavy exchanges must key
+    on l_orderkey."""
+    import re
+
+    p = plan(QUERIES["q21_waiting_suppliers"](spark, SF_SMALL))
+    assert "LeftSemi" not in p and "LeftAnti" not in p, p
+    fact_keys = {
+        m.group(1).split("#")[0]
+        for m in re.finditer(r"Exchange hashpartitioning\(([a-zA-Z_0-9#L]+)", p)
+    }
+    assert fact_keys <= {"l_orderkey", "s_name"}, fact_keys
+
+
+def test_q20_nested_in_decorralates_to_semi_chain(spark):
+    p = plan(QUERIES["q20_bulk_shippers"](spark, SF_SMALL))
+    assert p.count("LeftSemi") >= 2, p
+
+
+def test_q2_min_equality_joins_back_broadcast(spark):
+    """The per-part MIN must come back as a broadcast equality join over
+    the offers agg (the q15 pattern keyed per part) — no window, no
+    global sort before the final tiny output."""
+    p = plan(QUERIES["q2_min_cost_supplier"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, p
+    assert "Window" not in p, p
