@@ -664,3 +664,50 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("event_type", "hour_abs")
     )
+
+
+@query(
+    "sample_split_train_val_test",
+    oracle="""
+    WITH lab AS (
+      SELECT lang, n_chars,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                  THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def sample_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC TRAIN/VAL/TEST SPLIT — the pipeline's final
+    partitioning step, assigned by content hash (first md5 hex digit:
+    0-b → train 75%, c-d → val 12.5%, e-f → test 12.5%) so membership is a
+    pure function of doc_id: stable across engines, runs, repartitions,
+    and incremental re-ingests — a doc can NEVER migrate between splits
+    when the corpus grows (RNG splits reshuffle everything; this is the
+    same engine-portable idiom as sample_stratified_hash).  Declared
+    output is the per-(split, lang) audit summary; the split column
+    itself is what a real pipeline writes as a partition key.
+    Embarrassingly parallel: one codegen'd md5 + two compares per row,
+    one small agg shuffle."""
+    d = load_tables(spark, sf_dir)["documents"]
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+                "avg_chars"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("split", "lang")
+    )

@@ -1637,3 +1637,111 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+_PR_ITERS = 5  # fixed PageRank iterations (declared contract, both engines)
+
+
+def _pr_oracle() -> str:
+    """Unrolled-iteration DuckDB twin of graph_pagerank_knn: rebuild the
+    exact k-NN edges (the similarity_knn_graph oracle), then 5 integer
+    fixed-point PageRank rounds.  `//` (DuckDB) and `div` (Spark) agree on
+    the all-positive operands here, so every iterate is bit-identical."""
+    edges = f"""
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+      FROM base a CROSS JOIN base b
+      WHERE a.vec_id != b.vec_id
+    ),
+    e AS (
+      SELECT vec_id AS src, neighbor_id AS dst FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_KNN_K}
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    steps = "".join(
+        f""",
+    s{i} AS (SELECT e.dst, SUM(r{i - 1}.r // {_KNN_K}) AS sm
+             FROM e JOIN r{i - 1} ON r{i - 1}.node = e.src GROUP BY 1),
+    r{i} AS (SELECT node, 150000 + COALESCE((85 * sm) // 100, 0) AS r
+             FROM nodes LEFT JOIN s{i} ON s{i}.dst = node)"""
+        for i in range(1, _PR_ITERS + 1)
+    )
+    return (
+        "WITH "
+        + edges
+        + steps
+        + f"""
+    SELECT node AS vec_id, CAST(r AS DOUBLE) / 1000000.0 AS pagerank
+    FROM r{_PR_ITERS} ORDER BY r DESC, node"""
+    )
+
+
+@query("graph_pagerank_knn", oracle=_pr_oracle())
+def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK CENTRALITY over the exact k-NN graph — the iterative graph
+    member of the similarity family (data-pruning pipelines rank corpus
+    items by neighborhood centrality; PageRank on the kNN digraph is the
+    standard formulation, Page et al. 1999).
+
+    Cross-engine determinism: ranks are INT64 MICRO-UNITS, never floats —
+    r₀ = 10⁶, each round r' = 0.15·10⁶ + 0.85·Σ(r div k) with `div`/`//`
+    integer division (identical on positive operands) and exact integer
+    sums, so all five iterates are bit-equal in both engines and the
+    declared (vec_id, pagerank) table hash-matches.
+
+    Scale shape: the edge list comes from the block-tile kNN (row traffic
+    O(B·n + n·B·k), see similarity_knn_graph); each round is one equi-join
+    (contributions, keyed src) + one groupBy(dst) + a left join back onto
+    the node list — all id/long-only shuffles keyed on the same column, so
+    a cluster co-partitions them.  ITERATIVE-LINEAGE DISCIPLINE (the
+    dedup_groups_star lesson): each iterate is localCheckpoint(eager)-ed —
+    5 chained join+agg rounds would nest an optimizer-hostile 25-join
+    plan; checkpoint cost is n rank rows per round.  Out-degree is exactly
+    k for every node by construction, so there are no dangling-mass
+    corrections, and nodes with no in-edges settle at 0.15."""
+    knn = similarity_knn_graph(spark, sf_dir)
+    e = knn.select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    r = nodes.withColumn("r", F.lit(1000000).cast("long"))
+    prev = None
+    for _ in range(_PR_ITERS):
+        sums = (
+            e.join(r, r["node"] == e["src"])
+            .select("dst", F.expr(f"r div {_KNN_K}").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("sm"))
+        )
+        r = (
+            nodes.join(sums, sums["dst"] == nodes["node"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(150000)
+                    + F.coalesce(F.expr("(85 * sm) div 100"), F.lit(0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if prev is not None:
+            _free_local_checkpoint(prev)
+        prev = r
+    out = (
+        r.select(
+            F.col("node").alias("vec_id"),
+            (F.col("r").cast("double") / 1000000.0).alias("pagerank"),
+        )
+        .repartition(1)
+        .sortWithinPartitions(F.desc("pagerank"), "vec_id")
+    )
+    return out

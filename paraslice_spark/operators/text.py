@@ -440,3 +440,74 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(F.log("n"), F.log("rank")), 6).alias("fit_r2"),
         F.count(F.lit(1)).alias("vocab_size"),
     )
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+               FROM documents),
+    g AS (SELECT DISTINCT doc_id, source,
+                 words[i.i] || ' ' || words[i.i + 1] AS gram
+          FROM w CROSS JOIN LATERAL
+               (SELECT unnest(range(1, len(words))) AS i) i),
+    bench AS (SELECT doc_id, gram FROM g WHERE source = 'src0'),
+    train AS (SELECT doc_id, gram FROM g WHERE source <> 'src0'),
+    bn AS (SELECT doc_id, COUNT(*) AS n FROM bench GROUP BY 1),
+    hits AS (SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+                    COUNT(*) AS shared
+             FROM train t JOIN bench b ON t.gram = b.gram GROUP BY 1, 2)
+    SELECT train_doc, bench_doc, CAST(shared AS BIGINT) AS shared_grams,
+           ROUND(shared * 1.0 / bn.n, 6) AS containment
+    FROM hits JOIN bn ON bn.doc_id = bench_doc
+    WHERE shared * 2 >= bn.n
+    ORDER BY train_doc, bench_doc
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCHMARK DECONTAMINATION — the pipeline stage that flags training
+    documents overlapping an evaluation set (here: source `src0` plays the
+    benchmark): a (train, bench) pair is contaminated when the train doc
+    contains ≥ half of the bench doc's distinct word bigrams.  Containment
+    (shared / |bench grams|), not Jaccard — a short benchmark prompt pasted
+    into a long train doc must still flag.
+
+    Plan shape for 100 TB: the benchmark side is TINY by construction
+    (eval suites are KBs, the corpus is TBs), so its inverted gram index
+    BROADCASTS; the train side streams through one explode + hash join +
+    (train, bench) count agg — no shuffle ever carries corpus text, and
+    the threshold compares integers (shared*2 ≥ n, no float cut).  The
+    oracle mirrors it gram-for-gram in DuckDB."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+    n = F.size(words)
+    bigrams = F.array_distinct(
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    grams = d.select("doc_id", "source", F.explode(bigrams).alias("gram"))
+    bench = grams.where(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_doc"), "gram"
+    )
+    bn = bench.groupBy("bench_doc").agg(F.count(F.lit(1)).alias("n"))
+    train = grams.where(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_doc"), "gram"
+    )
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .join(F.broadcast(bn), "bench_doc")
+        .where(F.col("shared_grams") * 2 >= F.col("n"))
+        .select(
+            "train_doc",
+            "bench_doc",
+            "shared_grams",
+            rnd(F.col("shared_grams") / F.col("n"), 6).alias("containment"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("train_doc", "bench_doc")
+    )

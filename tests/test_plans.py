@@ -301,3 +301,12 @@ def test_q2_min_equality_joins_back_broadcast(spark):
     p = plan(QUERIES["q2_min_cost_supplier"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in p, p
     assert "Window" not in p, p
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark gram index is tiny by construction — it must broadcast;
+    a sort-merge join on the gram column would shuffle the whole train
+    corpus's exploded grams at 100 TB."""
+    p = plan(QUERIES["text_decontaminate"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
