@@ -22,14 +22,16 @@ from paraslice_spark.registry import ORACLES, QUERIES
 # encodes grading priority.  Round-6 re-tier (VERDICT r5 item #1, the final
 # refresh): the r5 sample cutoff landed after agg_pricing_summary, leaving
 # exactly 39 names whose newest driver verdict still pre-dates the r4
-# testdata regeneration.  Tier 1: the 28 hash-oracled vintage (a fresh hash
-# verdict carries the most information) — tensor_slices joins them this
-# round because it now ships a checksum-column oracle (VERDICT r5 item #7).
-# Tier 2: the remaining 10 rows-only-by-design vintage.  Tier 3: every name
-# already graded post-regeneration (r4 or r5) — standing fresh, tail
-# position.  Anything newly added in r6 is in no tuple and sorts into
-# tier 0, ahead of everything; 39 vintage + ≤11 new keeps the whole refresh
-# inside the ~50-name sample.
+# testdata regeneration.  Tier 0 (no tuple): the 20 queries ADDED in r6 —
+# a first verdict beats any refresh.  Tier 1: the 30 hash-oracled names
+# owed a fresh hash verdict — the 28 oracled vintage plus tensor_slices
+# and dedup_minhash_pairs, which were rows-only until their r6 oracle
+# conversions (checksum-column / md5-affine signatures).  Tier 2: the 9
+# remaining rows-only-by-design vintage — 20 + 30 fills the ~50 sample,
+# so these keep their standing r2 rows-only verdicts one more round (a
+# rows-only driver row carries no hash information; the local rows-run
+# gate covers them every session).  Tier 3: everything graded r4/r5 —
+# standing fresh, tail position.
 _T1_VINTAGE_ORACLED: tuple[str, ...] = (
     "agg_rollup", "agg_stats", "agg_string_concat",
     "filter_between_in_like", "filter_compound", "filter_null_semantics",
@@ -40,10 +42,11 @@ _T1_VINTAGE_ORACLED: tuple[str, ...] = (
     "q3_shipping_priority", "reshape_unpivot", "scan_parquet",
     "scan_projection", "udf_grouped_map", "udf_pandas_vectorized",
     "udf_scalar_py", "udf_udtf_tokenize", "tensor_slices",
+    "dedup_minhash_pairs",
 )
 _T2_VINTAGE_ROWSONLY: tuple[str, ...] = (
     "agg_approx_distinct", "agg_approx_quantile", "dedup_embedding_cosine",
-    "dedup_minhash_pairs", "parafac_cp_als", "parafac_cp_als_dist",
+    "parafac_cp_als", "parafac_cp_als_dist",
     "parafac_factors_a", "sample_bernoulli", "similarity_ivf_ann",
     "similarity_lsh_ann",
 )
