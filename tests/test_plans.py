@@ -159,7 +159,9 @@ def test_knn_graph_reads_tiles_not_pairs(spark):
     """The k-NN graph must ship B² block tiles through one cross join of
     two B-row aggregates — never a row-level n×n join: exactly one
     cartesian product, fed by aggregated (collect_list) block slabs."""
-    p = plan(QUERIES["similarity_knn_graph"](spark, SF_SMALL))
+    from paraslice_spark.operators.similarity import _knn_graph
+
+    p = plan(_knn_graph(spark, SF_SMALL))
     assert p.count("CartesianProduct") + p.count("BroadcastNestedLoopJoin") == 1, p
     assert "collect_list" in p, p
 

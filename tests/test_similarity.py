@@ -55,15 +55,18 @@ def test_embedding_neardup_finds_planted_pairs(spark):
     from paraslice_spark.operators.similarity import embedding_near_dup_pairs
 
     base = load_tables(spark, SF_SMALL)["embeddings"].limit(50).cache()
-    # plant 5 exact-duplicate vectors under new ids (cos = 1.0)
-    dups = base.where(F.col("vec_id") < 5).select(
-        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
-    )
-    emb = base.unionByName(dups)
-    pairs = {(r["vec_a"], r["vec_b"]) for r in embedding_near_dup_pairs(emb, 0.9).collect()}
-    assert {(i, i + 10000) for i in range(5)} <= pairs, pairs
-    # random 64-dim vectors are near-orthogonal: no spurious cos>=0.9 pairs
-    assert pairs == {(i, i + 10000) for i in range(5)}, pairs
+    try:
+        # plant 5 exact-duplicate vectors under new ids (cos = 1.0)
+        dups = base.where(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+        )
+        emb = base.unionByName(dups)
+        pairs = {(r["vec_a"], r["vec_b"]) for r in embedding_near_dup_pairs(emb, 0.9).collect()}
+        assert {(i, i + 10000) for i in range(5)} <= pairs, pairs
+        # random 64-dim vectors are near-orthogonal: no spurious cos>=0.9 pairs
+        assert pairs == {(i, i + 10000) for i in range(5)}, pairs
+    finally:
+        base.unpersist()
 
 
 def test_ivf_ann_finds_planted_near_duplicates(spark, tmp_path):
@@ -118,10 +121,17 @@ def _f_to_double(col):
 
 
 def test_minhash_matches_brute_force_on_fixtures(spark):
+    # .cache() registers the raw documents scan in the session's cache
+    # manager, which would silently substitute InMemoryRelation into EVERY
+    # later plan containing that scan (breaking pushdown plan assertions in
+    # any test order where this runs first) — always unpersist on the way out
     docs = load_tables(spark, SF_SMALL)["documents"].cache()
-    got = {(r["doc_a"], r["doc_b"]) for r in minhash_near_dup_pairs(docs, 0.8).collect()}
-    want = _brute_force_pairs(docs, 0.8)
-    assert got == want, (got ^ want)
+    try:
+        got = {(r["doc_a"], r["doc_b"]) for r in minhash_near_dup_pairs(docs, 0.8).collect()}
+        want = _brute_force_pairs(docs, 0.8)
+        assert got == want, (got ^ want)
+    finally:
+        docs.unpersist()
 
 
 def test_ivfpq_ann_finds_planted_near_duplicates(spark, tmp_path):
