@@ -372,3 +372,65 @@ def join_self_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("prev_type"),
         (us - F.lag(us).over(w)).alias("gap_us"),
     )
+
+
+_SALT_R = 8  # replication factor for the salted-join demonstration
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED SHUFFLE JOIN — the hot-key scale technique at the JOIN level
+    (agg_salted_skew is its aggregation sibling): the fact side gets a
+    deterministic per-row salt in [0, R), the dim side is replicated
+    across all R salt values, and the join keys on (key, salt) — a key
+    whose rows would all land in ONE shuffle partition now spreads over R.
+    The salt is pure plan plumbing: it never reaches the output (asserted
+    in tests/test_plans.py along with the salted exchange), and the
+    declared result hash-matches the UNSALTED oracle join exactly.
+
+    The fixture's orderkeys are uniform, so this declares the TECHNIQUE
+    (plan shape), not a local speedup; at 100 TB you apply it when key
+    stats show a hot key, or let AQE skew-join split at runtime
+    (PARASLICE_AQE) — salting is the static fallback AQE can't cover,
+    e.g. when one key exceeds a single executor even after splits.  The
+    merge hint forces the shuffle path (a broadcast of the small fixture
+    dim would defeat the demonstration; at scale the dim side wouldn't
+    broadcast)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT_R)).cast("int"),
+    )
+    orders_rep = (
+        t["orders"]
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_R)]))
+        )
+    )
+    return (
+        li.hint("merge")
+        .join(
+            orders_rep,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (li["salt"] == orders_rep["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            cents_sum(rev_cents(), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_orderpriority")
+    )

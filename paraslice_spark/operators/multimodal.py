@@ -252,3 +252,113 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("media_id", "frame_idx")
     )
+
+
+_PH_BITS = 60  # dHash length: fits a non-negative int64, 4 bands x 15 bits
+_PH_BANDS = 4
+_PH_HAM = 3  # pair threshold: hamming <= 3 < n_bands => banding exhaustive
+
+
+def _phash_oracle() -> str:
+    """DuckDB ascii-twin of the dHash kernel: the media payload is the
+    utf-8 text (pure-ASCII corpus — byte i == code point of char i, the
+    multimodal_feature_extract equivalence), so ascii(substr(...)) rebuilds
+    every pixel byte and the 60 adjacent-compare bits exactly.  The oracle
+    verifies ALL pairs; the Spark plan blocks by band — exhaustive by
+    pigeonhole at hamming <= _PH_HAM."""
+    terms = " + ".join(
+        f"(CASE WHEN ascii(substr(text, {i + 1}, 1)) >"
+        f" ascii(substr(text, {i + 2}, 1))"
+        f" THEN CAST(1 AS BIGINT) ELSE 0 END) * {1 << i}"
+        for i in range(_PH_BITS)
+    )
+    return f"""
+    WITH h AS (SELECT doc_id, {terms} AS phash FROM documents),
+    p AS (SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+                 CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+          FROM h a JOIN h b ON a.doc_id < b.doc_id)
+    SELECT media_a, media_b, hamming FROM p WHERE hamming <= {_PH_HAM}
+    ORDER BY media_a, media_b
+    """
+
+
+@query("multimodal_phash_pairs", oracle=_phash_oracle())
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH NEAR-DUP PAIRS over the media column — the image
+    member of the dedup family (the classic image-dedup pipeline stage:
+    dHash each image, block on hash bands, verify by hamming distance).
+
+    The dHash kernel is the REAL multimodal path: numpy over the opaque
+    binary column inside mapInPandas (bit i = payload[i] > payload[i+1]
+    over the first 61 decoded "pixel" bytes — on a real deployment the
+    decode stub swap changes nothing downstream, the kernel still sees a
+    byte array).  Downstream is all JVM: the 60-bit hash splits into 4
+    15-bit bands, candidates come from a band equi-join (any pair at
+    hamming <= 3 must agree on >= 1 band — pigeonhole, so the blocked plan
+    is provably equal to the oracle's all-pairs scan), and the verify is
+    one codegen'd bit_count(xor).  Shuffles carry (band, id) and
+    (id, phash) longs only; at 100 TB the band join is the only
+    data-sized exchange.  On this corpus the surviving pairs all land at
+    hamming 0 (near-dups share their lead bytes verbatim); the 1-3 band
+    is exercised by the planted-perturbation test in
+    tests/test_multimodal.py."""
+    media = with_media_column(load_tables(spark, sf_dir)["documents"])
+    return phash_pairs(media)
+
+
+def phash_pairs(media: DataFrame) -> DataFrame:
+    """Core dHash + band-block + hamming-verify pipeline over any
+    (media_id, media) DataFrame — split out so tests can feed planted
+    byte-perturbed media (docstring/plan analysis on the declared query)."""
+    import numpy as np
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, buf in zip(pdf["media_id"], pdf["media"]):
+                p = np.frombuffer(bytes(buf)[8:], dtype=np.uint8)[: _PH_BITS + 1]
+                if len(p) < _PH_BITS + 1:
+                    p = np.pad(p, (0, _PH_BITS + 1 - len(p)))
+                bits = (p[:-1] > p[1:]).astype(np.int64)
+                hashes.append(int((bits << np.arange(_PH_BITS)).sum()))
+                ids.append(int(mid))
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    h = media.mapInPandas(dhash, "media_id long, phash long")
+    bands = h.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("bj"),
+                        F.shiftrightunsigned(F.col("phash"), 15 * j)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("bv"),
+                    )
+                    for j in range(_PH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", "b.bj", "b.bv")
+    a = bands.select(
+        F.col("media_id").alias("media_a"), F.col("phash").alias("ph_a"), "bj", "bv"
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"), F.col("phash").alias("ph_b"), "bj", "bv"
+    )
+    return (
+        a.join(b, ["bj", "bv"])
+        .where(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "ph_a", "ph_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long"),
+        )
+        .where(F.col("hamming") <= _PH_HAM)
+        .select("media_a", "media_b", "hamming")
+        .repartition(1)
+        .sortWithinPartitions("media_a", "media_b")
+    )

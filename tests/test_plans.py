@@ -312,3 +312,20 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     p = plan(QUERIES["text_decontaminate"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_salted_join_shuffles_on_key_plus_salt(spark):
+    """The salted join must exchange on (orderkey, salt) — the whole point
+    is spreading one hot key over R partitions — and the salt must never
+    survive into the declared output."""
+    df = QUERIES["join_salted_skew"](spark, SF_SMALL)
+    p = plan(df)
+    assert "SortMergeJoin" in p, p
+    import re
+
+    ex = [
+        m.group(0)
+        for m in re.finditer(r"Exchange hashpartitioning\([^)]*\)", p)
+    ]
+    assert any("salt" in e and "orderkey" in e for e in ex), ex
+    assert "salt" not in df.columns
