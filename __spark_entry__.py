@@ -32,7 +32,13 @@ from paraslice_spark.registry import ORACLES, QUERIES
 # rows-only driver row carries no hash information; the local rows-run
 # gate covers them every session).  Tier 3: everything graded r4/r5 —
 # standing fresh, tail position.
+# Order within T1 is itself priority: the two r6 rows-only→oracle
+# CONVERSIONS lead (a first-ever hash verdict beats a refresh), then the
+# vintage oracled; the three declared UDF demos sit last — with 23 r6
+# additions in tier 0 the ~50 sample cuts inside this tuple, and a thin
+# surface demo is the right thing to slip a round.
 _T1_VINTAGE_ORACLED: tuple[str, ...] = (
+    "tensor_slices", "dedup_minhash_pairs",
     "agg_rollup", "agg_stats", "agg_string_concat",
     "filter_between_in_like", "filter_compound", "filter_null_semantics",
     "filter_regexp", "join_anti", "join_broadcast_inner", "join_cross",
@@ -41,8 +47,7 @@ _T1_VINTAGE_ORACLED: tuple[str, ...] = (
     "project_arithmetic", "q10_returned_revenue", "q14_promo_share",
     "q3_shipping_priority", "reshape_unpivot", "scan_parquet",
     "scan_projection", "udf_grouped_map", "udf_pandas_vectorized",
-    "udf_scalar_py", "udf_udtf_tokenize", "tensor_slices",
-    "dedup_minhash_pairs",
+    "udf_scalar_py", "udf_udtf_tokenize",
 )
 _T2_VINTAGE_ROWSONLY: tuple[str, ...] = (
     "agg_approx_distinct", "agg_approx_quantile", "dedup_embedding_cosine",
