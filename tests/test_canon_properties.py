@@ -66,3 +66,26 @@ def test_window_percentile_formula_matches_numpy(values, p):
     ours = v[lo] + (h - lo) * (v[hi] - v[lo])
     ref = np.quantile(np.asarray(values), p)
     assert abs(ours - ref) <= 1e-9 * max(1.0, abs(ref))
+
+
+def test_phash_band_pigeonhole_invariant():
+    """Exhaustiveness proof-by-property for the phash banding: ANY two
+    60-bit hashes within hamming <= 3 share at least one of the 4 15-bit
+    bands (pigeonhole: 3 differing bits cannot touch 4 bands), so band
+    blocking loses no qualifying pair."""
+    import random
+
+    from paraslice_spark.operators.multimodal import _PH_BANDS, _PH_BITS, _PH_HAM
+
+    rng = random.Random(1234)
+    for _ in range(2000):
+        h = rng.getrandbits(_PH_BITS)
+        flips = rng.sample(range(_PH_BITS), rng.randint(0, _PH_HAM))
+        h2 = h
+        for b in flips:
+            h2 ^= 1 << b
+        bands = [
+            ((h >> (15 * j)) & 0x7FFF, (h2 >> (15 * j)) & 0x7FFF)
+            for j in range(_PH_BANDS)
+        ]
+        assert any(a == b for a, b in bands), (h, h2, flips)
