@@ -277,9 +277,9 @@ def test_q9_reduces_facts_before_fact_join(spark):
 
 def test_q21_exists_pair_is_one_aggregate_no_self_joins(spark):
     """The Spark-first Q21 decorrelation replaces EXISTS + NOT EXISTS with
-    ONE per-order countDistinct aggregate re-joined on l_orderkey — the
-    plan must contain no semi/anti joins and both heavy exchanges must key
-    on l_orderkey."""
+    one (order, supplier) aggregate + a window over l_orderkey — the plan
+    must contain no semi/anti joins and every heavy exchange must lead
+    with l_orderkey."""
     import re
 
     p = plan(QUERIES["q21_waiting_suppliers"](spark, SF_SMALL))
