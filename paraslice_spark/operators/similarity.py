@@ -1767,3 +1767,159 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions(F.desc("pagerank"), "vec_id")
     )
     return out
+
+
+_SL_PLANES_N = 32  # sign-LSH hyperplanes: 4 bands x 8 bits
+_SL_BANDS = 4
+
+
+def _sign_planes(n_planes: int = _SL_PLANES_N, dim: int = 64) -> list[list[int]]:
+    """±1 hyperplane matrix derived from md5 — a fixed public constant both
+    engines can state literally (no RNG to replicate).  Random ±1 entries
+    are a valid sign-LSH family (Achlioptas 2003 sparse projections /
+    Charikar 2002 simhash): sign(Σ ±v_i) agrees across a pair with
+    probability 1 − θ/π, same as Gaussian planes."""
+    import hashlib
+
+    return [
+        [
+            1
+            if (int(hashlib.md5(f"plane{p}dim{i}".encode()).hexdigest(), 16) & 1) == 0
+            else -1
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+_SL_PLANES = _sign_planes()
+
+
+def _signlsh_oracle() -> str:
+    bit_exprs = ",\n       ".join(
+        f"CASE WHEN list_dot_product(mv, {_SL_PLANES[p]}) > 0"
+        f" THEN 1 ELSE 0 END AS bit{p}"
+        for p in range(_SL_PLANES_N)
+    )
+    bucket_exprs = ",\n       ".join(
+        "(" + " + ".join(f"bit{b * 8 + j} * {1 << j}" for j in range(8)) + f") AS bk{b}"
+        for b in range(_SL_BANDS)
+    )
+    band_match = " OR ".join(f"q.bk{b} = c.bk{b}" for b in range(_SL_BANDS))
+    return f"""
+    WITH m AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x*1000000) AS BIGINT)) AS mv
+      FROM embeddings),
+    bits AS (SELECT vec_id, mv, {bit_exprs} FROM m),
+    sig AS (SELECT vec_id, mv, list_dot_product(mv, mv) AS sd,
+       {bucket_exprs} FROM bits),
+    cand AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.mv, c.mv)
+                   / (sqrt(q.sd) * sqrt(c.sd)), 6) AS cos
+      FROM sig q JOIN sig c
+        ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+       AND ({band_match}))
+    SELECT q_id, neighbor_id, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM cand
+    ) WHERE rn <= {_TOP_K}
+    ORDER BY q_id, neighbor_id
+    """
+
+
+@query("similarity_signlsh_ann", oracle=_signlsh_oracle())
+def similarity_signlsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIGN-LSH ANN, fully HASH-ORACLED — the deterministic member of the
+    ANN family (similarity_lsh_ann / _ivf_ann / _ivfpq_ann stay rows-only
+    because their bucketing is ml-lib- or float-iteration-internal; this
+    one's entire model is a stated md5 constant, so DuckDB rebuilds
+    buckets, candidates, and scores digit-for-digit).
+
+    Determinism stack (the r5 simhash/minhash playbook applied to
+    embeddings): (1) micro-unit int64 quantization of the vectors
+    (F.round half-away = DuckDB round; lossless bound: |x| ≤ 0.58 → |m| ≤
+    6e5, 64-dim dot ≤ 2.3e13 ≪ 2^53, so even a double-accumulating
+    engine sums EXACT integers); (2) ±1 planes make each signature bit a
+    strict integer-sum sign; (3) the re-rank cosine divides two
+    deterministic doubles (exact-int dot, sqrt of exact-int self-dot) —
+    one IEEE op each, bit-identical cross-engine, then ROUND 6.
+
+    Plan: signatures + self-dots are ONE codegen projection over the
+    corpus scan (no UDF, no shuffle); the 4×8-bit band buckets of the
+    query rows (vec_id < {N}) broadcast; candidates = band equi-collision
+    (IDs only through the distinct), vectors join back for the re-rank,
+    window top-k per query.  Corpus scanned once, never cross-joined —
+    the oracle's all-pairs form is the spec, not the plan.  Recall at
+    this band width is the honest tradeoff (near-orthogonal pairs
+    collide ~1.5%/query; planted near-dups collide ~always — recall
+    property-tested in tests/test_similarity.py)."""
+    return signlsh_ann(load_tables(spark, sf_dir)["embeddings"])
+
+
+def signlsh_ann(e: DataFrame) -> DataFrame:
+    """Core sign-LSH ANN over any (vec_id, embedding) DataFrame — split out
+    so tests can plant near-duplicate vectors (analysis on the declared
+    query's docstring)."""
+    mv = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") * 1000000).cast("long"))
+    base = e.select("vec_id", mv.alias("mv"))
+
+    def dot(a, b):  # exact int64 dot of two micro-unit arrays
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def bucket(b: int):
+        terms = None
+        for j in range(8):
+            p = b * 8 + j
+            plane = F.array(*[F.lit(v) for v in _SL_PLANES[p]])
+            bit = F.when(dot(F.col("mv"), plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            terms = bit if terms is None else terms + bit
+        return terms
+
+    sig = base.select(
+        "vec_id",
+        "mv",
+        dot(F.col("mv"), F.col("mv")).alias("sd"),
+        F.array(*[bucket(b) for b in range(_SL_BANDS)]).alias("bks"),
+    )
+    bands = sig.select(
+        "vec_id", F.posexplode("bks").alias("band", "bucket")
+    )
+    q_bands = bands.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "band", "bucket"
+    )
+    cand = (
+        bands.join(F.broadcast(q_bands), ["band", "bucket"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qs = sig.select(
+        F.col("vec_id").alias("q_id"), F.col("mv").alias("q_mv"), F.col("sd").alias("q_sd")
+    )
+    ns = sig.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("mv").alias("n_mv"), F.col("sd").alias("n_sd")
+    )
+    cos = rnd(
+        dot(F.col("q_mv"), F.col("n_mv"))
+        / (F.sqrt(F.col("q_sd")) * F.sqrt(F.col("n_sd"))),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        cand.join(F.broadcast(qs), "q_id")
+        .join(ns, "neighbor_id")
+        .select("q_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .select("q_id", "neighbor_id", "cos")
+        .repartition(1)
+        .sortWithinPartitions("q_id", "neighbor_id")
+    )

@@ -212,3 +212,23 @@ def test_knn_graph_survives_zero_norm_embedding(spark, tmp_path):
     mine = [r for r in got if r["vec_id"] == 0]
     assert len(mine) == _KNN_K, mine  # row not dropped
     assert all(math.isfinite(r["cos"]) and abs(r["cos"]) < 1e-9 for r in mine), mine
+
+
+def test_signlsh_ann_finds_planted_near_duplicates(spark):
+    """Recall property for the hash-oracled sign-LSH ANN: an exact copy of
+    each query vector shares every signature band with it, so it MUST
+    surface as the top-1 neighbor at cos = 1.0."""
+    from paraslice_spark.operators.similarity import signlsh_ann
+
+    base = load_tables(spark, SF_SMALL)["embeddings"]
+    dups = base.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    out = signlsh_ann(base.unionByName(dups)).collect()
+    top1 = {}
+    for r in out:
+        if r["q_id"] not in top1 or r["cos"] > top1[r["q_id"]][1]:
+            top1[r["q_id"]] = (r["neighbor_id"], r["cos"])
+    for q in range(5):
+        nid, cos = top1[q]
+        assert nid == q + 10000 and cos == 1.0, (q, top1[q])
