@@ -1795,6 +1795,14 @@ def _sign_planes(n_planes: int = _SL_PLANES_N, dim: int = 64) -> list[list[int]]
 _SL_PLANES = _sign_planes()
 
 
+def _sl_plane_mat():
+    """±1 plane matrix as int64 numpy (lazy: keeps numpy import out of
+    module import for executors that only need other operators)."""
+    import numpy as np
+
+    return np.asarray(_SL_PLANES, dtype=np.int64)
+
+
 def _signlsh_oracle() -> str:
     bit_exprs = ",\n       ".join(
         f"CASE WHEN list_dot_product(mv, {_SL_PLANES[p]}) > 0"
@@ -1848,9 +1856,13 @@ def similarity_signlsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic doubles (exact-int dot, sqrt of exact-int self-dot) —
     one IEEE op each, bit-identical cross-engine, then ROUND 6.
 
-    Plan: signatures + self-dots are ONE codegen projection over the
-    corpus scan (no UDF, no shuffle); the 4×8-bit band buckets of the
-    query rows (vec_id < {N}) broadcast; candidates = band equi-collision
+    Plan: micro-unit quantization + self-dots are codegen; the 32 plane
+    dots are ONE int64 numpy matmul per Arrow batch (a literal-heavy
+    zip_with/aggregate form was tried first and measured 5.2 s at sf0.1 —
+    expression COMPILATION, not data, was the cost; the kernel form is
+    1.1 s and bit-identical because everything stays integer).  No
+    shuffle before the bands; the 4×8-bit band buckets of the query rows
+    (vec_id < {N}) broadcast; candidates = band equi-collision
     (IDs only through the distinct), vectors join back for the re-rank,
     window top-k per query.  Corpus scanned once, never cross-joined —
     the oracle's all-pairs form is the spec, not the plan.  Recall at
@@ -1874,20 +1886,31 @@ def signlsh_ann(e: DataFrame) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    def bucket(b: int):
-        terms = None
-        for j in range(8):
-            p = b * 8 + j
-            plane = F.array(*[F.lit(v) for v in _SL_PLANES[p]])
-            bit = F.when(dot(F.col("mv"), plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            terms = bit if terms is None else terms + bit
-        return terms
+    def buckets_fn(mv_series):  # pd.Series of int64 arrays -> band buckets
+        # ONE integer matmul per Arrow batch replaces 32 zip_with/aggregate
+        # expression trees (the literal-heavy codegen form measured 5.2 s
+        # at sf0.1 — dominated by expression compilation, not data).  All
+        # int64: bit-exact by construction, same numbers as the oracle.
+        import numpy as np
+        import pandas as pd
 
+        m = np.stack(mv_series.to_numpy()).astype(np.int64)
+        bits = (m @ _sl_plane_mat().T) > 0  # (n, 32) integer-dot signs
+        pack = (1 << np.arange(8)).astype(np.int64)
+        out = np.stack(
+            [bits[:, b * 8 : (b + 1) * 8] @ pack for b in range(_SL_BANDS)],
+            axis=1,
+        )
+        return pd.Series(list(out))
+
+    from pyspark.sql.functions import pandas_udf
+
+    buckets_udf = pandas_udf(buckets_fn, "array<long>")
     sig = base.select(
         "vec_id",
         "mv",
         dot(F.col("mv"), F.col("mv")).alias("sd"),
-        F.array(*[bucket(b) for b in range(_SL_BANDS)]).alias("bks"),
+        buckets_udf("mv").alias("bks"),
     )
     bands = sig.select(
         "vec_id", F.posexplode("bks").alias("band", "bucket")
