@@ -479,33 +479,51 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold compares integers (shared*2 ≥ n, no float cut).  The
     oracle mirrors it gram-for-gram in DuckDB."""
     d = load_tables(spark, sf_dir)["documents"]
+    out = decontaminate_pairs(
+        d.where(F.col("source") != "src0"),
+        bench_gram_index(d.where(F.col("source") == "src0")),
+    )
+    return out.repartition(1).sortWithinPartitions("train_doc", "bench_doc")
+
+
+def distinct_bigrams() -> "F.Column":
+    """Per-doc DISTINCT word-bigram array (array-native, no Python)."""
     words = F.split("text", " ")
     n = F.size(words)
-    bigrams = F.array_distinct(
+    return F.array_distinct(
         F.zip_with(
             F.slice(words, 1, n - 1),
             F.slice(words, 2, n - 1),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
     )
-    grams = d.select("doc_id", "source", F.explode(bigrams).alias("gram"))
-    # ONE broadcast index carrying the per-doc gram count inline (a window
-    # over the bench grams) instead of a second bn-aggregate broadcast: one
-    # broadcast build instead of two.  Local sf0.1 cost is flat (~1.6 s —
-    # all fixed stage overhead at this corpus size); the point is one fewer
-    # job re-scanning the benchmark set per run at scale.
-    bench = (
-        grams.where(F.col("source") == "src0")
-        .select(F.col("doc_id").alias("bench_doc"), "gram")
-        .withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy("bench_doc"))
+
+
+def bench_gram_index(bench_docs: DataFrame) -> DataFrame:
+    """(gram, bench_doc, n) inverted index of the benchmark set — ONE
+    broadcastable table carrying the per-doc gram count inline (a window
+    over the bench grams) instead of a second aggregate broadcast: one
+    broadcast build per run instead of two.  Local sf0.1 cost is flat
+    (~1.6 s — all fixed stage overhead at this corpus size)."""
+    return (
+        bench_docs.select(
+            F.col("doc_id").alias("bench_doc"),
+            F.explode(distinct_bigrams()).alias("gram"),
         )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("bench_doc")))
     )
-    train = grams.where(F.col("source") != "src0").select(
-        F.col("doc_id").alias("train_doc"), "gram"
+
+
+def decontaminate_pairs(train_docs: DataFrame, bench_index: DataFrame) -> DataFrame:
+    """Core containment join: works identically over a batch train side or
+    a readStream one (stream-static broadcast join + streaming agg — see
+    streaming.streams.stream_decontaminate)."""
+    train = train_docs.select(
+        F.col("doc_id").alias("train_doc"),
+        F.explode(distinct_bigrams()).alias("gram"),
     )
     return (
-        train.join(F.broadcast(bench), "gram")
+        train.join(F.broadcast(bench_index), "gram")
         .groupBy("train_doc", "bench_doc", "n")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .where(F.col("shared_grams") * 2 >= F.col("n"))
@@ -515,6 +533,4 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shared_grams",
             rnd(F.col("shared_grams") / F.col("n"), 6).alias("containment"),
         )
-        .repartition(1)
-        .sortWithinPartitions("train_doc", "bench_doc")
     )

@@ -720,3 +720,36 @@ def kafka_events_stream(
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return parse_kafka_events(reader.load())
+
+
+def documents_file_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """readStream over a directory of documents-schema parquet files, one
+    file per micro-batch (deterministic replay for the pipeline twins)."""
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(directory)
+    )
+
+
+def stream_decontaminate(train_stream: DataFrame, bench_index: DataFrame) -> DataFrame:
+    """STREAM-STATIC DECONTAMINATION — the streaming member of the
+    pipeline family: training documents arrive as a stream, the benchmark
+    gram index is the static broadcast side (eval suites change rarely and
+    are tiny), and each arriving doc's containment against every benchmark
+    doc is computed incrementally.
+
+    Stateless per-doc up to the aggregation: explode grams → broadcast
+    hash join; the (train_doc, bench_doc) shared-gram counts are a
+    streaming aggregation whose state is one long per contaminated-pair
+    candidate.  A doc's grams arrive within one micro-batch (file-granular
+    source), so complete-mode output equals the batch operator on the
+    union of all files — replay-equality asserted whole-corpus and across
+    shard boundaries in tests/test_streaming.py.  At scale, key the state
+    TTL/watermark to the ingest session; the filter and division happen
+    post-aggregation so late gram increments can only move a pair TOWARD
+    the threshold, never emit-then-retract."""
+    from paraslice_spark.operators.text import decontaminate_pairs
+
+    return decontaminate_pairs(train_stream, bench_index)

@@ -329,3 +329,20 @@ def test_salted_join_shuffles_on_key_plus_salt(spark):
     ]
     assert any("salt" in e and "orderkey" in e for e in ex), ex
     assert "salt" not in df.columns
+
+
+def test_q12_pushes_shipdate_band_to_scan(spark):
+    """q12's 1997 ship-year band must reach the lineitem parquet scan; the
+    late predicate (references both sides) stays a join residual."""
+    p = plan(QUERIES["q12_late_lines_priority"](spark, SF_SMALL))
+    pushed = [seg.split("]")[0] for seg in p.split("PushedFilters: [")[1:]]
+    assert any("l_shipdate" in s for s in pushed), pushed
+
+
+def test_q16_excludes_suppliers_via_broadcast_anti(spark):
+    """q16's NOT-IN supplier exclusion must be a broadcast LEFT ANTI (the
+    excluded set is a handful of rows), and countDistinct must be the
+    two-phase expand (>= 2 HashAggregate pairs)."""
+    p = plan(QUERIES["q16_supplier_part_counts"](spark, SF_SMALL))
+    assert "LeftAnti, BuildRight" in p or ("LeftAnti" in p and "Broadcast" in p), p
+    assert p.count("HashAggregate") >= 4, p

@@ -682,3 +682,38 @@ def test_stream_cumulative_distinct_state_spans_batches(spark, tmp_path):
     streams.run_to_memory(streams.stream_cumulative_distinct(stream), name, "append")
     got = _rows(spark.table(name), "event_id", "n_distinct_types")
     assert got == [(1, 1), (2, 2), (3, 2), (4, 3)], got
+
+
+def test_stream_decontaminate_equals_batch(spark, tmp_path):
+    """Pipeline twin: streaming the train docs (two shards, one per
+    micro-batch) through the stream-static decontamination must reproduce
+    the batch text_decontaminate rows exactly."""
+    from paraslice_spark.operators.text import bench_gram_index
+    from paraslice_spark.registry import QUERIES
+    from paraslice_spark.sources.io import load_tables
+
+    d = load_tables(spark, SF_SMALL)["documents"]
+    train_dir = str(tmp_path / "train_docs")
+    # two shards -> two micro-batches; each doc wholly inside one file
+    d.where((F.col("source") != "src0") & (F.col("doc_id") % 2 == 0)).coalesce(
+        1
+    ).write.mode("append").parquet(train_dir)
+    d.where((F.col("source") != "src0") & (F.col("doc_id") % 2 == 1)).coalesce(
+        1
+    ).write.mode("append").parquet(train_dir)
+
+    bench = bench_gram_index(d.where(F.col("source") == "src0"))
+    stream = streams.documents_file_stream(spark, train_dir)
+    name = "decontam_stream"
+    streams.run_to_memory(
+        streams.stream_decontaminate(stream, bench), name, "complete"
+    )
+    got = {
+        (r["train_doc"], r["bench_doc"], r["shared_grams"], r["containment"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["train_doc"], r["bench_doc"], r["shared_grams"], r["containment"])
+        for r in QUERIES["text_decontaminate"](spark, SF_SMALL).collect()
+    }
+    assert got == want and len(want) > 0, (got ^ want, len(want))
