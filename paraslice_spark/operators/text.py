@@ -534,3 +534,85 @@ def decontaminate_pairs(train_docs: DataFrame, bench_index: DataFrame) -> DataFr
             rnd(F.col("shared_grams") / F.col("n"), 6).alias("containment"),
         )
     )
+
+
+@query(
+    "pipeline_dataset_build",
+    oracle="""
+    WITH survivors AS (
+      SELECT doc_id, text, lang, source FROM (
+        SELECT doc_id, text, lang, source,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                 AS rn
+        FROM documents
+        WHERE source <> 'src0' AND len(string_split(text, ' ')) >= 20
+      ) WHERE rn = 1),
+    bg AS (SELECT doc_id, source, words[i.i] || ' ' || words[i.i + 1] AS gram
+           FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+                 FROM documents) w
+           CROSS JOIN LATERAL (SELECT unnest(range(1, len(words))) AS i) i),
+    g AS (SELECT DISTINCT doc_id, source, gram FROM bg),
+    bench AS (SELECT doc_id, gram FROM g WHERE source = 'src0'),
+    bn AS (SELECT doc_id, COUNT(*) AS n FROM bench GROUP BY 1),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM g t
+      JOIN bench b ON t.gram = b.gram AND t.source <> 'src0'
+      JOIN bn ON bn.doc_id = b.doc_id
+      GROUP BY t.doc_id, b.doc_id, bn.n
+      HAVING COUNT(*) * 2 >= bn.n),
+    clean AS (SELECT * FROM survivors
+              WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    lab AS (
+      SELECT lang,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                  THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM clean)
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def pipeline_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END DATASET BUILD — the r6 pipeline ops composed into one
+    declared query (the pipeline_curriculum pattern for the new family):
+    quality gate (≥ 20 words) → exact dedup (min doc_id per md5(text)) →
+    BENCHMARK DECONTAMINATION (drop any doc containing ≥ half of a src0
+    benchmark doc's distinct bigrams) → content-hash train/val/test
+    split → per-(split, lang) audit counts.
+
+    Every stage is a scan filter, one hash shuffle, a broadcast gram
+    join, or an id-only anti join — document text never moves after the
+    dedup hash; the contaminated-id set (tiny: overlaps are rare by
+    construction at any scale) broadcasts into the anti join.  Reuses
+    bench_gram_index / decontaminate_pairs verbatim, so the streaming
+    twin (stream_decontaminate) stays behaviorally identical to the
+    stage this pipeline runs."""
+    d = load_tables(spark, sf_dir)["documents"]
+    train_all = d.where(F.col("source") != "src0")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    survivors = (
+        train_all.where(F.size(F.split("text", " ")) >= 20)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )
+    contaminated = (
+        decontaminate_pairs(
+            train_all, bench_gram_index(d.where(F.col("source") == "src0"))
+        )
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
+    return (
+        survivors.join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .repartition(1)
+        .sortWithinPartitions("split", "lang")
+    )
