@@ -22,21 +22,18 @@ from paraslice_spark.registry import ORACLES, QUERIES
 # encodes grading priority.  Round-6 re-tier (VERDICT r5 item #1, the final
 # refresh): the r5 sample cutoff landed after agg_pricing_summary, leaving
 # exactly 39 names whose newest driver verdict still pre-dates the r4
-# testdata regeneration.  Tier 0 (no tuple): the 20 queries ADDED in r6 —
-# a first verdict beats any refresh.  Tier 1: the 30 hash-oracled names
-# owed a fresh hash verdict — the 28 oracled vintage plus tensor_slices
-# and dedup_minhash_pairs, which were rows-only until their r6 oracle
-# conversions (checksum-column / md5-affine signatures).  Tier 2: the 9
-# remaining rows-only-by-design vintage — 20 + 30 fills the ~50 sample,
-# so these keep their standing r2 rows-only verdicts one more round (a
-# rows-only driver row carries no hash information; the local rows-run
-# gate covers them every session).  Tier 3: everything graded r4/r5 —
-# standing fresh, tail position.
-# Order within T1 is itself priority: the two r6 rows-only→oracle
-# CONVERSIONS lead (a first-ever hash verdict beats a refresh), then the
-# vintage oracled; the three declared UDF demos sit last — with 23 r6
-# additions in tier 0 the ~50 sample cuts inside this tuple, and a thin
-# surface demo is the right thing to slip a round.
+# testdata regeneration.  Tier 0 (no tuple): the 25 ORACLED queries added
+# in r6 — a first hash verdict beats any refresh.  Tier 1: the 30
+# hash-oracled names owed a fresh hash verdict — the 28 oracled vintage
+# led by tensor_slices and dedup_minhash_pairs, which were rows-only
+# until their r6 oracle conversions (checksum-column / md5-affine
+# signatures); the ~50 sample cuts inside this tuple, so its ORDER is
+# priority too and the thin UDF surface demos sit last (the right thing
+# to slip a round).  Tier 2: the rows-only-by-design names (9 vintage +
+# tucker_hosvd_core, new but deliberately non-displacing) — a rows-only
+# driver row carries no hash information; the local rows-run gate covers
+# them every session.  Tier 3: everything graded r4/r5 — standing fresh,
+# tail position.
 _T1_VINTAGE_ORACLED: tuple[str, ...] = (
     "tensor_slices", "dedup_minhash_pairs",
     "agg_rollup", "agg_stats", "agg_string_concat",
@@ -54,6 +51,10 @@ _T2_VINTAGE_ROWSONLY: tuple[str, ...] = (
     "parafac_cp_als", "parafac_cp_als_dist",
     "parafac_factors_a", "sample_bernoulli", "similarity_ivf_ann",
     "similarity_lsh_ann",
+    # new r6 rows-only (not vintage): tiered here ON PURPOSE so it cannot
+    # displace an oracled name from the ~50 sample — a rows-only verdict
+    # carries no hash information; r7's re-tier promotes it with the rest.
+    "tucker_hosvd_core",
 )
 _T3_FRESH: tuple[str, ...] = (
     # r5-graded …

@@ -112,3 +112,63 @@ def test_fixture_tensor_decomposes(spark):
     assert 0.0 < model.fit <= 1.0
     assert model.n_iter >= 2
     assert model.shape[1] == 5  # 5 event types
+
+
+def _dense_from(spark_coords, shape):
+    X = np.zeros(shape)
+    for r in spark_coords.collect():
+        X[r["i"], r["j"], r["k"]] = r["v"]
+    return X
+
+
+def test_tucker_factors_orthonormal(spark):
+    from paraslice_spark.operators.tensor import tucker_hosvd
+
+    coords = _planted_coords(spark, seed=3)
+    m = tucker_hosvd(spark, coords, ranks=(3, 3, 3))
+    assert np.allclose(m.B.T @ m.B, np.eye(3), atol=1e-10)
+    assert np.allclose(m.C.T @ m.C, np.eye(3), atol=1e-10)
+    # distributed A: gram of collected rows must be orthonormal too
+    blocks = m.a_rows.collect()
+    A = np.concatenate([rows for _, rows in blocks])
+    assert np.allclose(A.T @ A, np.eye(3), atol=1e-8)
+
+
+def test_tucker_full_rank_reconstructs_exactly(spark):
+    """With untruncated ranks, HOSVD is an orthogonal change of basis —
+    reconstruction must reproduce the tensor to float round-off."""
+    from paraslice_spark.operators.tensor import tucker_hosvd
+
+    si, sj, sk = 12, 6, 10
+    coords = _planted_coords(spark, si=si, sj=sj, sk=sk, seed=5)
+    X = _dense_from(coords, (si, sj, sk))
+    m = tucker_hosvd(spark, coords, ranks=(si, sj, sk))
+    ids = np.concatenate([i for i, _ in m.a_rows.collect()])
+    A = np.concatenate([rows for _, rows in m.a_rows.collect()])
+    # reorder rows into slice order
+    A_full = np.zeros_like(A)
+    A_full[ids] = A
+    Xhat = np.einsum("ip,pqr,jq,kr->ijk", A_full, m.core, m.B, m.C)
+    assert np.allclose(Xhat, X, atol=1e-8), np.abs(Xhat - X).max()
+
+
+def test_tucker_energy_monotone_in_rank(spark):
+    from paraslice_spark.operators.tensor import tucker_hosvd
+
+    coords = _planted_coords(spark, seed=13)
+    energies = [
+        tucker_hosvd(spark, coords, ranks=(r, r, r)).energy for r in (1, 2, 3)
+    ]
+    total = float((_dense_from(coords, (12, 6, 10)) ** 2).sum())
+    assert energies[0] <= energies[1] <= energies[2] <= total * (1 + 1e-9)
+    # planted rank-3 tensor: 3 Tucker ranks capture everything
+    assert energies[2] >= 0.999 * total
+
+
+def test_tucker_declared_query_runs(spark):
+    from paraslice_spark.registry import QUERIES
+
+    df = QUERIES["tucker_hosvd_core"](spark, SF_SMALL)
+    rows = df.collect()
+    assert len(rows) == 27  # 3x3x3 core
+    assert all(r["core_abs"] >= 0 for r in rows)
