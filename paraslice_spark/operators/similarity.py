@@ -1946,3 +1946,72 @@ def signlsh_ann(e: DataFrame) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("q_id", "neighbor_id")
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+      FROM base a CROSS JOIN base b
+      WHERE a.vec_id != b.vec_id
+    ),
+    knn AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= {{k}}
+    ),
+    e AS (
+      SELECT DISTINCT LEAST(vec_id, neighbor_id) AS u,
+                      GREATEST(vec_id, neighbor_id) AS v
+      FROM knn
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """.replace("{k}", str(_KNN_K)),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNT over the exact k-NN graph — the clustering-structure
+    diagnostic of the similarity family (triangles/edges ≈ how clique-like
+    the neighborhoods are; a corpus of near-dup clusters scores high, a
+    uniform random corpus near zero).
+
+    Exact and integer-deterministic: undirected-canonicalize the kNN edge
+    set (u < v, distinct), then the standard two-join enumeration — each
+    triangle {{a<b<c}} is counted exactly once as e(a,b) ⋈ e(b,c) ⋈
+    e(a,c).  The canonical u<v orientation IS the degree-ordering trick
+    of the node-iterator algorithm (Schank & Wagner 2005): every join
+    fans out only along each node's higher-id adjacency, bounding the
+    intermediate at Σ d⁺(v)² instead of Σ d(v)².  Edge count rides along
+    for the density ratio.  Edges come from the memoized kNN table; all
+    three join sides are the same id-pair table (n·k rows — at 100 TB
+    this is the op you run AFTER blocking, never on raw pairs)."""
+    knn = _knn_graph_cached(spark, sf_dir)
+    e = (
+        knn.select(
+            F.least("vec_id", "neighbor_id").alias("u"),
+            F.greatest("vec_id", "neighbor_id").alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tri.crossJoin(F.broadcast(edges))
