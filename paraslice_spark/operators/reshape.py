@@ -711,3 +711,82 @@ def sample_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("split", "lang")
     )
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS np
+      FROM events GROUP BY 1),
+    u AS (
+      SELECT user_id % 2 AS variant,
+             COUNT(*) AS n_users,
+             COUNT(CASE WHEN np >= 10 THEN 1 END) AS n_converted
+      FROM s GROUP BY 1),
+    w AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+             MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+             MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+             MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+      FROM u)
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+           CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+           ROUND((c0 * 1.0 / n0), 6) AS p0,
+           ROUND((c1 * 1.0 / n1), 6) AS p1,
+           ROUND(((c1 * 1.0 / n1) - (c0 * 1.0 / n0))
+                 / sqrt(((c0 + c1) * 1.0 / (n0 + n1))
+                        * (1.0 - ((c0 + c1) * 1.0 / (n0 + n1)))
+                        * ((1.0 / n0) + (1.0 / n1))), 6) AS z_score
+    FROM w
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION A/B TEST over user conversion — the experimentation
+    primitive of the product-analytics family: variant = user_id parity
+    (the fixture's stand-in for an assignment column), conversion = HEAVY
+    PURCHASER (≥ 10 purchase events — every fixture user fires ≥ 1
+    purchase, which would pin both rates at exactly 1.0 and make the
+    pooled-variance z divide by zero), z = (p1−p0)/√(p̂(1−p̂)(1/n0+1/n1))
+    with the pooled p̂.
+
+    Cross-engine determinism: every input to the float formula is an
+    EXACT integer count (countDistinct), and Spark and the oracle state
+    the identical expression tree — each division/multiplication is then
+    the same IEEE op on the same bits, so even the z-score matches at
+    rnd(6) with no micro-unit machinery.  Plan: ONE user-keyed shuffle
+    (the per-user purchase count, map-side combined), a 2-row variant
+    agg, a 1-row projection."""
+    ev = load_tables(spark, sf_dir)["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("np")
+    )
+    u = (
+        per_user.groupBy((F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count(F.when(F.col("np") >= 10, 1)).alias("n_converted"),
+        )
+    )
+    w = u.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0") * 1.0 / F.col("n0")
+    p1 = F.col("c1") * 1.0 / F.col("n1")
+    pooled = (F.col("c0") + F.col("c1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(
+        pooled * (1.0 - pooled) * ((1.0 / F.col("n0")) + (1.0 / F.col("n1")))
+    )
+    return w.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.round(z, 6).alias("z_score"),
+    )

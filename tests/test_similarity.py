@@ -232,3 +232,28 @@ def test_signlsh_ann_finds_planted_near_duplicates(spark):
     for q in range(5):
         nid, cos = top1[q]
         assert nid == q + 10000 and cos == 1.0, (q, top1[q])
+
+
+def test_knn_graph_invariant_to_block_count(spark, monkeypatch):
+    """The declared kNN result must be identical for any tile-grid size —
+    B is a pure physical knob (the 100 TB scaling lever); if changing it
+    moved a declared value, the margin/rounding analysis would be wrong."""
+    import paraslice_spark.operators.similarity as sim
+
+    base = sim._knn_graph(spark, SF_SMALL)
+    rows_8 = {tuple(r) for r in base.collect()}
+    monkeypatch.setattr(sim, "_KNN_BLOCKS", 3)
+    rows_3 = {tuple(r) for r in sim._knn_graph(spark, SF_SMALL).collect()}
+    assert rows_8 == rows_3 and rows_8
+
+
+def test_signlsh_ann_invariant_to_partitioning(spark):
+    """Sign-LSH output is a pure function of the data: repartitioning the
+    input must not move a single declared row (integer signatures + exact
+    int dots leave no accumulation-order freedom)."""
+    from paraslice_spark.operators.similarity import signlsh_ann
+
+    e = load_tables(spark, SF_SMALL)["embeddings"]
+    a = {tuple(r) for r in signlsh_ann(e).collect()}
+    b = {tuple(r) for r in signlsh_ann(e.repartition(17)).collect()}
+    assert a == b and a
