@@ -28,13 +28,17 @@ import json
 import os
 from collections.abc import Iterator, Sequence
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -96,6 +100,9 @@ class JsonlEventsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return JsonlEventsReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "DataSourceWriter":
+        return JsonlEventsWriter(self.options, overwrite)
 
 
 _TYPES = ("view", "click", "purchase", "signup", "error")
@@ -160,3 +167,49 @@ class SyntheticEventsDataSource(DataSource):
 def register_python_sources(spark) -> None:
     spark.dataSource.register(JsonlEventsDataSource)
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    tmp_path: str
+    rows: int
+
+
+class JsonlEventsWriter(DataSourceWriter):
+    """Batch writer with the real two-phase commit protocol: every task
+    writes to a uuid temp file and returns a commit message; only the
+    DRIVER's commit() renames the temp shards into place, so a failed or
+    speculatively-duplicated task leaves nothing visible (abort() removes
+    its temps).  This is exactly the contract JVM FileCommitProtocol
+    implements for the built-in sinks."""
+
+    def __init__(self, options, overwrite: bool):
+        self.directory = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _ShardCommit:
+        import uuid
+
+        os.makedirs(self.directory, exist_ok=True)
+        tmp = os.path.join(self.directory, f".tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _ShardCommit(tmp_path=tmp, rows=n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for name in os.listdir(self.directory):
+                if name.endswith(".jsonl") and not name.startswith(".tmp-"):
+                    os.remove(os.path.join(self.directory, name))
+        for i, m in enumerate(m for m in messages if m is not None):
+            os.rename(
+                m.tmp_path, os.path.join(self.directory, f"shard{i}.jsonl")
+            )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)

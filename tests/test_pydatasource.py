@@ -83,3 +83,24 @@ def test_synthetic_stream_source_deterministic_batches(spark):
     q.awaitTermination()
     got = {tuple(r) for r in spark.table("pysrc_stream").collect()}
     assert got == {synthetic_event(i) for i in range(40)}, len(got)
+
+
+def test_jsonl_writer_round_trip_and_commit_protocol(spark, tmp_path):
+    """df.write through the custom writer -> visible shards only after the
+    driver commit (no .tmp- files left), and reading back reproduces the
+    rows exactly."""
+    register_python_sources(spark)
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = str(tmp_path / "out_jsonl")
+    ev.repartition(4).write.format("paraslice_jsonl").option("path", out).mode(
+        "append"
+    ).save()
+    import os
+
+    names = sorted(os.listdir(out))
+    assert all(n.endswith(".jsonl") and not n.startswith(".tmp-") for n in names)
+    assert len(names) == 4  # one committed shard per task
+    back = spark.read.format("paraslice_jsonl").option("path", out).load()
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in ev.collect()}
