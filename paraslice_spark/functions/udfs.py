@@ -154,3 +154,38 @@ def tokenize_udtf(events_or_docs: DataFrame, col: str = "text") -> DataFrame:
 def udf_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     return tokenize_udtf(d)
+
+
+def make_split_fixed_udtf():
+    """X5b: a REAL Python UDTF (``@udtf``, Spark 3.5+) — and a POLYMORPHIC
+    one: ``analyze()`` computes the output schema from the literal width
+    argument at plan time, so ``split_fixed(text, 3)`` yields columns
+    (w0, w1, w2) while ``split_fixed(text, 5)`` yields five — the dynamic-
+    schema contract the legacy mapInPandas UDTF shape (tokenize_udtf)
+    cannot express.  Rows stream from ``eval`` per input row; registered
+    for SQL via ``spark.udtf.register`` so it composes with LATERAL.
+
+    Built lazily (like the pandas UDFs): decorator construction touches
+    type-conversion machinery best kept off module import."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitFixed:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int) or n.value < 1:
+                raise ValueError("split_fixed(text, n): n must be a positive int literal")
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=schema.add("n_words", IntegerType()))
+
+        def eval(self, text: str, n: int):
+            words = (text or "").split(" ")
+            yield tuple(words[i] if i < len(words) else None for i in range(n)) + (
+                len(words),
+            )
+
+    return SplitFixed

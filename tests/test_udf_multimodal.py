@@ -51,3 +51,39 @@ def test_multimodal_frame_sample_every_4(spark):
 def test_decode_stub_rejects_real_formats():
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_polymorphic_udtf_schema_follows_literal_width(spark):
+    """X5b: the real @udtf with analyze() — output schema is computed at
+    plan time from the literal width; values line up with split()."""
+    from pyspark.sql.functions import lit
+
+    from paraslice_spark.functions.udfs import make_split_fixed_udtf
+
+    split_fixed = make_split_fixed_udtf()
+    out3 = split_fixed(lit("a b c d"), lit(3))
+    assert out3.columns == ["w0", "w1", "w2", "n_words"]
+    assert out3.collect()[0].asDict() == {"w0": "a", "w1": "b", "w2": "c", "n_words": 4}
+    out5 = split_fixed(lit("a b"), lit(5))
+    assert out5.columns == ["w0", "w1", "w2", "w3", "w4", "n_words"]
+    r = out5.collect()[0]
+    assert (r["w0"], r["w1"], r["w2"], r["w3"], r["w4"], r["n_words"]) == (
+        "a", "b", None, None, None, 2,
+    )
+
+
+def test_polymorphic_udtf_lateral_sql(spark):
+    """Registered UDTF composes with LATERAL over a real table."""
+    from paraslice_spark.functions.udfs import make_split_fixed_udtf
+    from paraslice_spark.sources.io import load_tables
+
+    load_tables(spark, SF_SMALL)  # registers the documents view
+    spark.udtf.register("split_fixed", make_split_fixed_udtf())
+    rows = spark.sql(
+        """SELECT d.doc_id, s.w0, s.w1, s.n_words
+           FROM documents d, LATERAL split_fixed(d.text, 2) s
+           ORDER BY d.doc_id LIMIT 3"""
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["w0"] is not None and r["n_words"] >= 2
