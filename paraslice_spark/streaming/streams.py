@@ -721,18 +721,6 @@ def kafka_events_stream(
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return parse_kafka_events(reader.load())
 
-
-def documents_file_stream(spark: SparkSession, directory: str) -> DataFrame:
-    """readStream over a directory of documents-schema parquet files, one
-    file per micro-batch (deterministic replay for the pipeline twins)."""
-    schema = "doc_id long, text string, lang string, source string, n_chars long"
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(directory)
-    )
-
-
 def stream_decontaminate(train_stream: DataFrame, bench_index: DataFrame) -> DataFrame:
     """STREAM-STATIC DECONTAMINATION — the streaming member of the
     pipeline family: training documents arrive as a stream, the benchmark
