@@ -36,14 +36,14 @@ from paraslice_spark.registry import ORACLES, QUERIES
 # tail position.
 _T1_VINTAGE_ORACLED: tuple[str, ...] = (
     "tensor_slices", "dedup_minhash_pairs",
-    "agg_rollup", "agg_stats", "agg_string_concat",
+    "q3_shipping_priority", "q10_returned_revenue", "q14_promo_share",
+    "scan_parquet", "scan_projection", "join_star_5way",
+    "join_broadcast_inner", "join_sortmerge_inner", "join_left_outer",
+    "join_full_outer", "join_semi", "join_anti", "join_cross",
+    "join_range_theta", "agg_rollup", "agg_stats", "agg_string_concat",
+    "multimodal_decode_meta", "project_arithmetic", "reshape_unpivot",
     "filter_between_in_like", "filter_compound", "filter_null_semantics",
-    "filter_regexp", "join_anti", "join_broadcast_inner", "join_cross",
-    "join_full_outer", "join_left_outer", "join_range_theta", "join_semi",
-    "join_sortmerge_inner", "join_star_5way", "multimodal_decode_meta",
-    "project_arithmetic", "q10_returned_revenue", "q14_promo_share",
-    "q3_shipping_priority", "reshape_unpivot", "scan_parquet",
-    "scan_projection", "udf_grouped_map", "udf_pandas_vectorized",
+    "filter_regexp", "udf_grouped_map", "udf_pandas_vectorized",
     "udf_scalar_py", "udf_udtf_tokenize",
 )
 _T2_VINTAGE_ROWSONLY: tuple[str, ...] = (

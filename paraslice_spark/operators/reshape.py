@@ -790,3 +790,69 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("p1"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@query(
+    "events_scd2_status",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+    v AS (
+      SELECT user_id, event_type, ts_ns,
+             CAST(SUM(chg) OVER (PARTITION BY user_id
+                                 ORDER BY ts_ns, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ver
+      FROM t),
+    g AS (
+      SELECT user_id, ver, event_type AS status,
+             MIN(ts_ns) AS valid_from_ns, COUNT(*) AS n_events
+      FROM v GROUP BY 1, 2, 3)
+    SELECT user_id, ver, status, valid_from_ns,
+           lead(valid_from_ns) OVER (PARTITION BY user_id ORDER BY ver)
+             AS valid_to_ns,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM g
+    """,
+)
+def events_scd2_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 INTERVAL CONSTRUCTION — the warehouse pattern that turns
+    an event log into a versioned dimension: each run of consecutive
+    identical event_types per user is one VERSION row with
+    [valid_from, valid_to) bounds; the current version's valid_to is NULL.
+    The point-in-time join a consumer then runs is exactly join_asof.
+
+    Plan: change detection (lag) + version numbering (running sum) share
+    ONE user-keyed sort; the per-version rollup groups on (user, ver);
+    the valid_to lead re-uses the user partitioning.  All time math on
+    ts_ns longs (tz-independent, CLAUDE.md events rule); version ids are
+    exact integers; NULL valid_to survives the hash as the open bound."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    chg = (
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w))
+    ).cast("int")
+    v = ev.withColumn("chg", chg).withColumn(
+        "ver",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    g = v.groupBy("user_id", "ver", F.col("event_type").alias("status")).agg(
+        F.min("ts_ns").alias("valid_from_ns"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("ver")
+    return g.select(
+        "user_id",
+        "ver",
+        "status",
+        "valid_from_ns",
+        F.lead("valid_from_ns").over(wv).alias("valid_to_ns"),
+        "n_events",
+    )
