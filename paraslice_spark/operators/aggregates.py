@@ -648,3 +648,61 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("l_returnflag")
     )
+
+
+@query("agg_incremental_merge", oracle=_Q1_ORACLE)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE of the Q1 summary — the mergeable-state
+    property a 100 TB pipeline leans on: yesterday's MATERIALIZED PARTIALS
+    plus today's delta partials combine to the bit-identical result of a
+    full recompute, so the fact table is scanned once per batch, never
+    re-scanned from history.
+
+    The two "batches" here are a deterministic orderkey-parity split of
+    lineitem; each side aggregates to pure int64 state (sums in cents^k +
+    the count — exactly the map-side combine state Spark itself uses),
+    the union merges by key with plain SUMs (associative integer adds:
+    merge order cannot matter), and ONE finalize projection applies the
+    same divisions as agg_pricing_summary.  The oracle is the FULL-
+    recompute Q1 SQL — the hash match IS the maintenance-correctness
+    proof.  At scale: the partial table is O(groups), the delta scan is
+    O(batch), and finalize is free; avg-style metrics must store
+    (sum, count) state, never the divided value (averages don't merge)."""
+    li = load_tables(spark, sf_dir)["lineitem"].where(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+
+    def partials(batch: DataFrame) -> DataFrame:
+        disc = 100 - cents("l_discount")
+        tax = 100 + cents("l_tax")
+        return batch.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(cents("l_quantity")).alias("qty_c"),
+            F.sum(cents("l_extendedprice")).alias("base_c"),
+            F.sum(cents("l_extendedprice") * disc).alias("disc_c2"),
+            F.sum(cents("l_extendedprice") * disc * tax).alias("charge_c3"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    merged = (
+        partials(li.where(F.col("l_orderkey") % 2 == 0))
+        .unionByName(partials(li.where(F.col("l_orderkey") % 2 == 1)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty_c").alias("qty_c"),
+            F.sum("base_c").alias("base_c"),
+            F.sum("disc_c2").alias("disc_c2"),
+            F.sum("charge_c3").alias("charge_c3"),
+            F.sum("n").alias("n"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("qty_c").cast("double") / 100.0).alias("sum_qty"),
+        (F.col("base_c").cast("double") / 100.0).alias("sum_base_price"),
+        (F.col("disc_c2").cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.col("charge_c3").cast("double") / 1000000.0).alias("sum_charge"),
+        (F.col("qty_c").cast("double") / 100.0 / F.col("n")).alias("avg_qty"),
+        (F.col("base_c").cast("double") / 100.0 / F.col("n")).alias("avg_price"),
+        F.col("n").alias("count_order"),
+    )
