@@ -741,3 +741,63 @@ def stream_decontaminate(train_stream: DataFrame, bench_index: DataFrame) -> Dat
     from paraslice_spark.operators.text import decontaminate_pairs
 
     return decontaminate_pairs(train_stream, bench_index)
+
+
+def stream_scd2(events: DataFrame) -> DataFrame:
+    """Streaming SCD TYPE-2 — the stateful twin of the batch
+    ``events_scd2_status`` interval builder: version rows are emitted
+    INCREMENTALLY as the event stream closes them (a user's status change
+    closes the previous version with valid_to = the new version's
+    valid_from), so the versioned dimension stays current without ever
+    rescanning history.
+
+    State per user = (current status, its valid_from_ns, event count,
+    version ordinal) — four scalars, bounded by the user population.
+    Chunks concatenate before the time sort (the ADVICE-r5 rule); only
+    CLOSED versions are emitted (append mode can't retract an open row);
+    the open tail version lives in state, and replay-equality against the
+    batch operator therefore holds on the closed subset — asserted
+    whole-fixture and across shard splits in tests/test_streaming.py."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        status, vfrom, n, ver = (
+            state.get if state.exists else (None, 0, 0, 0)
+        )
+        out = []
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_ns", "event_id"]
+            )
+            for et, ts in zip(pdf["event_type"], pdf["ts_ns"]):
+                ts = int(ts)
+                if status is None:
+                    status, vfrom, n, ver = et, ts, 1, 1
+                elif et == status:
+                    n += 1
+                else:
+                    out.append((key[0], ver, status, vfrom, ts, n))
+                    status, vfrom, n, ver = et, ts, 1, ver + 1
+        state.update((status if status is not None else "", vfrom, n, ver))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "ver", "status", "valid_from_ns", "valid_to_ns",
+                "n_events",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, ver long, status string, valid_from_ns long, "
+            "valid_to_ns long, n_events long"
+        ),
+        stateStructType=(
+            "status string, vfrom long, n long, ver long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -717,3 +717,50 @@ def test_stream_decontaminate_equals_batch(spark, tmp_path):
         for r in QUERIES["text_decontaminate"](spark, SF_SMALL).collect()
     }
     assert got == want and len(want) > 0, (got ^ want, len(want))
+
+
+def _scd2_closed_batch_rows(spark):
+    import paraslice_spark.operators  # noqa: F401  (registers the batch twin)
+    from paraslice_spark.registry import QUERIES
+
+    return {
+        (r["user_id"], r["ver"], r["status"], r["valid_from_ns"],
+         r["valid_to_ns"], r["n_events"])
+        for r in QUERIES["events_scd2_status"](spark, SF_SMALL).collect()
+        if r["valid_to_ns"] is not None  # stream can only emit CLOSED versions
+    }
+
+
+def test_stream_scd2_whole_replay_equals_batch_closed(spark, tmp_path):
+    d = str(tmp_path / "ev_all")
+    load_tables(spark, SF_SMALL)["events"].coalesce(1).write.parquet(d)
+    stream = streams.events_file_stream(spark, d)
+    name = "scd2_whole"
+    streams.run_to_memory(streams.stream_scd2(stream), name, "append")
+    got = {tuple(r) for r in spark.table(name).collect()}
+    assert got == _scd2_closed_batch_rows(spark) and got
+
+
+def test_stream_scd2_split_replay_equals_batch_closed(spark, tmp_path):
+    import pathlib
+    import shutil
+
+    ev = load_tables(spark, SF_SMALL)["events"]
+    mid = ev.approxQuantile("ts_ns", [0.5], 0.0)[0]
+    d = str(tmp_path / "ev_split")
+    (ev.where(F.col("ts_ns") <= mid).repartition(1)
+       .write.parquet(f"{d}/b0", mode="overwrite"))
+    (ev.where(F.col("ts_ns") > mid).repartition(1)
+       .write.parquet(f"{d}/b1", mode="overwrite"))
+    merged = str(tmp_path / "ev_merged")
+    import os
+
+    os.makedirs(merged)
+    for i, b in enumerate(("b0", "b1")):
+        src = next(pathlib.Path(f"{d}/{b}").glob("part-*.parquet"))
+        shutil.copy(src, f"{merged}/batch-{i:03d}.parquet")
+    stream = streams.events_file_stream(spark, merged, max_files_per_trigger=1)
+    name = "scd2_split"
+    streams.run_to_memory(streams.stream_scd2(stream), name, "append")
+    got = {tuple(r) for r in spark.table(name).collect()}
+    assert got == _scd2_closed_batch_rows(spark) and got
