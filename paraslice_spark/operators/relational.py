@@ -171,3 +171,92 @@ def filter_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.where(
         F.col("p_type").rlike("^(PROMO|STANDARD)$") & F.col("p_name").rlike("(widget|bolt)$")
     ).select("p_partkey", "p_name", "p_type")
+
+
+@query(
+    "audit_constraints",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS check_name,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'events_ts_not_null',
+           CAST((SELECT COUNT(*) FROM events WHERE ts IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'documents_doc_id_unique',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents)
+                AS BIGINT)
+    ORDER BY check_name
+    """,
+)
+def audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY CONSTRAINT AUDIT — the expectations-style gate a
+    pipeline runs before trusting a new batch: referential integrity
+    (LEFT ANTI joins, ids only), domain ranges (scan-side filters),
+    key uniqueness (count vs distinct), and null checks, each reduced to
+    ONE violation count per named check.
+
+    Plan shape at 100 TB: every check is an independent subtree — two
+    anti joins keyed on the FK (the dim side broadcast when small), two
+    scan+filter counts, two count-distinct aggs — and the union of six
+    1-row results is free.  A real deployment runs this via ONE pass with
+    Observation metrics where checks allow (see
+    tests/test_observability.py); the declared form keeps each check
+    independently readable and the whole result hash-gradeable."""
+    t = load_tables(spark, sf_dir)
+    one = F.count(F.lit(1))
+
+    def count_df(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(one.cast("long").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    checks = [
+        count_df(
+            "orders_custkey_fk",
+            t["orders"].join(
+                F.broadcast(t["customer"].select("c_custkey")),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+        count_df(
+            "lineitem_orderkey_fk",
+            t["lineitem"].join(
+                t["orders"].select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_anti",
+            ),
+        ),
+        count_df(
+            "lineitem_quantity_range",
+            t["lineitem"].where(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+            ),
+        ),
+        t["orders"]
+        .agg((one - F.countDistinct("o_orderkey")).cast("long").alias("n_violations"))
+        .select(F.lit("orders_orderkey_unique").alias("check_name"), "n_violations"),
+        count_df("events_ts_not_null", t["events"].where(F.col("ts").isNull())),
+        t["documents"]
+        .agg((one - F.countDistinct("doc_id")).cast("long").alias("n_violations"))
+        .select(F.lit("documents_doc_id_unique").alias("check_name"), "n_violations"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.repartition(1).sortWithinPartitions("check_name")

@@ -856,3 +856,92 @@ def events_scd2_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_ns").over(wv).alias("valid_to_ns"),
         "n_events",
     )
+
+
+@query(
+    "events_ab_cuped",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value*1000000) AS BIGINT) ELSE 0 END)
+                  AS DOUBLE) AS pre_u,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value*1000000) AS BIGINT) ELSE 0 END)
+                  AS DOUBLE) AS post_u
+      FROM events GROUP BY 1, 2),
+    th AS (SELECT ROUND(regr_slope(post_u, pre_u), 6) AS theta,
+                  SUM(pre_u) / COUNT(*) AS mean_pre_all FROM pu),
+    v AS (SELECT variant, COUNT(*) AS n,
+                 SUM(pre_u) AS sp, SUM(post_u) AS so
+          FROM pu GROUP BY 1),
+    w AS (SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+                 MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+                 MAX(CASE WHEN variant = 0 THEN sp END) AS sp0,
+                 MAX(CASE WHEN variant = 1 THEN sp END) AS sp1,
+                 MAX(CASE WHEN variant = 0 THEN so END) AS so0,
+                 MAX(CASE WHEN variant = 1 THEN so END) AS so1
+          FROM v)
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, theta,
+           ROUND(((so1 / n1) - (so0 / n0)) / 1000000.0, 6) AS raw_lift,
+           ROUND((((so1 / n1) - (so0 / n0))
+                  - theta * ((sp1 / n1) - (sp0 / n0))) / 1000000.0, 6)
+             AS cuped_lift
+    FROM w, th
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED VARIANCE REDUCTION for the A/B family (Deng et al., WSDM'13):
+    the post-period per-user value is adjusted by θ × its pre-period
+    value, θ = cov(post, pre)/var(pre) — which is exactly
+    regr_slope(post, pre), the one moment family measured digit-for-digit
+    identical across engines at rnd(6) (house canon; skew/kurtosis were
+    NOT and stay banned).
+
+    Determinism stack: per-user period sums are exact int64 micro-units
+    (cast to double losslessly — bounded ≪ 2^53); θ is ROUNDED TO 6
+    DIGITS FIRST, so every downstream adjustment consumes the same
+    literal on both engines; variant means are exact-int divisions; both
+    engines state the identical lift expressions.  Plan: one user-keyed
+    shuffle (period sums), a 1-row regr/mean agg and a 2-row variant agg
+    broadcast together — the fact table is scanned once."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cut = F.lit("2024-01-16").cast("timestamp")
+    pu = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.sum(F.when(F.col("ts") < cut, micros_units("value")).otherwise(0))
+        .cast("double")
+        .alias("pre_u"),
+        F.sum(F.when(F.col("ts") >= cut, micros_units("value")).otherwise(0))
+        .cast("double")
+        .alias("post_u"),
+    )
+    th = pu.agg(
+        F.round(F.regr_slope("post_u", "pre_u"), 6).alias("theta"),
+        (F.sum("pre_u") / F.count(F.lit(1))).alias("mean_pre_all"),
+    )
+    v = pu.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre_u").alias("sp"),
+        F.sum("post_u").alias("so"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("sp"))).alias("sp0"),
+        F.max(F.when(F.col("variant") == 1, F.col("sp"))).alias("sp1"),
+        F.max(F.when(F.col("variant") == 0, F.col("so"))).alias("so0"),
+        F.max(F.when(F.col("variant") == 1, F.col("so"))).alias("so1"),
+    )
+    post_diff = (F.col("so1") / F.col("n1")) - (F.col("so0") / F.col("n0"))
+    pre_diff = (F.col("sp1") / F.col("n1")) - (F.col("sp0") / F.col("n0"))
+    return w.crossJoin(F.broadcast(th)).select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        "theta",
+        F.round(post_diff / 1000000.0, 6).alias("raw_lift"),
+        F.round(
+            (post_diff - F.col("theta") * pre_diff) / 1000000.0, 6
+        ).alias("cuped_lift"),
+    )
