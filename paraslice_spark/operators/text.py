@@ -478,12 +478,29 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (train, bench) count agg — no shuffle ever carries corpus text, and
     the threshold compares integers (shared*2 ≥ n, no float cut).  The
     oracle mirrors it gram-for-gram in DuckDB."""
-    d = load_tables(spark, sf_dir)["documents"]
-    out = decontaminate_pairs(
-        d.where(F.col("source") != "src0"),
-        bench_gram_index(d.where(F.col("source") == "src0")),
-    )
+    out = _decontaminate_pairs_cached(spark, sf_dir)
     return out.repartition(1).sortWithinPartitions("train_doc", "bench_doc")
+
+
+#: (application id, sf_dir) -> persisted contamination pair table (house
+#: memoization pattern, same as _ngj_cache/_knn_cache: text_decontaminate
+#: and pipeline_dataset_build share one gram join per session+sf)
+_decon_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def _decontaminate_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paraslice_spark.sources.io import _session_key
+
+    key = (_session_key(spark), sf_dir.rstrip("/"))
+    if key not in _decon_cache:
+        d = load_tables(spark, sf_dir)["documents"]
+        pairs = decontaminate_pairs(
+            d.where(F.col("source") != "src0"),
+            bench_gram_index(d.where(F.col("source") == "src0")),
+        ).persist()
+        pairs.count()  # materialize now so the gram inputs can release
+        _decon_cache[key] = pairs
+    return _decon_cache[key]
 
 
 def distinct_bigrams() -> "F.Column":
@@ -600,9 +617,7 @@ def pipeline_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
     )
     contaminated = (
-        decontaminate_pairs(
-            train_all, bench_gram_index(d.where(F.col("source") == "src0"))
-        )
+        _decontaminate_pairs_cached(spark, sf_dir)
         .select(F.col("train_doc").alias("doc_id"))
         .distinct()
     )
