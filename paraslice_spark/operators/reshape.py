@@ -904,18 +904,23 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal on both engines; variant means are exact-int divisions; both
     engines state the identical lift expressions.  Plan: one user-keyed
     shuffle (period sums), a 1-row regr/mean agg and a 2-row variant agg
-    broadcast together — the fact table is scanned once."""
+    broadcast together — pu feeds BOTH aggregates, so it is persisted
+    (without it the two subplans would each re-scan the fact table; with
+    it events is scanned once and the θ and variant aggs read the cached
+    per-user rows)."""
     ev = load_tables(spark, sf_dir)["events"]
     cut = F.lit("2024-01-16").cast("timestamp")
-    pu = ev.groupBy(
-        "user_id", (F.col("user_id") % 2).alias("variant")
-    ).agg(
-        F.sum(F.when(F.col("ts") < cut, micros_units("value")).otherwise(0))
-        .cast("double")
-        .alias("pre_u"),
-        F.sum(F.when(F.col("ts") >= cut, micros_units("value")).otherwise(0))
-        .cast("double")
-        .alias("post_u"),
+    pu = (
+        ev.groupBy("user_id", (F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.sum(F.when(F.col("ts") < cut, micros_units("value")).otherwise(0))
+            .cast("double")
+            .alias("pre_u"),
+            F.sum(F.when(F.col("ts") >= cut, micros_units("value")).otherwise(0))
+            .cast("double")
+            .alias("post_u"),
+        )
+        .persist()
     )
     th = pu.agg(
         F.round(F.regr_slope("post_u", "pre_u"), 6).alias("theta"),

@@ -346,3 +346,16 @@ def test_q16_excludes_suppliers_via_broadcast_anti(spark):
     p = plan(QUERIES["q16_supplier_part_counts"](spark, SF_SMALL))
     assert "LeftAnti, BuildRight" in p or ("LeftAnti" in p and "Broadcast" in p), p
     assert p.count("HashAggregate") >= 4, p
+
+
+def test_audit_fk_checks_are_anti_joins(spark):
+    p = plan(QUERIES["audit_constraints"](spark, SF_SMALL))
+    assert p.count("LeftAnti") >= 2, p
+
+
+def test_incremental_merge_sums_longs_not_decimals(spark):
+    """The merge stage must combine int64 partials — a decimal or double
+    partial would break the bit-identical-merge contract."""
+    p = plan(QUERIES["agg_incremental_merge"](spark, SF_SMALL))
+    partials = [ln for ln in p.splitlines() if "partial_sum" in ln]
+    assert partials and not any("Decimal" in ln for ln in partials), p
