@@ -950,3 +950,127 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             (post_diff - F.col("theta") * pre_diff) / 1000000.0, 6
         ).alias("cuped_lift"),
     )
+
+
+@query(
+    "events_forecast_backtest",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1),
+    pred AS (
+      SELECT h, n, lag(n, 24) OVER (ORDER BY h) AS yhat
+      FROM hourly)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(ABS(n - yhat)) AS BIGINT) AS sum_abs_err,
+           CAST(SUM(ABS(n - yhat)) AS DOUBLE) / COUNT(*) AS mae,
+           ROUND(CAST(SUM(ABS(n - yhat)) AS DOUBLE) / SUM(n), 6)
+             AS wape
+    FROM pred WHERE yhat IS NOT NULL
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-NAIVE FORECAST BACKTEST — the time-series baseline every
+    forecasting pipeline reports first: ŷ(h) = y(h − 24h) (same hour
+    yesterday), scored with MAE and WAPE over the hourly event counts.
+
+    Every error term is an exact integer (|count − lagged count|), so the
+    aggregate metrics are exact-int divisions — fully deterministic with
+    no micro-unit machinery.  Plan: one hour-truncated agg (map-side
+    combined), ONE global-ordered lag window over the O(hours) series —
+    tiny by construction (the fixture spans one month: ~720 rows; a year
+    is 8 760), so the single-partition window is the right plan at any
+    corpus size; per-series forecasting at scale partitions the window by
+    series key instead."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("h")
+    pred = hourly.withColumn("yhat", F.lag("n", 24).over(w)).where(
+        F.col("yhat").isNotNull()
+    )
+    abs_err = F.sum(F.abs(F.col("n") - F.col("yhat")))
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        abs_err.alias("sum_abs_err"),
+        (abs_err.cast("double") / F.count(F.lit(1))).alias("mae"),
+        F.round(abs_err.cast("double") / F.sum("n"), 6).alias("wape"),
+    )
+
+
+_CHI2_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _chi2_oracle() -> str:
+    cells = ",\n           ".join(
+        f"CAST(COUNT(CASE WHEN event_type = '{t}' AND user_id % 2 = {v} "
+        f"THEN 1 END) AS DOUBLE) AS o_{t}_{v}"
+        for t in _CHI2_TYPES
+        for v in (0, 1)
+    )
+    rows = {t: f"(o_{t}_0 + o_{t}_1)" for t in _CHI2_TYPES}
+    cols = {
+        v: "(" + " + ".join(f"o_{t}_{v}" for t in _CHI2_TYPES) + ")"
+        for v in (0, 1)
+    }
+    n = "(" + " + ".join(rows.values()) + ")"
+    terms = " + ".join(
+        f"((o_{t}_{v} - ({rows[t]} * {cols[v]}) / {n})"
+        f" * (o_{t}_{v} - ({rows[t]} * {cols[v]}) / {n}))"
+        f" / (({rows[t]} * {cols[v]}) / {n})"
+        for t in _CHI2_TYPES
+        for v in (0, 1)
+    )
+    return f"""
+    WITH w AS (SELECT {cells} FROM events)
+    SELECT CAST({n} AS BIGINT) AS n_events,
+           ROUND({terms}, 6) AS chi2,
+           CAST({(len(_CHI2_TYPES) - 1)} AS BIGINT) AS dof
+    FROM w
+    """
+
+
+@query("events_chi2_independence", oracle=_chi2_oracle())
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE INDEPENDENCE TEST of event_type × variant — the
+    categorical counterpart of events_ab_test: does the event-type mix
+    differ between the two assignment groups?
+
+    Determinism by FIXED-ORDER ENUMERATION (the q19 explicit-branch
+    idea applied to a statistic): the 5×2 contingency cells are ten
+    NAMED columns of one conditional-agg row, and χ² is written as the
+    same literal left-to-right sum of ten (o−e)²/e terms in BOTH engines
+    — no engine-ordered float reduction anywhere, so the statistic
+    hash-matches at rnd(6).  Observed counts are exact ints; expected
+    values are single IEEE ops on exact ints.  One scan, one 1-row agg."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cells = ev.agg(
+        *[
+            F.count(
+                F.when(
+                    (F.col("event_type") == t) & (F.col("user_id") % 2 == v), 1
+                )
+            )
+            .cast("double")
+            .alias(f"o_{t}_{v}")
+            for t in _CHI2_TYPES
+            for v in (0, 1)
+        ]
+    )
+    rows = {t: sum(F.col(f"o_{t}_{v}") for v in (0, 1)) for t in _CHI2_TYPES}
+    cols = {
+        v: sum(F.col(f"o_{t}_{v}") for t in _CHI2_TYPES) for v in (0, 1)
+    }
+    n = sum(rows.values())
+    chi2 = None
+    for t in _CHI2_TYPES:
+        for v in (0, 1):
+            e = (rows[t] * cols[v]) / n
+            term = ((F.col(f"o_{t}_{v}") - e) * (F.col(f"o_{t}_{v}") - e)) / e
+            chi2 = term if chi2 is None else chi2 + term
+    return cells.select(
+        n.cast("long").alias("n_events"),
+        F.round(chi2, 6).alias("chi2"),
+        F.lit(len(_CHI2_TYPES) - 1).cast("long").alias("dof"),
+    )
