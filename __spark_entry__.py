@@ -56,6 +56,14 @@ _T2_VINTAGE_ROWSONLY: tuple[str, ...] = (
     # carries no hash information; r7's re-tier promotes it with the rest.
     "tucker_hosvd_core",
 )
+# r6 LATE additions (oracled but deliberately graded AFTER the vintage
+# refresh: with tier 0 already at 32 names, putting these in the sample
+# would push core join/agg vintage out; the local oracle gate covers them
+# this round, r7's re-tier promotes them for their first driver verdict).
+_T2B_R6_LATE: tuple[str, ...] = (
+    "events_markov_transitions", "customer_rfm_segments",
+    "part_abc_analysis",
+)
 _T3_FRESH: tuple[str, ...] = (
     # r5-graded …
     "agg_mode_deterministic", "q6_forecast_revenue", "q18_large_orders",
@@ -103,6 +111,7 @@ def _rotated(d: dict) -> dict:
         (
             _T1_VINTAGE_ORACLED,
             _T2_VINTAGE_ROWSONLY,
+            _T2B_R6_LATE,
             _T3_FRESH,
         ),
         start=1,

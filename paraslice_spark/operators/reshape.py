@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from paraslice_spark.functions.canon import micros_units
+from paraslice_spark.functions.canon import cents, micros_units, rev_cents
 from paraslice_spark.registry import query
 from paraslice_spark.sources.io import load_tables
 
@@ -1073,4 +1073,161 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_events"),
         F.round(chi2, 6).alias("chi2"),
         F.lit(len(_CHI2_TYPES) - 1).cast("long").alias("dof"),
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_ns(ts), event_id)
+               AS prev_type
+      FROM events),
+    c AS (SELECT prev_type AS from_type, event_type AS to_type,
+                 COUNT(*) AS n
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT from_type, SUM(n) AS row_n FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / row_n, 6) AS p
+    FROM c JOIN r ON r.from_type = c.from_type
+    ORDER BY c.from_type, c.to_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER MARKOV TRANSITION MATRIX of event types — the sequence
+    model behind next-event prediction and anomaly scoring (the
+    probability twin of events_topk_paths' raw counts).
+
+    One user-keyed lag window (ns-exact ordering), a (from, to) count
+    agg, and per-row normalization by the from-row total — exact integer
+    counts, one rounded division per cell, ≤ |types|² output rows."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    r = c.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        c.join(F.broadcast(r), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("p"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("from_type", "to_type")
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS money_c
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY freq, o_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY money_c, o_custkey) AS m_score
+      FROM base)
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — recency/frequency/monetary quartiles, the
+    classic customer-analytics bucketing.  Determinism: every ntile
+    ORDER BY carries o_custkey as the tiebreak, so quartile assignment
+    is a total order in both engines; monetary is exact integer cents.
+    Declared output is the 4×4×4 segment census.  Plan note: the three
+    global ntiles are single-partition windows over the O(customers)
+    aggregate — at 100 TB swap ntile for threshold joins against
+    approx-quantile cut points (documented tradeoff; exactness is the
+    declared contract here)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(cents("o_totalprice")).alias("money_c"),
+    )
+    scored = base.select(
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("money_c", "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .repartition(1)
+        .sortWithinPartitions("r_score", "f_score", "m_score")
+    )
+
+
+@query(
+    "part_abc_analysis",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev_c2
+      FROM lineitem GROUP BY 1),
+    ranked AS (
+      SELECT l_partkey, rev_c2,
+             SUM(rev_c2) OVER (ORDER BY rev_c2 DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING) AS cum_c2,
+             SUM(rev_c2) OVER () AS total_c2
+      FROM rev)
+    SELECT CASE WHEN cum_c2 * 100 <= total_c2 * 80 THEN 'A'
+                WHEN cum_c2 * 100 <= total_c2 * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_c2) AS DOUBLE) / 10000.0 AS revenue
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / PARETO ANALYSIS of part revenue — the 80/15/5 inventory
+    classification: parts are ranked by revenue, classified by their
+    CUMULATIVE share (A ≤ 80%, B ≤ 95%, C rest).
+
+    Determinism: the running sum is over exact int64 cents² with a total
+    order (rev DESC, partkey), and the class cut compares integers via
+    cross-multiplication (cum*100 ≤ total*80 — int64-safe here; scale
+    the cents unit down before the multiply if Σrev_c2 ever approaches
+    2^57) — no float share is ever computed.  Plan: one per-part agg
+    shuffle, a single-partition ranked cumsum over O(parts) rows (swap
+    to a two-pass partition-offset cumsum at catalog scale), a 3-row
+    census."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    rev = li.groupBy("l_partkey").agg(F.sum(rev_cents()).alias("rev_c2"))
+    w = Window.orderBy(F.desc("rev_c2"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        "rev_c2",
+        F.sum("rev_c2").over(w).alias("cum_c2"),
+        F.sum("rev_c2").over(Window.partitionBy()).alias("total_c2"),
+    )
+    abc = (
+        F.when(F.col("cum_c2") * 100 <= F.col("total_c2") * 80, "A")
+        .when(F.col("cum_c2") * 100 <= F.col("total_c2") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.groupBy(abc.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum("rev_c2").cast("double") / 10000.0).alias("revenue"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("abc_class")
     )
