@@ -62,7 +62,7 @@ _T2_VINTAGE_ROWSONLY: tuple[str, ...] = (
 # this round, r7's re-tier promotes them for their first driver verdict).
 _T2B_R6_LATE: tuple[str, ...] = (
     "events_markov_transitions", "customer_rfm_segments",
-    "part_abc_analysis",
+    "part_abc_analysis", "graph_degree_distribution",
 )
 _T3_FRESH: tuple[str, ...] = (
     # r5-graded …

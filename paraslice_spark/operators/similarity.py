@@ -2015,3 +2015,63 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return tri.crossJoin(F.broadcast(edges))
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+      FROM base a CROSS JOIN base b
+      WHERE a.vec_id != b.vec_id
+    ),
+    knn AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_KNN_K}
+    ),
+    e AS (
+      SELECT DISTINCT LEAST(vec_id, neighbor_id) AS u,
+                      GREATEST(vec_id, neighbor_id) AS v
+      FROM knn
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY 1
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1 ORDER BY 1
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE DISTRIBUTION of the undirected kNN graph — the first thing
+    you plot when judging a similarity graph's health (out-degree is k by
+    construction, so the spread here is pure IN-degree variance: hubs =
+    vectors many others consider near).  Canonical u<v edges from the
+    memoized kNN table, one explode-both-endpoints agg, a histogram agg —
+    all integer, O(n·k) rows through the shuffles."""
+    knn = _knn_graph_cached(spark, sf_dir)
+    e = knn.select(
+        F.least("vec_id", "neighbor_id").alias("u"),
+        F.greatest("vec_id", "neighbor_id").alias("v"),
+    ).distinct()
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .repartition(1)
+        .sortWithinPartitions("degree")
+    )
