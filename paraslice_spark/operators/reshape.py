@@ -1231,3 +1231,105 @@ def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("abc_class")
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value*1000000) AS BIGINT) AS mv
+      FROM events),
+    r1 AS (
+      SELECT event_type, mv,
+             row_number() OVER (PARTITION BY event_type ORDER BY mv) - 1 AS i,
+             COUNT(*) OVER (PARTITION BY event_type) - 1 AS m
+      FROM v),
+    med AS (
+      SELECT event_type,
+             SUM(CASE WHEN i = m // 2 THEN mv END)
+             + SUM(CASE WHEN i = (m + 1) // 2 THEN mv END) AS med2,
+             COUNT(*) AS n
+      FROM r1 GROUP BY 1),
+    d AS (
+      SELECT v.event_type, ABS(2 * mv - med2) AS dev
+      FROM v JOIN med USING (event_type)),
+    r2 AS (
+      SELECT event_type, dev,
+             row_number() OVER (PARTITION BY event_type ORDER BY dev) - 1 AS i,
+             COUNT(*) OVER (PARTITION BY event_type) - 1 AS m
+      FROM d),
+    mad AS (
+      SELECT event_type,
+             SUM(CASE WHEN i = m // 2 THEN dev END)
+             + SUM(CASE WHEN i = (m + 1) // 2 THEN dev END) AS mad2
+      FROM r2 GROUP BY 1)
+    SELECT med.event_type, CAST(n AS BIGINT) AS n,
+           CAST(med2 AS DOUBLE) / 2000000.0 AS median_value,
+           CAST(mad2 AS DOUBLE) / 4000000.0 AS mad_value,
+           CAST((SELECT COUNT(*) FROM d
+                 WHERE d.event_type = med.event_type
+                   AND 2 * dev > 3 * mad2) AS BIGINT) AS n_outliers
+    FROM med JOIN mad ON mad.event_type = med.event_type
+    ORDER BY med.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST OUTLIER DETECTION via median / MAD — the resistant
+    counterpart of events_anomaly_zscore (one wild value shifts a mean
+    and explodes a stddev; the median/MAD pair shrugs).
+
+    EXACT-INTEGER MEDIANS: values are micro-unit int64; a median is kept
+    as med2 = v[⌊h⌋] + v[⌈h⌉] (TWICE the median — an exact integer even
+    when n is even), deviations as dev = |2v − med2| (= 2×|v − median|),
+    the MAD as mad2 = dev[⌊h⌋] + dev[⌈h⌉] (= 4×MAD), and the outlier
+    cut |v − median| > 3×MAD becomes the INTEGER comparison
+    2·dev > 3·mad2 — no float enters until the two final display
+    divisions.  Duplicate values make row_number tie order arbitrary,
+    but the value AT a sorted position is tie-invariant, so both engines
+    select identical integers.  Plan: two type-keyed sort windows + two
+    broadcast joins of the tiny per-type stats."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = ev.select("event_type", micros_units("value").alias("mv"))
+
+    def median2_of(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col)
+        wp = Window.partitionBy("event_type")
+        r = df.select(
+            "event_type",
+            F.col(col),
+            (F.row_number().over(w) - 1).alias("i"),
+            (F.count(F.lit(1)).over(wp) - 1).alias("m"),
+        )
+        return r.groupBy("event_type").agg(
+            (
+                F.sum(F.when(F.col("i") == F.expr("m div 2"), F.col(col)))
+                + F.sum(
+                    F.when(F.col("i") == F.expr("(m + 1) div 2"), F.col(col))
+                )
+            ).alias(out),
+            F.count(F.lit(1)).alias("n"),
+        )
+    med = median2_of(v, "mv", "med2")
+    d = v.join(F.broadcast(med.select("event_type", "med2")), "event_type").select(
+        "event_type", F.abs(2 * F.col("mv") - F.col("med2")).alias("dev")
+    )
+    mad = median2_of(d, "dev", "mad2").drop("n")
+    outl = (
+        d.join(F.broadcast(mad), "event_type")
+        .where(2 * F.col("dev") > 3 * F.col("mad2"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        med.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(outl), "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            (F.col("med2").cast("double") / 2000000.0).alias("median_value"),
+            (F.col("mad2").cast("double") / 4000000.0).alias("mad_value"),
+            F.coalesce("n_outliers", F.lit(0)).cast("long").alias("n_outliers"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_type")
+    )
