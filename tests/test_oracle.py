@@ -93,6 +93,7 @@ def test_rotation_unchecked_first():
     tiers = (
         e._T1_VINTAGE_ORACLED,
         e._T2_VINTAGE_ROWSONLY,
+        e._T2B_R6_LATE,
         e._T3_FRESH,
     )
     listed = [n for t in tiers for n in t]
