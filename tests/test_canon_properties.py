@@ -89,3 +89,54 @@ def test_phash_band_pigeonhole_invariant():
             for j in range(_PH_BANDS)
         ]
         assert any(a == b for a, b in bands), (h, h2, flips)
+
+
+def test_fixture_assumption_canaries(spark):
+    """Assumptions the oracles LEAN ON, asserted against the live fixture so
+    a testdata regeneration that breaks one fails HERE with a named reason
+    instead of as a pile of opaque hash mismatches (the r3/r4 lesson):
+
+    - documents.text is pure ASCII: the multimodal ascii-twin oracles
+      (feature_extract, phash) equate byte i with code point of char i.
+    - money columns are exactly 2-decimal: cents() int64 round-trip.
+    - l_quantity is integer-valued in [1, 50]: q18/q20 sums cast
+      losslessly to BIGINT and audit ranges hold.
+    - embeddings are 64-dim with |x| < 4: micro-unit dot products stay
+      far below 2^53 (signlsh/pagerank/gram exactness bound).
+    """
+    from pyspark.sql import functions as F
+
+    from paraslice_spark.sources.io import load_tables
+    from tests.conftest import SF_SMALL
+
+    t = load_tables(spark, SF_SMALL)
+
+    max_cp = t["documents"].select(
+        F.max(F.aggregate(
+            F.transform(F.split("text", ""), lambda c: F.ascii(c)),
+            F.lit(0), lambda a, x: F.greatest(a, x),
+        )).alias("m")
+    ).first()["m"]
+    assert max_cp < 128, f"documents.text not pure ASCII (max cp {max_cp})"
+
+    for tbl, col in (("lineitem", "l_extendedprice"), ("orders", "o_totalprice"),
+                     ("customer", "c_acctbal"), ("part", "p_retailprice")):
+        bad = t[tbl].where(
+            F.abs(F.col(col) * 100 - F.round(F.col(col) * 100)) > 1e-6
+        ).count()
+        assert bad == 0, f"{tbl}.{col} not 2-decimal ({bad} rows)"
+
+    q = t["lineitem"].select(
+        F.min("l_quantity").alias("lo"), F.max("l_quantity").alias("hi"),
+        F.max(F.abs(F.col("l_quantity") - F.round("l_quantity"))).alias("frac"),
+    ).first()
+    assert q["lo"] >= 1 and q["hi"] <= 50 and q["frac"] == 0.0, q
+
+    e = t["embeddings"].select(
+        F.max(F.size("embedding")).alias("dim"),
+        F.max(F.aggregate(
+            F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+            F.lit(0.0), lambda a, x: F.greatest(a, x),
+        )).alias("mx"),
+    ).first()
+    assert e["dim"] == 64 and e["mx"] < 4.0, e
