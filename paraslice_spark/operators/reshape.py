@@ -1333,3 +1333,106 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("event_type")
     )
+
+
+@query(
+    "events_seasonality_profile",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,  -- Spark 1=Sunday
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod
+      FROM events),
+    c AS (SELECT dow, hod, COUNT(*) AS n FROM base GROUP BY 1, 2),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT dow, hod, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS share
+    FROM c, t ORDER BY dow, hod
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY-OF-WEEK × HOUR-OF-DAY activity heatmap — the seasonality
+    profile that calibrates anomaly thresholds and capacity planning
+    (events_anomaly_zscore's hourly volumes inherit exactly this
+    structure).  Calendar functions agree cross-engine here because the
+    fixture timestamps are NTZ (no session-timezone dependence — the r3
+    lesson); counts exact, one rounded division per cell, ≤ 168 rows."""
+    ev = load_tables(spark, sf_dir)["events"]
+    c = ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "hod",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("dow", "hod")
+    )
+
+
+@query(
+    "text_vocab_growth",
+    oracle="""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    first_seen AS (SELECT word, MIN(doc_id) AS fd FROM w GROUP BY 1),
+    ids AS (SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS decile
+            FROM (SELECT DISTINCT doc_id FROM documents)),
+    cuts AS (SELECT decile, MAX(doc_id) AS cut, COUNT(*) AS n_in
+             FROM ids GROUP BY 1),
+    cum AS (SELECT decile, cut,
+                   SUM(n_in) OVER (ORDER BY decile
+                                   ROWS UNBOUNDED PRECEDING) AS n_docs
+            FROM cuts)
+    SELECT decile AS decile, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM first_seen WHERE fd <= cut) AS BIGINT)
+             AS vocab_size
+    FROM cum ORDER BY decile
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY GROWTH CURVE (Heaps' law V(n) ≈ K·nᵝ) — the corpus-
+    health diagnostic that pairs with text_zipf_fit: a healthy crawl
+    keeps discovering words; a loop-y or templated one plateaus early.
+
+    Word order is doc_id order (the ingest sequence); each word's FIRST
+    document is a min-agg, the ten decile cutpoints come from an ntile
+    over the distinct doc ids (custkey-style total order — doc_id is
+    unique, so assignment is deterministic), and V(cut) is a count of
+    first-seen ≤ cut per cutoff — a 10-row broadcast joined against the
+    vocabulary-sized first_seen table, never a running distinct over the
+    corpus.  All integers."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    first_seen = words.groupBy("word").agg(F.min("doc_id").alias("fd"))
+    ids = d.select("doc_id").distinct().select(
+        "doc_id", F.ntile(10).over(Window.orderBy("doc_id")).alias("decile")
+    )
+    cuts = ids.groupBy("decile").agg(
+        F.max("doc_id").alias("cut"), F.count(F.lit(1)).alias("n_in")
+    )
+    cum = cuts.select(
+        "decile",
+        "cut",
+        F.sum("n_in")
+        .over(
+            Window.orderBy("decile").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("n_docs"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(first_seen))
+        .groupBy("decile", "n_docs")
+        .agg(
+            F.count(F.when(F.col("fd") <= F.col("cut"), 1)).alias("vocab_size")
+        )
+        .repartition(1)
+        .sortWithinPartitions("decile")
+    )
