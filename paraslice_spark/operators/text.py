@@ -697,3 +697,80 @@ def text_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions(F.desc("n_docs"), "gram")
     )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents),
+    uni AS (SELECT unnest(words) AS word FROM w),
+    un AS (SELECT word, COUNT(*) AS n FROM uni GROUP BY 1),
+    uw AS (SELECT SUM(n) AS W FROM un),
+    bg AS (SELECT words[i.i] AS w1, words[i.i + 1] AS w2
+           FROM w CROSS JOIN LATERAL
+                (SELECT unnest(range(1, len(words))) AS i) i),
+    bn AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+    bt AS (SELECT SUM(n_ab) AS B FROM bn)
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(CAST(round(ln((CAST(n_ab AS DOUBLE) / B)
+                             / ((CAST(a.n AS DOUBLE) / W)
+                                * (CAST(b.n AS DOUBLE) / W))) * 1000000)
+                     AS BIGINT) AS DOUBLE) / 1000000.0 AS pmi
+    FROM bn
+    JOIN un a ON a.word = w1
+    JOIN un b ON b.word = w2, uw, bt
+    WHERE n_ab >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION DETECTION via pointwise mutual information — the top
+    adjacent word pairs whose co-occurrence beats chance (PMI =
+    ln(p(ab)/(p(a)p(b)))), the classic phrase-mining primitive feeding
+    tokenizer merges and stop-phrase lists.
+
+    Adjacent-pair co-occurrence (linear in the corpus — the windowed
+    all-pairs form is quadratic in window size; adjacency is the scale
+    shape).  Log determinism by the text_unigram_logprob rule: each PMI
+    is QUANTIZED TO INT64 MICRO-UNITS at birth (round(ln(r)·1e6)) so a
+    last-ulp libm divergence cannot reorder the top-k, whose tiebreak is
+    (pmi, w1, w2).  Counts exact; the n_ab ≥ 5 noise floor is an integer
+    cut.  Plan: one unigram agg + one bigram agg + two broadcast joins
+    of the vocabulary-sized count tables; TakeOrdered for the top-20."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+    n = F.size(words)
+    uni = d.select(F.explode(words).alias("word"))
+    un = uni.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    uw = un.agg(F.sum("n").alias("W"))
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bn = (
+        d.select(F.explode(bigrams).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    bt = bn.agg(F.sum("n_ab").alias("B"))
+    ua = un.select(F.col("word").alias("w1"), F.col("n").alias("n_a"))
+    ub = un.select(F.col("word").alias("w2"), F.col("n").alias("n_b"))
+    ratio = (F.col("n_ab").cast("double") / F.col("B")) / (
+        (F.col("n_a").cast("double") / F.col("W"))
+        * (F.col("n_b").cast("double") / F.col("W"))
+    )
+    pmi = F.round(F.log(ratio) * 1_000_000).cast("long").cast("double") / 1_000_000.0
+    return (
+        bn.where(F.col("n_ab") >= 5)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(uw))
+        .crossJoin(F.broadcast(bt))
+        .select("w1", "w2", "n_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
