@@ -65,6 +65,7 @@ _T2B_R6_LATE: tuple[str, ...] = (
     "part_abc_analysis", "graph_degree_distribution",
     "events_anomaly_mad", "events_seasonality_profile", "text_vocab_growth",
     "text_boilerplate_grams", "text_collocations_pmi",
+    "events_interarrival_profile",
 )
 _T3_FRESH: tuple[str, ...] = (
     # r5-graded …

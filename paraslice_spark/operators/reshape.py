@@ -1436,3 +1436,61 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("decile")
     )
+
+
+@query(
+    "events_interarrival_profile",
+    oracle="""
+    WITH g AS (
+      SELECT (epoch_ns(ts)
+              - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_ns(ts), event_id))
+             // 1000 AS gap_us
+      FROM events),
+    b AS (
+      SELECT CASE WHEN gap_us = 0 THEN 0
+                  ELSE length(printf('%b', gap_us)) END AS bucket
+      FROM g WHERE gap_us IS NOT NULL),
+    c AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY 1),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT CAST(bucket AS BIGINT) AS log2_bucket, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS share
+    FROM c, t ORDER BY log2_bucket
+    """,
+)
+def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-ARRIVAL TIME DISTRIBUTION per user, in exact log₂ buckets —
+    the burstiness profile that sizes session-gap thresholds (the 30-min
+    cut in events_sessionize sits exactly in this histogram's valley)
+    and stream watermark windows.
+
+    The bucket is the BINARY DIGIT COUNT of the µs gap (⌊log₂⌋+1) —
+    computed by string length of the base-2 rendering on BOTH engines
+    (Spark conv(gap,10,2) / DuckDB printf('%b')), so the "log" is pure
+    integer/string machinery: no float log anywhere, no quantization
+    subtleties.  Gaps in integer µs via the ts_ns div rule; one
+    user-keyed lag window, one small histogram agg."""
+    ev = load_tables(spark, sf_dir)["events"]
+    g = ev.select(
+        F.expr(
+            "(ts_ns - lag(ts_ns) over (partition by user_id"
+            " order by ts_ns, event_id)) div 1000"
+        ).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    bucket = F.when(F.col("gap_us") == 0, F.lit(0)).otherwise(
+        F.length(F.conv(F.col("gap_us"), 10, 2))
+    )
+    c = g.groupBy(bucket.cast("long").alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "log2_bucket",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("log2_bucket")
+    )
