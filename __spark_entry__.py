@@ -19,56 +19,61 @@ import paraslice_spark.operators  # noqa: F401  (registers all queries)
 from paraslice_spark.registry import ORACLES, QUERIES
 
 # The driver grades the FIRST ~50 queries of this dict per round, so order
-# encodes grading priority.  Round-6 re-tier (VERDICT r5 item #1, the final
-# refresh): the r5 sample cutoff landed after agg_pricing_summary, leaving
-# exactly 39 names whose newest driver verdict still pre-dates the r4
-# testdata regeneration.  Tier 0 (no tuple): the 25 ORACLED queries added
-# in r6 — a first hash verdict beats any refresh.  Tier 1: the 30
-# hash-oracled names owed a fresh hash verdict — the 28 oracled vintage
-# led by tensor_slices and dedup_minhash_pairs, which were rows-only
-# until their r6 oracle conversions (checksum-column / md5-affine
-# signatures); the ~50 sample cuts inside this tuple, so its ORDER is
-# priority too and the thin UDF surface demos sit last (the right thing
-# to slip a round).  Tier 2: the rows-only-by-design names (9 vintage +
-# tucker_hosvd_core, new but deliberately non-displacing) — a rows-only
-# driver row carries no hash information; the local rows-run gate covers
-# them every session.  Tier 3: everything graded r4/r5 — standing fresh,
-# tail position.
-_T1_VINTAGE_ORACLED: tuple[str, ...] = (
-    "tensor_slices", "dedup_minhash_pairs",
-    "q3_shipping_priority", "q10_returned_revenue", "q14_promo_share",
-    "scan_parquet", "scan_projection", "join_star_5way",
-    "join_broadcast_inner", "join_sortmerge_inner", "join_left_outer",
-    "join_full_outer", "join_semi", "join_anti", "join_cross",
-    "join_range_theta", "agg_rollup", "agg_stats", "agg_string_concat",
-    "multimodal_decode_meta", "project_arithmetic", "reshape_unpivot",
-    "filter_between_in_like", "filter_compound", "filter_null_semantics",
-    "filter_regexp", "udf_grouped_map", "udf_pandas_vectorized",
-    "udf_scalar_py", "udf_udtf_tokenize",
-)
-_T2_VINTAGE_ROWSONLY: tuple[str, ...] = (
-    "agg_approx_distinct", "agg_approx_quantile", "dedup_embedding_cosine",
-    "parafac_cp_als", "parafac_cp_als_dist",
-    "parafac_factors_a", "sample_bernoulli", "similarity_ivf_ann",
-    "similarity_lsh_ann",
-    # new r6 rows-only (not vintage): tiered here ON PURPOSE so it cannot
-    # displace an oracled name from the ~50 sample — a rows-only verdict
-    # carries no hash information; r7's re-tier promotes it with the rest.
-    "tucker_hosvd_core",
-)
-# r6 LATE additions (oracled but deliberately graded AFTER the vintage
-# refresh: with tier 0 already at 32 names, putting these in the sample
-# would push core join/agg vintage out; the local oracle gate covers them
-# this round, r7's re-tier promotes them for their first driver verdict).
-_T2B_R6_LATE: tuple[str, ...] = (
+# encodes grading priority.  Round-7 re-tier (VERDICT r6 item #1, the LAST
+# refresh of the cumulative sweep): after r4+r5+r6's 150 no-overlap driver
+# verdicts, exactly 22 oracled names still lack any post-regeneration
+# driver row (12 r1/r2-vintage tail + 10 r6-late additions) and 10
+# rows-only names are owed their refresh.  Tier 0 (no tuple): queries ADDED
+# in r7 — a first hash verdict beats any refresh.  Tier 1: the 22 oracled
+# names owed their first post-regeneration hash verdict.  Tier 2: the 10
+# rows-only-by-design names (a rows-only driver row carries no hash
+# information, so they sit after every oracled first-verdict; the local
+# rows-run gate covers them every session).  Tier 3: everything already
+# graded r4/r5/r6 — standing fresh, tail position.  22 + 10 = 32 slots,
+# leaving ~18 for r7 additions: CORRECTNESS_r07 completes the cumulative
+# sweep — every declared query will then hold a post-regeneration verdict.
+_T1_ORACLED_UNGRADED: tuple[str, ...] = (
+    # the 10 r6-late oracled pack (no driver row yet) …
     "events_markov_transitions", "customer_rfm_segments",
     "part_abc_analysis", "graph_degree_distribution",
     "events_anomaly_mad", "events_seasonality_profile", "text_vocab_growth",
     "text_boilerplate_grams", "text_collocations_pmi",
     "events_interarrival_profile",
+    # … then the 12 r1/r2-vintage tail (newest driver rows pre-date the r4
+    # testdata regeneration; judge-verified green at 3 SFs every round).
+    "agg_string_concat", "multimodal_decode_meta", "project_arithmetic",
+    "reshape_unpivot", "filter_between_in_like", "filter_compound",
+    "filter_null_semantics", "filter_regexp", "udf_grouped_map",
+    "udf_pandas_vectorized", "udf_scalar_py", "udf_udtf_tokenize",
+)
+_T2_ROWSONLY_REFRESH: tuple[str, ...] = (
+    "agg_approx_distinct", "agg_approx_quantile", "dedup_embedding_cosine",
+    "parafac_cp_als", "parafac_cp_als_dist",
+    "parafac_factors_a", "sample_bernoulli", "similarity_ivf_ann",
+    "similarity_lsh_ann", "tucker_hosvd_core",
 )
 _T3_FRESH: tuple[str, ...] = (
-    # r5-graded …
+    # r6-graded …
+    "tensor_slices", "dedup_minhash_pairs",
+    "q3_shipping_priority", "q10_returned_revenue", "q14_promo_share",
+    "scan_parquet", "scan_projection", "join_star_5way",
+    "join_broadcast_inner", "join_sortmerge_inner", "join_left_outer",
+    "join_full_outer", "join_semi", "join_anti", "join_cross",
+    "join_range_theta", "agg_rollup", "agg_stats",
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_type_profit",
+    "q11_important_parts", "q12_late_lines_priority",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q19_discounted_revenue", "q20_bulk_shippers", "q21_waiting_suppliers",
+    "q22_dormant_balances", "join_salted_skew", "multimodal_phash_pairs",
+    "audit_constraints", "events_sessionized_funnel", "events_anomaly_zscore",
+    "sample_split_train_val_test", "text_decontaminate",
+    "pipeline_dataset_build", "graph_pagerank_knn", "graph_triangle_count",
+    "similarity_signlsh_ann", "events_ab_test", "events_ab_cuped",
+    "events_scd2_status", "agg_incremental_merge",
+    "events_chi2_independence", "events_forecast_backtest",
+    "text_zipf_fit", "window_cumulative_distinct",
+    # … r5-graded …
     "agg_mode_deterministic", "q6_forecast_revenue", "q18_large_orders",
     "q4_priority_late_ship", "q7_volume_shipping",
     "multimodal_feature_extract", "events_funnel", "events_retention",
@@ -112,9 +117,8 @@ def _rotated(d: dict) -> dict:
     tier = {}
     for t, names in enumerate(
         (
-            _T1_VINTAGE_ORACLED,
-            _T2_VINTAGE_ROWSONLY,
-            _T2B_R6_LATE,
+            _T1_ORACLED_UNGRADED,
+            _T2_ROWSONLY_REFRESH,
             _T3_FRESH,
         ),
         start=1,

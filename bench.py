@@ -100,6 +100,22 @@ def main() -> None:
         "wallclock_all_runs": wallclock,
         "suite_steal_pct": steal_pct(cpu_suite0, cpu_sample()),
         "steal_suspect_queries": noisy,
+        # ADVICE r6: per-query timings for memoized families are
+        # run-order-dependent — the FIRST consumer (alphabetical) pays the
+        # shared build; later consumers read the localCheckpoint for ~0 s.
+        "shared_builds": {
+            "knn_edge_table": [
+                "graph_degree_distribution", "graph_pagerank_knn",
+                "graph_triangle_count", "similarity_knn_graph",
+            ],
+            "decontamination_pair_table": [
+                "pipeline_dataset_build", "text_decontaminate",
+            ],
+            "ngram_jaccard_pair_table": [
+                "dedup_edit_distance", "dedup_groups", "dedup_groups_star",
+                "dedup_ngram_jaccard",
+            ],
+        },
     }
     print(json.dumps(payload))
     # BENCH_r{N}.json keeps only the stdout tail, losing the front of the

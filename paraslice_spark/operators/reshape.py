@@ -903,45 +903,43 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIGITS FIRST, so every downstream adjustment consumes the same
     literal on both engines; variant means are exact-int divisions; both
     engines state the identical lift expressions.  Plan: one user-keyed
-    shuffle (period sums), a 1-row regr/mean agg and a 2-row variant agg
-    broadcast together — pu feeds BOTH aggregates, so it is persisted
-    (without it the two subplans would each re-scan the fact table; with
-    it events is scanned once and the θ and variant aggs read the cached
-    per-user rows)."""
+    shuffle (period sums), then ONE rollup(variant) over the per-user
+    rows — the grand-total row carries θ (regr_slope over all users),
+    the two variant rows carry the n/Σpre/Σpost sums — pivoted by a
+    3-row conditional agg.  pu is consumed exactly once, so events is
+    scanned once with NO persist (the r6 shape persisted pu and leaked
+    an InMemoryRelation into the session cache manager per invocation —
+    ADVICE r6; the rollup removes the double-consumption instead of
+    caching around it)."""
     ev = load_tables(spark, sf_dir)["events"]
     cut = F.lit("2024-01-16").cast("timestamp")
-    pu = (
-        ev.groupBy("user_id", (F.col("user_id") % 2).alias("variant"))
-        .agg(
-            F.sum(F.when(F.col("ts") < cut, micros_units("value")).otherwise(0))
-            .cast("double")
-            .alias("pre_u"),
-            F.sum(F.when(F.col("ts") >= cut, micros_units("value")).otherwise(0))
-            .cast("double")
-            .alias("post_u"),
-        )
-        .persist()
+    pu = ev.groupBy("user_id", (F.col("user_id") % 2).alias("variant")).agg(
+        F.sum(F.when(F.col("ts") < cut, micros_units("value")).otherwise(0))
+        .cast("double")
+        .alias("pre_u"),
+        F.sum(F.when(F.col("ts") >= cut, micros_units("value")).otherwise(0))
+        .cast("double")
+        .alias("post_u"),
     )
-    th = pu.agg(
-        F.round(F.regr_slope("post_u", "pre_u"), 6).alias("theta"),
-        (F.sum("pre_u") / F.count(F.lit(1))).alias("mean_pre_all"),
-    )
-    v = pu.groupBy("variant").agg(
+    r = pu.rollup("variant").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("pre_u").alias("sp"),
         F.sum("post_u").alias("so"),
+        F.round(F.regr_slope("post_u", "pre_u"), 6).alias("slope"),
+        F.grouping("variant").alias("is_total"),
     )
-    w = v.agg(
+    w = r.agg(
         F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
         F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
         F.max(F.when(F.col("variant") == 0, F.col("sp"))).alias("sp0"),
         F.max(F.when(F.col("variant") == 1, F.col("sp"))).alias("sp1"),
         F.max(F.when(F.col("variant") == 0, F.col("so"))).alias("so0"),
         F.max(F.when(F.col("variant") == 1, F.col("so"))).alias("so1"),
+        F.max(F.when(F.col("is_total") == 1, F.col("slope"))).alias("theta"),
     )
     post_diff = (F.col("so1") / F.col("n1")) - (F.col("so0") / F.col("n0"))
     pre_diff = (F.col("sp1") / F.col("n1")) - (F.col("sp0") / F.col("n0"))
-    return w.crossJoin(F.broadcast(th)).select(
+    return w.select(
         F.col("n0").cast("long").alias("n0"),
         F.col("n1").cast("long").alias("n1"),
         "theta",
@@ -1284,41 +1282,66 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MAD as mad2 = dev[⌊h⌋] + dev[⌈h⌉] (= 4×MAD), and the outlier
     cut |v − median| > 3×MAD becomes the INTEGER comparison
     2·dev > 3·mad2 — no float enters until the two final display
-    divisions.  Duplicate values make row_number tie order arbitrary,
-    but the value AT a sorted position is tie-invariant, so both engines
-    select identical integers.  Plan: two type-keyed sort windows + two
-    broadcast joins of the tiny per-type stats."""
-    ev = load_tables(spark, sf_dir)["events"]
-    v = ev.select("event_type", micros_units("value").alias("mv"))
+    divisions.
 
-    def median2_of(df: DataFrame, col: str, out: str) -> DataFrame:
+    VALUE-HISTOGRAM SELECTION (VERDICT r6 re-plan): the r6 shape ran TWO
+    ``Window.partitionBy(event_type)`` sort windows over the RAW rows
+    with |event_type| = 5 — at 100× each task sorts ~N/5 rows twice, the
+    exact skew funnel the r4 window_range_frame fix removed.  Micro-unit
+    values live in a SATURATING domain (measured: 6.6k distinct @ 10k
+    rows, 17.8k @ 100k — the quantized float range, not N), so instead:
+    ONE parallel hash agg builds per-(event_type, mv) counts; the sorted
+    position ⌊h⌋/⌈h⌉ values are then selected by CUMULATIVE COUNT over
+    the per-type DISTINCT-value list (a domain-bounded window — the
+    value whose [cum−cnt, cum) range covers the target index is the
+    order statistic, tie-free by construction).  The dev/MAD histogram
+    and the outlier count derive from the SAME histogram (dev is a
+    function of mv; counts re-aggregate), so raw events are only ever
+    hash-aggregated — no per-row sort anywhere in the plan (asserted in
+    tests/test_plans.py::test_anomaly_mad_windows_run_on_histogram)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hist = (
+        ev.select("event_type", micros_units("value").alias("mv"))
+        .groupBy("event_type", "mv")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def median2_from_hist(h: DataFrame, col: str, out: str) -> DataFrame:
         w = Window.partitionBy("event_type").orderBy(col)
         wp = Window.partitionBy("event_type")
-        r = df.select(
+        r = h.select(
             "event_type",
             F.col(col),
-            (F.row_number().over(w) - 1).alias("i"),
-            (F.count(F.lit(1)).over(wp) - 1).alias("m"),
+            F.col("cnt"),
+            F.sum("cnt").over(w).alias("cum"),
+            F.sum("cnt").over(wp).alias("n"),
         )
+        lo = F.col("cum") - F.col("cnt")  # first sorted index held by col
+        p1 = F.expr("(n - 1) div 2")
+        p2 = F.expr("n div 2")
         return r.groupBy("event_type").agg(
             (
-                F.sum(F.when(F.col("i") == F.expr("m div 2"), F.col(col)))
-                + F.sum(
-                    F.when(F.col("i") == F.expr("(m + 1) div 2"), F.col(col))
-                )
+                F.sum(F.when((lo <= p1) & (p1 < F.col("cum")), F.col(col)))
+                + F.sum(F.when((lo <= p2) & (p2 < F.col("cum")), F.col(col)))
             ).alias(out),
-            F.count(F.lit(1)).alias("n"),
+            F.max("n").alias("n"),
         )
-    med = median2_of(v, "mv", "med2")
-    d = v.join(F.broadcast(med.select("event_type", "med2")), "event_type").select(
-        "event_type", F.abs(2 * F.col("mv") - F.col("med2")).alias("dev")
+
+    med = median2_from_hist(hist, "mv", "med2")
+    dev_hist = (
+        hist.join(F.broadcast(med.select("event_type", "med2")), "event_type")
+        .groupBy(
+            "event_type",
+            F.abs(2 * F.col("mv") - F.col("med2")).alias("dev"),
+        )
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    mad = median2_of(d, "dev", "mad2").drop("n")
+    mad = median2_from_hist(dev_hist, "dev", "mad2").drop("n")
     outl = (
-        d.join(F.broadcast(mad), "event_type")
+        dev_hist.join(F.broadcast(mad), "event_type")
         .where(2 * F.col("dev") > 3 * F.col("mad2"))
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_outliers"))
+        .agg(F.sum("cnt").alias("n_outliers"))
     )
     return (
         med.join(F.broadcast(mad), "event_type")
@@ -1428,7 +1451,9 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_docs"),
     )
     return (
-        cum.crossJoin(F.broadcast(first_seen))
+        # broadcast the 10-row cutpoint table into the vocabulary-sized
+        # first_seen side (ADVICE r6: the r6 code had this backwards).
+        first_seen.crossJoin(F.broadcast(cum))
         .groupBy("decile", "n_docs")
         .agg(
             F.count(F.when(F.col("fd") <= F.col("cut"), 1)).alias("vocab_size")

@@ -1995,16 +1995,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate at Σ d⁺(v)² instead of Σ d(v)².  Edge count rides along
     for the density ratio.  Edges come from the memoized kNN table; all
     three join sides are the same id-pair table (n·k rows — at 100 TB
-    this is the op you run AFTER blocking, never on raw pairs)."""
+    this is the op you run AFTER blocking, never on raw pairs).  The
+    canonical edge set is NOT persisted (ADVICE r6: a persist here
+    registered a never-released InMemoryRelation per invocation): each
+    of the four consumers recomputes the cheap select+distinct from the
+    kNN table's localCheckpoint, which already bounds recomputation."""
     knn = _knn_graph_cached(spark, sf_dir)
-    e = (
-        knn.select(
-            F.least("vec_id", "neighbor_id").alias("u"),
-            F.greatest("vec_id", "neighbor_id").alias("v"),
-        )
-        .distinct()
-        .persist()
-    )
+    e = knn.select(
+        F.least("vec_id", "neighbor_id").alias("u"),
+        F.greatest("vec_id", "neighbor_id").alias("v"),
+    ).distinct()
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))

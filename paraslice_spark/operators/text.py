@@ -669,13 +669,15 @@ def text_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode → one df agg → a 1-row total broadcast."""
     d = load_tables(spark, sf_dir)["documents"]
     words = F.split("text", " ")
-    n = F.size(words)
+    # clamp: a 1-word doc would make n-2 = -1, a runtime error in slice
+    # (ADVICE r6); length 0 yields an empty trigram array instead.
+    n3 = F.greatest(F.size(words) - 2, F.lit(0))
     trigrams = F.array_distinct(
         F.zip_with(
-            F.slice(words, 1, n - 2),
+            F.slice(words, 1, n3),
             F.zip_with(
-                F.slice(words, 2, n - 2),
-                F.slice(words, 3, n - 2),
+                F.slice(words, 2, n3),
+                F.slice(words, 3, n3),
                 lambda b, c: F.concat(b, F.lit(" "), c),
             ),
             lambda a, bc: F.concat(a, F.lit(" "), bc),

@@ -200,13 +200,19 @@ class JsonlEventsWriter(DataSourceWriter):
         return _ShardCommit(tmp_path=tmp, rows=n)
 
     def commit(self, messages) -> None:
+        import uuid
+
         if self.overwrite:
             for name in os.listdir(self.directory):
                 if name.endswith(".jsonl") and not name.startswith(".tmp-"):
                     os.remove(os.path.join(self.directory, name))
+        # unique batch tag so an append-mode save never clobbers a prior
+        # batch's shard{i} names (ADVICE r6).
+        tag = uuid.uuid4().hex[:8]
         for i, m in enumerate(m for m in messages if m is not None):
             os.rename(
-                m.tmp_path, os.path.join(self.directory, f"shard{i}.jsonl")
+                m.tmp_path,
+                os.path.join(self.directory, f"shard-{tag}-{i}.jsonl"),
             )
 
     def abort(self, messages) -> None:

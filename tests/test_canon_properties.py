@@ -140,3 +140,14 @@ def test_fixture_assumption_canaries(spark):
         )).alias("mx"),
     ).first()
     assert e["dim"] == 64 and e["mx"] < 4.0, e
+
+    # every document has >= 3 words: the n-gram oracles (boilerplate
+    # trigrams, PMI bigrams, shingles) produce non-degenerate grams for
+    # every doc.  The Spark side is clamped (ADVICE r6) so a short doc
+    # would not crash — but a regeneration shrinking docs below 3 words
+    # should still fail HERE with a named reason, not as gram-count
+    # drift.
+    wmin = t["documents"].select(
+        F.min(F.size(F.split("text", " "))).alias("w")
+    ).first()["w"]
+    assert wmin >= 3, f"documents shorter than 3 words (min {wmin})"

@@ -359,3 +359,14 @@ def test_incremental_merge_sums_longs_not_decimals(spark):
     p = plan(QUERIES["agg_incremental_merge"](spark, SF_SMALL))
     partials = [ln for ln in p.splitlines() if "partial_sum" in ln]
     assert partials and not any("Decimal" in ln for ln in partials), p
+
+
+def test_anomaly_mad_windows_run_on_histogram(spark):
+    """VERDICT r6 re-plan: the exact medians must select order statistics
+    from the per-(event_type, value) COUNT HISTOGRAM, never sort raw rows
+    under a 5-value partition key.  Every Window node therefore cumulates
+    the histogram's cnt column, and no row_number ranks raw events."""
+    p = plan(QUERIES["events_anomaly_mad"](spark, SF_SMALL))
+    assert "row_number" not in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wins and all("sum(cnt" in ln for ln in wins), p

@@ -104,3 +104,24 @@ def test_jsonl_writer_round_trip_and_commit_protocol(spark, tmp_path):
     assert len(names) == 4  # one committed shard per task
     back = spark.read.format("paraslice_jsonl").option("path", out).load()
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in ev.collect()}
+
+
+def test_jsonl_writer_append_twice_keeps_both_batches(spark, tmp_path):
+    """ADVICE r6: append-mode commits must not reuse fixed shard{i} names —
+    a second save() clobbered the first batch's shards. Two appends must
+    leave both batches' shards on disk and read back 2x the rows."""
+    register_python_sources(spark)
+    _enable_pushdown(spark)
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = str(tmp_path / "out_jsonl_append")
+    for _ in range(2):
+        ev.repartition(2).write.format("paraslice_jsonl").option(
+            "path", out
+        ).mode("append").save()
+    import os
+
+    assert len(os.listdir(out)) == 4  # 2 batches x 2 shards, no clobber
+    back = spark.read.format("paraslice_jsonl").option("path", out).load()
+    assert back.count() == 2 * ev.count()
