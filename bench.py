@@ -105,15 +105,16 @@ def main() -> None:
         # shared build; later consumers read the localCheckpoint for ~0 s.
         "shared_builds": {
             "knn_edge_table": [
-                "graph_degree_distribution", "graph_pagerank_knn",
-                "graph_triangle_count", "similarity_knn_graph",
+                "graph_degree_distribution", "graph_knn_jaccard",
+                "graph_pagerank_knn", "graph_triangle_count",
+                "similarity_knn_graph",
             ],
             "decontamination_pair_table": [
                 "pipeline_dataset_build", "text_decontaminate",
             ],
             "ngram_jaccard_pair_table": [
-                "dedup_edit_distance", "dedup_groups", "dedup_groups_star",
-                "dedup_ngram_jaccard",
+                "dedup_edit_distance", "dedup_group_size_histogram",
+                "dedup_groups", "dedup_groups_star", "dedup_ngram_jaccard",
             ],
         },
     }

@@ -396,6 +396,82 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentile_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value*1000000) AS BIGINT) AS mv
+      FROM events),
+    r AS (
+      SELECT event_type, mv,
+             row_number() OVER (PARTITION BY event_type ORDER BY mv) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN rk = (n + 1) // 2 THEN mv END) AS DOUBLE)
+             / 1000000.0 AS p50,
+           CAST(SUM(CASE WHEN rk = (9 * n + 9) // 10 THEN mv END) AS DOUBLE)
+             / 1000000.0 AS p90,
+           CAST(SUM(CASE WHEN rk = (99 * n + 99) // 100 THEN mv END)
+                AS DOUBLE) / 1000000.0 AS p99
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 SCALE TWIN: exact nearest-rank p50/p90/p99 per event_type via
+    VALUE-HISTOGRAM SELECTION — the same re-plan that fixed
+    events_anomaly_mad's medians.  agg_percentile's sort-window form is
+    right for high-cardinality group keys; under a LOW-cardinality key
+    (|event_type| = 5) each task would sort ~N/5 raw rows, so here the
+    raw table is only ever hash-aggregated into per-(type, value) counts
+    (a saturating domain — 17.8k distinct values at 100k rows) and the
+    rank-r order statistics are selected by cumulative count over the
+    distinct-value list.  Nearest-rank (1-based rank ⌈q·n⌉) keeps every
+    selected value an exact micro-unit integer — no interpolation, no
+    float until the final display divisions.  The value AT a rank is
+    tie-invariant, so both engines select identical integers."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hist = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 1000000).cast("long").alias("mv"),
+        )
+        .groupBy("event_type", "mv")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("mv")
+    wp = Window.partitionBy("event_type")
+    r = hist.select(
+        "event_type",
+        "mv",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wp).alias("n"),
+    )
+    lo = F.col("cum") - F.col("cnt")
+
+    def at_rank(rank_expr: str, out: str):
+        # 1-based rank r is held by the value whose span (lo, cum] covers it
+        rk = F.expr(rank_expr)
+        return (
+            F.sum(F.when((lo < rk) & (rk <= F.col("cum")), F.col("mv")))
+            .cast("double")
+            / 1000000.0
+        ).alias(out)
+
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            at_rank("(n + 1) div 2", "p50"),
+            at_rank("(9 * n + 9) div 10", "p90"),
+            at_rank("(99 * n + 99) div 100", "p99"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_type")
+    )
+
+
+@query(
     "agg_max_by",
     oracle="""
     SELECT o_orderpriority,

@@ -997,6 +997,61 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_forecast_backtest_by_type",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    pred AS (
+      SELECT event_type, h, n,
+             lag(n, 24) OVER (PARTITION BY event_type ORDER BY h) AS yhat
+      FROM hourly)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(ABS(n - yhat)) AS BIGINT) AS sum_abs_err,
+           CAST(SUM(ABS(n - yhat)) AS DOUBLE) / COUNT(*) AS mae,
+           ROUND(CAST(SUM(ABS(n - yhat)) AS DOUBLE) / SUM(n), 6) AS wape
+    FROM pred WHERE yhat IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_forecast_backtest_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-SERIES seasonal-naive backtest — the at-scale shape
+    events_forecast_backtest's docstring promises: the lag window is
+    PARTITIONED BY the series key, so a million independent series
+    backtest in parallel with no global-ordered window anywhere (each
+    task sorts only its series' O(hours) counts; the global variant's
+    single-partition window is only right when there IS one series).
+
+    Same determinism stack as the parent: every error term is an exact
+    integer |count − lagged count|, metrics are exact-int divisions.
+    lag(24) is a ROW lag over each series' observed hours (identical
+    semantics both engines; sparse series lag across gaps — the declared
+    contract is the seasonal-naive baseline on observed points)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    pred = hourly.withColumn("yhat", F.lag("n", 24).over(w)).where(
+        F.col("yhat").isNotNull()
+    )
+    abs_err = F.sum(F.abs(F.col("n") - F.col("yhat")))
+    return (
+        pred.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            abs_err.alias("sum_abs_err"),
+            (abs_err.cast("double") / F.count(F.lit(1))).alias("mae"),
+            F.round(abs_err.cast("double") / F.sum("n"), 6).alias("wape"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_type")
+    )
+
+
 _CHI2_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -1232,6 +1287,314 @@ def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "supplier_scorecard",
+    oracle="""
+    WITH li AS (
+      SELECT l_suppkey,
+             COUNT(*) AS n_lines,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev_c2,
+             COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned
+      FROM lineitem GROUP BY 1)
+    SELECT s_suppkey, s_name, n_name AS nation,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_parts AS BIGINT) AS n_parts,
+           CAST(rev_c2 AS DOUBLE) / 10000.0 AS revenue,
+           ROUND(CAST(n_returned AS DOUBLE) / n_lines, 6) AS return_rate
+    FROM li JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+    ORDER BY s_suppkey
+    """,
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPPLIER SCORECARD — the procurement dashboard row: per-supplier
+    volume, part breadth, discounted revenue, and return rate (the
+    fixture's lineitem has no commit/receipt dates, so the classic
+    on-time metric is out of reach — documented adaptation, same policy
+    as the q21 rewrite).
+
+    One fact pass: a single supplier-keyed hash agg (count, distinct
+    parts, exact cents² revenue, conditional return count) — the fact
+    table never joins anything.  The supplier and nation dims broadcast
+    onto the |suppliers|-sized aggregate afterwards.  return_rate is one
+    IEEE division of two exact counts → ROUND(,6) engine-stable."""
+    t = load_tables(spark, sf_dir)
+    li = (
+        t["lineitem"]
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum(rev_cents()).alias("rev_c2"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias(
+                "n_returned"
+            ),
+        )
+    )
+    return (
+        li.join(
+            F.broadcast(t["supplier"]),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "n_lines",
+            "n_parts",
+            (F.col("rev_c2").cast("double") / 10000.0).alias("revenue"),
+            F.round(
+                F.col("n_returned").cast("double") / F.col("n_lines"), 6
+            ).alias("return_rate"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("s_suppkey")
+    )
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+    WITH o AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 COUNT(*) AS support
+          FROM o a JOIN o b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+    c AS (SELECT l_partkey, COUNT(*) AS cnt FROM o GROUP BY 1),
+    t AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM o)
+    SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+           ROUND(CAST(n_orders * support AS DOUBLE)
+                 / (ca.cnt * cb.cnt), 6) AS lift
+    FROM p JOIN c ca ON ca.l_partkey = part_a
+           JOIN c cb ON cb.l_partkey = part_b, t
+    ORDER BY support DESC, part_a, part_b LIMIT 20
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET pair mining (the Apriori k=2 support/lift table) —
+    the classic co-occurrence analysis over order baskets: which part
+    pairs land in the same order more often than independence predicts.
+
+    Scale shape: the self-join fans out only WITHIN each basket
+    (l_orderkey equi-join, a<b orientation halves it), so the pair count
+    is Σ |basket|² with TPC-H baskets ≤ 7 lines — linear in orders, not
+    |parts|².  Item counts are vocabulary-bounded and broadcast onto the
+    pair supports.  lift = N·supp(ab)/(cnt(a)·cnt(b)) is ONE IEEE
+    division of two exact int64 products → ROUND(,6) is engine-stable
+    (house micro-unit precedent).  Top-20 by (support DESC, part_a,
+    part_b) — a total order, so the LIMIT boundary is tie-free —
+    executes as TakeOrderedAndProject, never a global sort."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    o = li.select("l_orderkey", "l_partkey").distinct()
+    a = o.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = o.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    p = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    c = o.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    t = o.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (
+        p.join(
+            F.broadcast(c.select(F.col("l_partkey").alias("part_a"),
+                                 F.col("cnt").alias("cnt_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(c.select(F.col("l_partkey").alias("part_b"),
+                                 F.col("cnt").alias("cnt_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(
+                (F.col("n_orders") * F.col("support")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "events_active_users",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                FROM events),
+    spine AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+    wau AS (SELECT s.day, COUNT(DISTINCT u.user_id) AS wau
+            FROM spine s JOIN du u
+              ON u.day <= s.day AND u.day >= s.day - INTERVAL 6 DAY
+            GROUP BY 1)
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, CAST(dau AS BIGINT) AS dau,
+           CAST(wau AS BIGINT) AS wau,
+           ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day
+    ORDER BY day
+    """,
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / STICKINESS — the product-health trio: daily active
+    users, trailing-7-day active users, and their ratio (DAU/WAU, the
+    classic engagement metric).
+
+    Scale shape: deduplicate to (day, user) FIRST (one shuffle, the
+    only pass over raw events), then the trailing window is a range
+    join against the DAY SPINE — a calendar-bounded table that
+    BROADCASTS at any corpus size (10 years = 3 653 rows), fanning each
+    (day, user) row out ≤ 7× before the per-day distinct count.  Never
+    a running `countDistinct` window (unbounded state) and never a
+    per-user sort.  stickiness is one IEEE division of two exact counts
+    → ROUND(,6) engine-stable.  The day is EMITTED AS A STRING: a DATE
+    output column round-trips differently through the two engines'
+    pandas paths (DuckDB DATE → datetime64 midnight, Spark DATE →
+    datetime.date), and a date→timestamp cast would be session-tz
+    dependent (the r3 NTZ lesson) — yyyy-MM-dd formatting of the
+    NTZ-derived date is tz-independent on both."""
+    ev = load_tables(spark, sf_dir)["events"]
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    spine = du.select("day").distinct().select(F.col("day").alias("sday"))
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        du.join(
+            F.broadcast(spine),
+            (F.col("day") <= F.col("sday"))
+            & (F.col("day") >= F.date_sub(F.col("sday"), 6)),
+        )
+        .groupBy("sday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("sday", "day")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("day")
+    )
+
+
+@query(
+    "events_heavy_hitters",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS share
+    FROM c, t ORDER BY n DESC, user_id LIMIT 20
+    """,
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT HEAVY HITTERS — the skew diagnostic run before choosing a
+    partitioning strategy (join_salted_skew's R and AQE's skew thresholds
+    are calibrated from exactly this table): the top-20 keys by event
+    count with their traffic share.
+
+    One hash agg over the facts (map-side combined: the shuffle carries
+    one row per (partition, user)), a 1-row total broadcast, and a
+    TakeOrderedAndProject top-20 — never a global sort.  (n DESC,
+    user_id) is a total order → tie-free LIMIT.  share is one IEEE
+    division of exact counts → ROUND(,6) engine-stable."""
+    ev = load_tables(spark, sf_dir)["events"]
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(20)
+    )
+
+
+@query(
+    "customer_revenue_deciles",
+    oracle="""
+    WITH s AS (SELECT o_custkey,
+                      SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS spend_c
+               FROM orders GROUP BY 1),
+    d AS (SELECT spend_c,
+                 ntile(10) OVER (ORDER BY spend_c DESC, o_custkey) AS decile
+          FROM s),
+    t AS (SELECT CAST(SUM(spend_c) AS BIGINT) AS total FROM s)
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(spend_c) AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
+           ROUND(CAST(CAST(SUM(spend_c) AS BIGINT) AS DOUBLE) / total, 6)
+             AS revenue_share
+    FROM d, t GROUP BY decile, total ORDER BY decile
+    """,
+)
+def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE CONCENTRATION (Lorenz deciles) — "the top 10% of customers
+    carry X% of revenue", the BI counterpart of part_abc_analysis on the
+    customer axis.
+
+    Decile assignment is ntile over (spend DESC, custkey) — a TOTAL order
+    (custkey unique, the vocab_growth precedent), so both engines bucket
+    identically.  The unpartitioned ntile window is a single task, but it
+    runs over the CUSTOMER AGGREGATE (already hash-reduced from the fact
+    table — |customers| ≪ N rows carrying two longs each), the same
+    regime as the declared window_distribution demo; spend sums are exact
+    int64 cents, shares one IEEE division each → ROUND(,6)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    s = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("spend_c")
+    )
+    d = s.select(
+        "spend_c",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("spend_c"), "o_custkey"))
+        .alias("decile"),
+    )
+    t = s.agg(F.sum("spend_c").alias("total"))
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("spend_c").alias("dec_c"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_customers",
+            (F.col("dec_c").cast("double") / 100.0).alias("revenue"),
+            F.round(
+                F.col("dec_c").cast("double") / F.col("total"), 6
+            ).alias("revenue_share"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("decile")
+    )
+
+
+@query(
     "events_anomaly_mad",
     oracle="""
     WITH v AS (
@@ -1294,11 +1657,15 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     position ⌊h⌋/⌈h⌉ values are then selected by CUMULATIVE COUNT over
     the per-type DISTINCT-value list (a domain-bounded window — the
     value whose [cum−cnt, cum) range covers the target index is the
-    order statistic, tie-free by construction).  The dev/MAD histogram
-    and the outlier count derive from the SAME histogram (dev is a
-    function of mv; counts re-aggregate), so raw events are only ever
-    hash-aggregated — no per-row sort anywhere in the plan (asserted in
-    tests/test_plans.py::test_anomaly_mad_windows_run_on_histogram)."""
+    order statistic, tie-free by construction).  Each median is computed
+    as a WINDOW VALUE (per-partition conditional sum), not a grouped agg
+    joined back — so the dev histogram derives from the same rows, the
+    outlier cut compares against the windowed mad2 in place, and the raw
+    table is hash-aggregated EXACTLY ONCE with no self-joins (the
+    join-back form re-ran the histogram subtree ~7×; measured 1.9 s →
+    this shape at sf0.1).  No per-row sort anywhere in the plan
+    (asserted: tests/test_plans.py::test_anomaly_mad_windows_run_on_
+    histogram)."""
     ev = load_tables(spark, sf_dir)["events"]
     hist = (
         ev.select("event_type", micros_units("value").alias("mv"))
@@ -1306,52 +1673,54 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
-    def median2_from_hist(h: DataFrame, col: str, out: str) -> DataFrame:
+    def with_median2(h: DataFrame, col: str, out: str) -> DataFrame:
+        """Attach the per-type doubled median of ``col`` (count-weighted)
+        as a window value — every row keeps flowing, nothing joins back.
+        Also leaves ``_tot`` (the per-type count mass) for the caller."""
         w = Window.partitionBy("event_type").orderBy(col)
         wp = Window.partitionBy("event_type")
         r = h.select(
-            "event_type",
-            F.col(col),
-            F.col("cnt"),
-            F.sum("cnt").over(w).alias("cum"),
-            F.sum("cnt").over(wp).alias("n"),
+            "*",
+            F.sum("cnt").over(w).alias("_cum"),
+            F.sum("cnt").over(wp).alias("_tot"),
         )
-        lo = F.col("cum") - F.col("cnt")  # first sorted index held by col
-        p1 = F.expr("(n - 1) div 2")
-        p2 = F.expr("n div 2")
-        return r.groupBy("event_type").agg(
-            (
-                F.sum(F.when((lo <= p1) & (p1 < F.col("cum")), F.col(col)))
-                + F.sum(F.when((lo <= p2) & (p2 < F.col("cum")), F.col(col)))
-            ).alias(out),
-            F.max("n").alias("n"),
-        )
+        lo = F.col("_cum") - F.col("cnt")  # first sorted index held by col
+        p1 = F.expr("(_tot - 1) div 2")
+        p2 = F.expr("_tot div 2")
+        sel1 = F.when((lo <= p1) & (p1 < F.col("_cum")), F.col(col))
+        sel2 = F.when((lo <= p2) & (p2 < F.col("_cum")), F.col(col))
+        return r.select(
+            "*",
+            (F.sum(sel1).over(wp) + F.sum(sel2).over(wp)).alias(out),
+        ).drop("_cum")
 
-    med = median2_from_hist(hist, "mv", "med2")
-    dev_hist = (
-        hist.join(F.broadcast(med.select("event_type", "med2")), "event_type")
-        .groupBy(
-            "event_type",
-            F.abs(2 * F.col("mv") - F.col("med2")).alias("dev"),
-        )
-        .agg(F.sum("cnt").alias("cnt"))
+    d = with_median2(hist, "mv", "med2").select(
+        "event_type",
+        F.col("_tot").alias("n"),
+        "med2",
+        F.abs(2 * F.col("mv") - F.col("med2")).alias("dev"),
+        "cnt",
     )
-    mad = median2_from_hist(dev_hist, "dev", "mad2").drop("n")
-    outl = (
-        dev_hist.join(F.broadcast(mad), "event_type")
-        .where(2 * F.col("dev") > 3 * F.col("mad2"))
-        .groupBy("event_type")
-        .agg(F.sum("cnt").alias("n_outliers"))
+    dev_hist = d.groupBy("event_type", "n", "med2", "dev").agg(
+        F.sum("cnt").alias("cnt")
     )
+    scored = with_median2(dev_hist, "dev", "mad2")
     return (
-        med.join(F.broadcast(mad), "event_type")
-        .join(F.broadcast(outl), "event_type", "left")
-        .select(
-            "event_type",
-            "n",
-            (F.col("med2").cast("double") / 2000000.0).alias("median_value"),
-            (F.col("mad2").cast("double") / 4000000.0).alias("mad_value"),
-            F.coalesce("n_outliers", F.lit(0)).cast("long").alias("n_outliers"),
+        scored.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            (F.max("med2").cast("double") / 2000000.0).alias("median_value"),
+            (F.max("mad2").cast("double") / 4000000.0).alias("mad_value"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        2 * F.col("dev") > 3 * F.col("mad2"), F.col("cnt")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_outliers"),
         )
         .repartition(1)
         .sortWithinPartitions("event_type")

@@ -529,44 +529,36 @@ def shingle_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_near_dup_pairs(
-    docs: DataFrame, threshold: float = 0.8, n_sig: int = _N_SIG, bands: int = _BANDS
-) -> DataFrame:
-    """L2 core: shingle → minhash → band → bucket-join → exact verify.
+def _minhash_signatures(sh: DataFrame, n_sig: int = _N_SIG) -> DataFrame:
+    """(doc_id, sig0..sig{n_sig-1}) md5-affine MinHash signatures.
 
-    Hand-built banded MinHash (not ml-lib's approxSimilarityJoin, whose
-    bucket-collision candidates explode to ~O(n²) on corpora with shared
-    vocabulary — measured unbounded at sf0.1). Here a pair becomes a
-    candidate only when ALL rows of some band agree (P = 1-(1-J^r)^b, so
-    random J≈0.2 pairs are ~0.6% candidates while J≥0.9 near-dups are
-    ~99%), and the exact shingle-Jaccard runs on candidates only. Every
-    step is a shuffle-safe groupBy/equi-join — the 100 TB shape.
-    """
-    rows_per_band = n_sig // bands
-    # sh feeds the signature agg AND both sides of the verify join — persist
-    # or the shingle transform runs three times (self-join sides share no
-    # common subplan)
-    sh = shingle_docs(docs).persist()
+    Cross-engine md5-affine permutations (see _MH_AB) instead of
+    xxhash64, so the DuckDB oracle rebuilds every signature exactly.
+    md5 runs once per DISTINCT shingle, not per occurrence (this corpus:
+    13k distinct vs 1.35M occurrences at sf0.1 — the shared-vocabulary
+    ratio; measured 2.40 → 1.3 s).  The dictionary is broadcast while it
+    fits (bounded by vocabulary size, not corpus size); at dictionary
+    scales beyond executor memory swap to a plain shuffle join — same
+    shape _ngram_pairs uses for its gram ids."""
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-    # cross-engine md5-affine permutations (see _MH_AB) instead of
-    # xxhash64, so the DuckDB oracle rebuilds every signature exactly.
-    # md5 runs once per DISTINCT shingle, not per occurrence (this corpus:
-    # 13k distinct vs 1.35M occurrences at sf0.1 — the shared-vocabulary
-    # ratio; measured 2.40 → 1.3 s).  The dictionary is broadcast while it
-    # fits (bounded by vocabulary size, not corpus size); at dictionary
-    # scales beyond executor memory swap to a plain shuffle join — same
-    # shape _ngram_pairs uses for its gram ids.
     gram_h = (
         exploded.select("s")
         .distinct()
         .withColumn("h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long"))
     )
-    sigs = exploded.join(F.broadcast(gram_h), "s").groupBy("doc_id").agg(
+    return exploded.join(F.broadcast(gram_h), "s").groupBy("doc_id").agg(
         *[
             F.min((F.lit(a_) * F.col("h") + F.lit(b_)) % F.lit(_MH_P)).alias(f"sig{i}")
             for i, (a_, b_) in enumerate(_MH_AB[:n_sig])
         ]
     )
+
+
+def _minhash_band_candidates(
+    sigs: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs agreeing on ALL rows of some band —
+    the LSH blocking equi-join (never an all-pairs comparison)."""
     key_cols = [f"k{r}" for r in range(rows_per_band)]
     band_vals = sigs.select(
         "doc_id",
@@ -587,12 +579,34 @@ def minhash_near_dup_pairs(
     ).select("doc_id", "bb.band", *[f"bb.{k}" for k in key_cols])
     a = band_vals.select(F.col("doc_id").alias("doc_a"), "band", *key_cols)
     b = band_vals.select(F.col("doc_id").alias("doc_b"), "band", *key_cols)
-    candidates = (
+    return (
         a.join(b, ["band", *key_cols])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame, threshold: float = 0.8, n_sig: int = _N_SIG, bands: int = _BANDS
+) -> DataFrame:
+    """L2 core: shingle → minhash → band → bucket-join → exact verify.
+
+    Hand-built banded MinHash (not ml-lib's approxSimilarityJoin, whose
+    bucket-collision candidates explode to ~O(n²) on corpora with shared
+    vocabulary — measured unbounded at sf0.1). Here a pair becomes a
+    candidate only when ALL rows of some band agree (P = 1-(1-J^r)^b, so
+    random J≈0.2 pairs are ~0.6% candidates while J≥0.9 near-dups are
+    ~99%), and the exact shingle-Jaccard runs on candidates only. Every
+    step is a shuffle-safe groupBy/equi-join — the 100 TB shape.
+    """
+    rows_per_band = n_sig // bands
+    # sh feeds the signature agg AND both sides of the verify join — persist
+    # or the shingle transform runs three times (self-join sides share no
+    # common subplan)
+    sh = shingle_docs(docs).persist()
+    sigs = _minhash_signatures(sh, n_sig)
+    candidates = _minhash_band_candidates(sigs, bands, rows_per_band)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -625,6 +639,118 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py.  The r4-regenerated corpus has ~25 real
     J ≥ 0.8 pairs at sf0.01, so the grade is non-vacuous."""
     return minhash_near_dup_pairs(load_tables(spark, sf_dir)["documents"])
+
+
+def _minhash_estimate_oracle() -> str:
+    """DuckDB twin of the estimator-calibration table: same signatures and
+    band blocking as _minhash_oracle, but every CANDIDATE is scored with
+    both the sketch estimate (matching positions / n_sig) and the exact
+    Jaccard, plus the absolute error."""
+    rows = _N_SIG // _BANDS
+    sig_cols = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {_MH_P}) AS s{i}"
+        for i, (a, b) in enumerate(_MH_AB)
+    )
+    band_conds = "\n        OR ".join(
+        "(" + " AND ".join(f"a.s{b * rows + r} = b.s{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(_N_SIG)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, i.i, {_SHINGLE_K}) AS s
+      FROM documents CROSS JOIN LATERAL
+        (SELECT unnest(range(1, greatest(length(text) - {_SHINGLE_K - 2}, 2))) AS i) i
+    ),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(s), 1, 8))::UBIGINT::BIGINT AS h
+          FROM sh),
+    sig AS (SELECT doc_id,
+             {sig_cols}
+            FROM h GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ({matches}) AS n_match
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE {band_conds}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b,
+           ROUND(n_match / {_N_SIG}.0, 6) AS est_jaccard,
+           ROUND(COALESCE(i.i, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.i, 0)),
+                 6) AS exact_jaccard,
+           ROUND(ABS(n_match / {_N_SIG}.0
+                     - COALESCE(i.i, 0) * 1.0
+                       / (sa.n + sb.n - COALESCE(i.i, 0))), 6) AS abs_err
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    ORDER BY c.doc_a, c.doc_b
+    """
+
+
+@query("dedup_minhash_estimate_error", oracle=_minhash_estimate_oracle())
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH CALIBRATION for the MinHash dedup path: every band-blocked
+    candidate pair scored with BOTH the 16-permutation estimate
+    (matching signature positions / 16) and the exact shingle Jaccard,
+    plus |error| — the table that tells an operator whether their
+    (n_sig, bands) budget is tight enough for the dedup threshold before
+    they spend a 100 TB pass (E[err] ~ sqrt(J(1-J)/n_sig); the fixture's
+    J ≈ 1 near-dups estimate at ~0 error, band-collision noise shows up
+    as high-|err| rows at low exact J).
+
+    Same scale shape as dedup_minhash_pairs (signatures via the broadcast
+    md5 dictionary, banded equi-join blocking, exact verify only on
+    candidates); the estimate adds one 16-column comparison per
+    candidate.  est−exact subtracts two deterministic doubles (n/16 is
+    exactly representable; exact J is one division of ints) → ROUND(,6)
+    engine-stable.  Candidates with NO shared shingle (pure permutation
+    collision) stay rows with exact_jaccard 0 — the oracle LEFT JOINs
+    its intersection table for the same reason."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    rows_per_band = _N_SIG // _BANDS
+    sh = shingle_docs(docs).persist()
+    sigs = _minhash_signatures(sh, _N_SIG)
+    candidates = _minhash_band_candidates(sigs, _BANDS, rows_per_band)
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(_N_SIG)],
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(_N_SIG)],
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(_N_SIG)
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    est = F.col("n_match") / float(_N_SIG)
+    exact = inter / union
+    return (
+        candidates.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", n_match.alias("n_match"))
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            rnd(est, 6).alias("est_jaccard"),
+            rnd(exact, 6).alias("exact_jaccard"),
+            rnd(F.abs(est - exact), 6).alias("abs_err"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
+    )
 
 
 _NGJ_T = 0.6  # bigram-set Jaccard threshold (planted dups ≥0.9, noise <0.15)
@@ -908,6 +1034,62 @@ def dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("group_size", F.count(F.lit(1)).over(w))
         .repartition(1)
         .sortWithinPartitions("doc_id")
+    )
+
+
+@query(
+    "dedup_group_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_NGJ_PAIRS_SQL})),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    rep AS (SELECT src AS doc_id, MIN(node) AS rep_id FROM reach GROUP BY src),
+    g AS (SELECT rep_id, COUNT(*) AS group_size FROM rep GROUP BY rep_id)
+    SELECT CAST(group_size AS BIGINT) AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(group_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM g GROUP BY group_size ORDER BY group_size
+    """,
+)
+def dedup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2e REPORTING twin: the duplicate-CLUSTER SIZE distribution — the
+    first number a dedup run is judged by ("how much of the corpus sits
+    in clusters of size k?").  Size-1 groups are the unique docs; the
+    tail sizes are what a containment-attack or template flood looks
+    like.
+
+    Reuses the memoized min-label components verbatim (zero extra graph
+    work when dedup_groups already ran this session), then two
+    cardinality-bounded aggs: rep_id → size, size → group count.  All
+    shuffles are on ids/longs; output rows ≤ max cluster size."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    labels = _components_cached(
+        spark, sf_dir, "all",
+        lambda: _min_label_components(
+            _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+        ),
+    )
+    sizes = (
+        docs.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(F.coalesce("lbl", "doc_id").alias("rep_id"))
+        .groupBy("rep_id")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    return (
+        sizes.groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .select(
+            "group_size",
+            "n_groups",
+            (F.col("group_size") * F.col("n_groups")).alias("n_docs"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("group_size")
     )
 
 
@@ -2074,4 +2256,84 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .repartition(1)
         .sortWithinPartitions("degree")
+    )
+
+
+@query(
+    "graph_knn_jaccard",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT LEAST(vec_id, neighbor_id) AS u,
+                      GREATEST(vec_id, neighbor_id) AS v
+      FROM ({_KNN_ORACLE})
+    ),
+    adj AS (SELECT u AS node, v AS nbr FROM e
+            UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY 1),
+    inter AS (
+      SELECT e.u, e.v, COUNT(*) AS n_common
+      FROM e JOIN adj a ON a.node = e.u
+             JOIN adj b ON b.node = e.v AND b.nbr = a.nbr
+      GROUP BY 1, 2)
+    SELECT e.u AS u, e.v AS v,
+           CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+           ROUND(CAST(COALESCE(n_common, 0) AS DOUBLE)
+                 / (du.d + dv.d - COALESCE(n_common, 0)), 6) AS jaccard
+    FROM e LEFT JOIN inter ON inter.u = e.u AND inter.v = e.v
+           JOIN deg du ON du.node = e.u
+           JOIN deg dv ON dv.node = e.v
+    ORDER BY u, v
+    """,
+)
+def graph_knn_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-EDGE NEIGHBORHOOD JACCARD on the undirected kNN graph — the
+    structural-similarity score SNN clustering and link prediction start
+    from: |N(u) ∩ N(v)| / |N(u) ∪ N(v)| for every edge.  n_common is
+    also the triangle support of the edge (graph_triangle_count's sum
+    = Σ n_common / 3 — a free cross-check).
+
+    Scale shape: common neighbors come from ONE adjacency self-join
+    keyed on the shared neighbor id (each 2-path (u, nbr, v) counted at
+    its center — never a per-node set materialization), so intermediates
+    are bounded by Σ d(nbr)² like the triangle join.  Degrees are a
+    2-row-per-edge agg; jaccard = one IEEE division of exact ints →
+    ROUND(,6) engine-stable.  All shuffles carry id pairs only; edges
+    come from the memoized kNN localCheckpoint (no persist — the
+    ADVICE r6 hygiene rule)."""
+    knn = _knn_graph_cached(spark, sf_dir)
+    e = knn.select(
+        F.least("vec_id", "neighbor_id").alias("u"),
+        F.greatest("vec_id", "neighbor_id").alias("v"),
+    ).distinct()
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    inter = (
+        e.join(
+            adj.select(F.col("node").alias("u"), F.col("nbr").alias("cn")),
+            "u",
+        )
+        .join(
+            adj.select(F.col("node").alias("v"), F.col("nbr").alias("cn")),
+            ["v", "cn"],
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nc = F.coalesce("n_common", F.lit(0))
+    return (
+        e.join(inter, ["u", "v"], "left")
+        .join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            nc.cast("long").alias("n_common"),
+            F.round(
+                nc.cast("double") / (F.col("du") + F.col("dv") - nc), 6
+            ).alias("jaccard"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("u", "v")
     )

@@ -776,3 +776,54 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "text_bpe_pairs",
+    oracle="""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY 1),
+    p AS (
+      SELECT substring(word, CAST(i.i AS INT), 2) AS pair, n
+      FROM wc CROSS JOIN LATERAL
+           (SELECT unnest(range(1, length(word))) AS i) i)
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS freq
+    FROM p GROUP BY pair
+    ORDER BY freq DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE MERGE CANDIDATES — the first iteration of byte-pair-encoding
+    tokenizer training (Sennrich et al., ACL'16): corpus-weighted counts
+    of adjacent CHARACTER pairs; the top pair is the first merge a BPE
+    vocabulary would learn.  The op a training-data pipeline runs to fit
+    a tokenizer on its own corpus.
+
+    Scale shape: the pair explosion runs over the DISTINCT-WORD table
+    weighted by word frequency (vocabulary-bounded — Heaps' law, the
+    text_vocab_growth measurement), never over the raw token stream;
+    each word of length L yields L−1 pairs via a codegen
+    transform(sequence)+substring, guarded for single-char words
+    (Spark's sequence(1, 0) DESCENDS — the guard is load-bearing).
+    Counts are exact integers; top-20 by (freq DESC, pair) is a total
+    order → tie-free LIMIT, executed as TakeOrderedAndProject."""
+    d = load_tables(spark, sf_dir)["documents"]
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = F.expr(
+        "CASE WHEN length(word) >= 2 THEN "
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2)) "
+        "ELSE array() END"
+    )
+    return (
+        wc.select(F.explode(pairs).alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(20)
+    )

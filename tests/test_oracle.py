@@ -91,9 +91,8 @@ def test_rotation_unchecked_first():
 
     names = list(e.queries())
     tiers = (
-        e._T1_VINTAGE_ORACLED,
-        e._T2_VINTAGE_ROWSONLY,
-        e._T2B_R6_LATE,
+        e._T1_ORACLED_UNGRADED,
+        e._T2_ROWSONLY_REFRESH,
         e._T3_FRESH,
     )
     listed = [n for t in tiers for n in t]
