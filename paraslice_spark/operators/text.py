@@ -827,3 +827,124 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "pair")
         .limit(20)
     )
+
+
+@query(
+    "text_repetition_profile",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents),
+    b AS (SELECT doc_id, words,
+                 list_transform(range(1, len(words)),
+                                i -> words[i] || ' ' || words[i + 1]) AS bigrams
+          FROM w)
+    SELECT doc_id,
+           len(words) AS n_words,
+           len(list_distinct(words)) AS uniq_words,
+           len(bigrams) AS n_bigrams,
+           len(list_distinct(bigrams)) AS uniq_bigrams,
+           ROUND((len(words) - len(list_distinct(words)))
+                 / CAST(NULLIF(len(words), 0) AS DOUBLE), 6) AS dup_word_frac,
+           ROUND((len(bigrams) - len(list_distinct(bigrams)))
+                 / CAST(NULLIF(len(bigrams), 0) AS DOUBLE), 6) AS dup_bigram_frac
+    FROM b
+    """,
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-DOCUMENT REPETITION — the Gopher-rules quality signal
+    (Rae et al. '21 §A1.1: "fraction of duplicate n-grams") that
+    text_quality's length/punct/stopword ratios don't cover: a doc whose
+    bigrams are mostly copies of each other is boilerplate/spam even when
+    every surface statistic looks healthy.
+
+    Scale shape: ZERO-SHUFFLE MAP — words/bigrams/array_distinct/size are
+    all whole-stage-codegen array ops evaluated per row; no explode, no
+    groupBy, nothing leaves the scan partition, so this runs at parquet
+    scan speed at any corpus size (the cheapest possible quality filter —
+    run it FIRST in a pipeline, before anything that shuffles).  Each
+    dup fraction is one IEEE division of two exact ints → ROUND(,6) is
+    engine-deterministic (the similarity-cosine precedent); NULLIF guards
+    sub-2-word docs (fixture canary asserts ≥3 words, but regeneration
+    safety is free here)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+    n_w = F.size(words)
+    u_w = F.size(F.array_distinct(words))
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(n_w - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n_w - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_b = F.size(bigrams)
+    u_b = F.size(F.array_distinct(bigrams))
+    frac = lambda n, u: rnd(  # noqa: E731
+        (n - u).cast("double") / F.nullif(n, F.lit(0)), 6
+    )
+    return d.select(
+        "doc_id",
+        n_w.cast("long").alias("n_words"),
+        u_w.cast("long").alias("uniq_words"),
+        n_b.cast("long").alias("n_bigrams"),
+        u_b.cast("long").alias("uniq_bigrams"),
+        frac(n_w, u_w).alias("dup_word_frac"),
+        frac(n_b, u_b).alias("dup_bigram_frac"),
+    )
+
+
+@query(
+    "pipeline_sequence_pack",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+             len(string_split(text, ' ')) AS tok
+      FROM documents),
+    c AS (
+      SELECT bucket, doc_id, tok,
+             SUM(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - tok AS start_off
+      FROM t)
+    SELECT bucket, CAST(start_off // 512 AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS tok_started,
+           MIN(doc_id) AS first_doc
+    FROM c GROUP BY 1, 2
+    """,
+)
+def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING — assign documents to fixed-size training windows
+    (context 512 tokens, GPT-style concat-then-split: a doc belongs to the
+    chunk where its start offset lands).  The step between dataset build
+    and the training loop; declared output is the per-(bucket, chunk)
+    packing manifest (docs started, tokens contributed, first doc).
+
+    Scale shape: packing is SHARDED BY CONTENT HASH — the first md5 hex
+    digit of doc_id splits the corpus into 16 independent buckets (2+
+    digits → 256/4096 shards at 100 TB), each packed by one
+    partitionBy(bucket) running-sum window ordered by doc_id, so no
+    global sort and no single-partition funnel ever exists; chunk ids
+    never cross shards, so an incremental re-ingest repacks only the
+    shards whose docs changed.  Offsets are exact int64 sums; chunk_id
+    is integer division — no float anywhere.  Same md5-shard idiom as
+    sample_split_train_val_test."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("bucket"),
+        F.size(F.split("text", " ")).cast("long").alias("tok"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("start_off", F.sum("tok").over(w) - F.col("tok"))
+    return (
+        c.groupBy("bucket", F.expr("start_off div 512").alias("chunk_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("tok_started"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

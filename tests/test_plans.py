@@ -374,3 +374,24 @@ def test_anomaly_mad_windows_run_on_histogram(spark):
     wins = [ln for ln in p.splitlines() if "Window [" in ln]
     assert wins and all("sum(" in ln for ln in wins), p
     assert p.count("Scan parquet") == 1, p
+
+
+def test_repetition_profile_is_zero_shuffle(spark):
+    """text_repetition_profile claims ZERO-SHUFFLE MAP: all dup-fraction
+    arithmetic is per-row codegen array work — no Exchange, no Window, no
+    aggregate anywhere in the physical plan."""
+    p = plan(QUERIES["text_repetition_profile"](spark, SF_SMALL))
+    assert "Exchange" not in p, p
+    assert "Window" not in p, p
+    assert "Aggregate" not in p, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_sequence_pack_windows_only_by_bucket(spark):
+    """pipeline_sequence_pack claims sharded packing: the running-sum
+    window partitions by the 16-value md5 bucket (never a global
+    single-partition sort), and no Exchange collapses to one partition."""
+    p = plan(QUERIES["pipeline_sequence_pack"](spark, SF_SMALL))
+    assert "SinglePartition" not in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wins and all("bucket" in ln for ln in wins), p
