@@ -1888,3 +1888,41 @@ def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("log2_bucket")
     )
+
+
+@query(
+    "sample_bottom_k",
+    oracle="""
+    SELECT lang, rk, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 10
+    """,
+)
+def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTTOM-K SAMPLING — the deterministic distributed reservoir: per
+    stratum (lang), keep the k=10 docs with the SMALLEST md5(doc_id)
+    (ties broken by doc_id; md5 is the rank, so the sample is a pure
+    function of content keys).  Bottom-k is MERGEABLE — bottom-k of a
+    union is the bottom-k of the concatenated bottom-k's — which is what
+    makes it the scale-out replacement for sequential reservoir
+    sampling: every partition keeps its own k, one tiny merge wins
+    (exactly how Spark executes this plan: WindowGroupLimit prunes to k
+    per partition BEFORE the per-stratum shuffle).  Unlike
+    sample_stratified_hash (md5-THRESHOLD, rate-controlled, count
+    varies) this fixes the exact sample SIZE per stratum; both are
+    growth-stable in the sense that the rank of an existing doc never
+    changes when new docs arrive — membership changes only by
+    displacement from the boundary."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("lang", "rk", "doc_id", "n_chars")
+    )

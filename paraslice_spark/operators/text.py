@@ -948,3 +948,104 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@query(
+    "text_bloom_prefilter",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS fp,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c'
+                  THEN 'heldout' ELSE 'train' END AS split
+      FROM documents),
+    mem AS (SELECT DISTINCT fp FROM d WHERE split = 'heldout'),
+    mp AS (
+      SELECT DISTINCT pos FROM (
+        SELECT ('0x' || substring(fp, 1, 8))::UBIGINT::BIGINT % 4096 AS pos
+        FROM mem
+        UNION ALL
+        SELECT ('0x' || substring(fp, 9, 8))::UBIGINT::BIGINT % 4096 FROM mem
+        UNION ALL
+        SELECT ('0x' || substring(fp, 17, 8))::UBIGINT::BIGINT % 4096
+        FROM mem)),
+    probe AS (
+      SELECT doc_id, split,
+             CASE WHEN ('0x' || substring(fp, 1, 8))::UBIGINT::BIGINT % 4096
+                       IN (SELECT pos FROM mp)
+                   AND ('0x' || substring(fp, 9, 8))::UBIGINT::BIGINT % 4096
+                       IN (SELECT pos FROM mp)
+                   AND ('0x' || substring(fp, 17, 8))::UBIGINT::BIGINT % 4096
+                       IN (SELECT pos FROM mp)
+                  THEN 1 ELSE 0 END AS bloom_hit,
+             CASE WHEN fp IN (SELECT fp FROM mem) THEN 1 ELSE 0 END
+               AS exact_member
+      FROM d)
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(exact_member) AS BIGINT) AS n_exact_members,
+           CAST(SUM(bloom_hit) - SUM(exact_member) AS BIGINT) AS n_false_pos
+    FROM probe GROUP BY split
+    """,
+)
+def text_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER SEMI-JOIN PRE-FILTER with exact false-positive
+    accounting — the KB-sized membership screen a 100 TB pipeline runs
+    BEFORE any content join (Spark's own runtime bloom-filter join is
+    this trick applied to equi-joins): held-out docs (the
+    sample_split_train_val_test 'c'+ digits) contribute k=3 bit
+    positions of an m=4096-bit filter over the content fingerprint
+    md5(text); every doc then probes all three positions, and the
+    declared output audits, per split, bloom hits vs exact content
+    membership — false positives = hits − members (members always hit:
+    one-sided error is the Bloom contract the oracle re-derives).
+
+    Fully hash-oracled: positions are three md5 substrings mod m — pure
+    integer, engine-identical.  Scale shape: the position set is bounded
+    by m (4096 rows max, here a broadcast join; a real bitset is 512
+    BYTES) while the probe side streams through one scan + per-row
+    hashing — no shuffle ever carries text; survivors of the screen
+    (bloom hits only) proceed to the exact verify, which is the
+    decontamination pattern with a constant-size index."""
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) >= "c",
+            "heldout",
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
+    pos = lambda start: (  # noqa: E731
+        F.conv(F.substring("fp", start, 8), 16, 10).cast("long") % 4096
+    )
+    mem = d.filter(F.col("split") == "heldout").select("fp").distinct()
+    mem_pos = (
+        mem.select(F.explode(F.array(pos(1), pos(9), pos(17))).alias("pos"))
+        .distinct()
+        .withColumn("m", F.lit(1))
+    )
+    probe_pos = d.select(
+        "doc_id",
+        "split",
+        "fp",
+        F.explode(F.array(pos(1), pos(9), pos(17))).alias("pos"),
+    )
+    per_doc = (
+        probe_pos.join(F.broadcast(mem_pos), "pos", "left")
+        .groupBy("doc_id", "split", "fp")
+        .agg((F.count("m") == 3).cast("int").alias("bloom_hit"))
+    )
+    flagged = per_doc.join(
+        F.broadcast(mem.withColumn("em", F.lit(1))), "fp", "left"
+    ).select(
+        "split",
+        "bloom_hit",
+        F.coalesce("em", F.lit(0)).alias("exact_member"),
+    )
+    return flagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bloom_hit").alias("n_bloom_hits"),
+        F.sum("exact_member").alias("n_exact_members"),
+        (F.sum("bloom_hit") - F.sum("exact_member")).alias("n_false_pos"),
+    )

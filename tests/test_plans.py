@@ -395,3 +395,20 @@ def test_sequence_pack_windows_only_by_bucket(spark):
     assert "SinglePartition" not in p, p
     wins = [ln for ln in p.splitlines() if "Window [" in ln]
     assert wins and all("bucket" in ln for ln in wins), p
+
+
+def test_bottom_k_prunes_via_window_group_limit(spark):
+    """sample_bottom_k claims the mergeable-reservoir execution shape:
+    WindowGroupLimit keeps k rows per input partition BEFORE the
+    per-stratum shuffle, so the exchange carries O(k * partitions) rows."""
+    p = plan(QUERIES["sample_bottom_k"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in p, p
+
+
+def test_bloom_prefilter_broadcasts_position_set(spark):
+    """text_bloom_prefilter claims the KB-sized filter side broadcasts
+    (never a sort-merge join against the corpus): both the position-set
+    probe and the exact-membership verify must be broadcast hash joins."""
+    p = plan(QUERIES["text_bloom_prefilter"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
