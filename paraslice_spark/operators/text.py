@@ -1049,3 +1049,87 @@ def text_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exact_member").alias("n_exact_members"),
         (F.sum("bloom_hit") - F.sum("exact_member")).alias("n_false_pos"),
     )
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = 5
+) -> tuple[list[str], DataFrame]:
+    """Iterative BPE tokenizer training (Sennrich et al., ACL'16) — the
+    full merge loop behind text_bpe_pairs (which is exactly iteration 1's
+    candidate table).  Returns (ordered merge list, final tokenized
+    vocabulary DataFrame (word, tokens-as-space-joined-string, n)).
+
+    Distributed shape: state is the VOCABULARY table (distinct words ×
+    char-token arrays × corpus frequency — Heaps-bounded, never the raw
+    token stream).  Each iteration: one explode+agg for weighted pair
+    counts, ONE top-1 scalar to the driver (the merge decision — O(1)
+    traffic, same contract as the CP-ALS convergence probes), then a
+    codegen higher-order F.aggregate fold applies the merge greedily
+    left-to-right inside every word — no UDF, no shuffle beyond the
+    count agg.  Ties break (freq DESC, pair ASC) so training is fully
+    deterministic.  Test-only (tests/test_bpe.py): the loop is
+    driver-sequential by nature; the declared surface exposes the
+    first-iteration candidates (text_bpe_pairs)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "word",
+            "n",
+            # split-on-empty yields chars (plus empty edge strings on some
+            # versions) — filter empties defensively
+            F.filter(F.split("word", ""), lambda t: t != F.lit("")).alias(
+                "toks"
+            ),
+        )
+    )
+    merges: list[str] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.select(
+                "n",
+                F.explode(
+                    F.when(
+                        F.size("toks") >= 2,
+                        F.zip_with(
+                            F.slice("toks", 1, F.size("toks") - 1),
+                            F.slice("toks", 2, F.size("toks") - 1),
+                            lambda a, b: F.struct(
+                                a.alias("a"), b.alias("b")
+                            ),
+                        ),
+                    ).otherwise(F.array())
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("freq"))
+            .orderBy(F.desc("freq"), "a", "b")
+        )
+        top = pairs.first()
+        if top is None:
+            break
+        a, b = top["a"], top["b"]
+        merges.append(f"{a} {b}")
+        la, lb = F.lit(a), F.lit(b)
+        # greedy left-to-right merge of (a, b) via a codegen fold
+        vocab = vocab.withColumn(
+            "toks",
+            F.aggregate(
+                "toks",
+                F.expr("CAST(array() AS array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == la)
+                    & (x == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(la, lb)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        ).localCheckpoint()  # keep lineage flat across merge rounds
+    return merges, vocab.select(
+        "word", F.array_join("toks", " ").alias("toks"), "n"
+    )
