@@ -112,6 +112,9 @@ def main() -> None:
             "decontamination_pair_table": [
                 "pipeline_dataset_build", "text_decontaminate",
             ],
+            "minhash_shingles_and_signatures": [
+                "dedup_minhash_estimate_error", "dedup_minhash_pairs",
+            ],
             "ngram_jaccard_pair_table": [
                 "dedup_edit_distance", "dedup_group_size_histogram",
                 "dedup_groups", "dedup_groups_star", "dedup_ngram_jaccard",

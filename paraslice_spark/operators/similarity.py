@@ -600,12 +600,21 @@ def minhash_near_dup_pairs(
     ~99%), and the exact shingle-Jaccard runs on candidates only. Every
     step is a shuffle-safe groupBy/equi-join — the 100 TB shape.
     """
-    rows_per_band = n_sig // bands
     # sh feeds the signature agg AND both sides of the verify join — persist
     # or the shingle transform runs three times (self-join sides share no
     # common subplan)
     sh = shingle_docs(docs).persist()
     sigs = _minhash_signatures(sh, n_sig)
+    return _minhash_verified_pairs(sh, sigs, threshold, n_sig, bands)
+
+
+def _minhash_verified_pairs(
+    sh: DataFrame, sigs: DataFrame, threshold: float, n_sig: int, bands: int
+) -> DataFrame:
+    """Band-block + exact-Jaccard verify from prebuilt (shingles,
+    signatures) — shared by the generic entry point above and the
+    memoized declared query."""
+    rows_per_band = n_sig // bands
     candidates = _minhash_band_candidates(sigs, bands, rows_per_band)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -623,6 +632,28 @@ def minhash_near_dup_pairs(
     )
 
 
+#: (session, sf) → eagerly-checkpointed (shingles, signatures) shared by
+#: dedup_minhash_pairs and dedup_minhash_estimate_error — the _knn_cache
+#: pattern (ADVICE r6 persist-hygiene: memoize, don't leak naked persists);
+#: the shingle explode + md5 dictionary + 16-transform agg run once per
+#: session per SF instead of once per consumer per invocation.
+_mh_base_cache: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _minhash_base_cached(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    from paraslice_spark.sources.io import _session_key
+
+    key = (_session_key(spark), sf_dir.rstrip("/"))
+    if key not in _mh_base_cache:
+        docs = load_tables(spark, sf_dir)["documents"]
+        sh = shingle_docs(docs).localCheckpoint(eager=True)
+        sigs = _minhash_signatures(sh, _N_SIG).localCheckpoint(eager=True)
+        _mh_base_cache[key] = (sh, sigs)
+    return _mh_base_cache[key]
+
+
 @query("dedup_minhash_pairs", oracle=_minhash_oracle())
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 declared: near-dup pairs at shingle-Jaccard ≥ 0.8.
@@ -637,8 +668,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (P = 1−(1−J⁴)⁴ ≈ 87% at J = 0.8, ~100% at the corpus's J ≈ 1.0
     near-dups) stays property-tested with planted duplicates in
     tests/test_similarity.py.  The r4-regenerated corpus has ~25 real
-    J ≥ 0.8 pairs at sf0.01, so the grade is non-vacuous."""
-    return minhash_near_dup_pairs(load_tables(spark, sf_dir)["documents"])
+    J ≥ 0.8 pairs at sf0.01, so the grade is non-vacuous.  Shingles and
+    signatures come from the memoized per-(session, sf) checkpoint shared
+    with dedup_minhash_estimate_error (bench.py's shared_builds note)."""
+    sh, sigs = _minhash_base_cached(spark, sf_dir)
+    return _minhash_verified_pairs(sh, sigs, 0.8, _N_SIG, _BANDS)
 
 
 def _minhash_estimate_oracle() -> str:
@@ -713,10 +747,8 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable.  Candidates with NO shared shingle (pure permutation
     collision) stay rows with exact_jaccard 0 — the oracle LEFT JOINs
     its intersection table for the same reason."""
-    docs = load_tables(spark, sf_dir)["documents"]
     rows_per_band = _N_SIG // _BANDS
-    sh = shingle_docs(docs).persist()
-    sigs = _minhash_signatures(sh, _N_SIG)
+    sh, sigs = _minhash_base_cached(spark, sf_dir)
     candidates = _minhash_band_candidates(sigs, _BANDS, rows_per_band)
     sig_a = sigs.select(
         F.col("doc_id").alias("doc_a"),

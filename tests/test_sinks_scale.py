@@ -92,3 +92,27 @@ def test_format_matrix_rejects_unknown(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_table(spark, "/nope", fmt="avro")
+
+
+def test_sequence_pack_manifest_partitioned_write(spark, tmp_path):
+    """The packing manifest's natural sink: partitioned by bucket, so a
+    trainer pulling one shard's chunks prunes 15/16 of the directory tree
+    at the reader — and the doc->chunk assignment table written alongside
+    round-trips every doc exactly once."""
+    from paraslice_spark.registry import QUERIES
+    from paraslice_spark.sources.io import write_partitioned
+
+    manifest = QUERIES["pipeline_sequence_pack"](spark, SF_SMALL)
+    out = str(tmp_path / "pack_manifest")
+    write_partitioned(manifest, out, ["bucket"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == manifest.count()
+    # one shard's read must prune by directory, not post-scan filter
+    one = back.where(F.col("bucket") == "a")
+    p = plan(one)
+    assert "PartitionFilters: [isnotnull(bucket" in p, p
+    # every doc started in exactly one (bucket, chunk)
+    total_docs = back.agg(F.sum("n_docs")).first()[0]
+    n_docs = load_tables(spark, SF_SMALL)["documents"].count()
+    assert total_docs == n_docs
