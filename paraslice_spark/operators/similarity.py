@@ -1345,6 +1345,64 @@ def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT xxhash64, precisely so the DuckDB oracle can rebuild the
     simhashes bit-for-bit and hash-grade the full pair output.
     """
+    sim = _simhash_table_cached(spark, sf_dir)
+    # one exploded (band_idx, band_val) relation + a single self equi-join —
+    # the same blocking as 4 unioned joins at half the plan size. Join key
+    # includes the band index so different bands never cross-match.
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bucket"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bucket"
+    )
+    pairs = a.join(b, ["band", "bucket"]).where(F.col("doc_a") < F.col("doc_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        # hamming is row-local: filter BEFORE the pair-distinct so the
+        # dedup shuffle carries only qualifying pairs, not every blocked
+        # candidate (hot buckets on a degenerate vocab)
+        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .dropDuplicates(["doc_a", "doc_b"])
+        # small declared output: single-partition sort, not orderBy (the
+        # range-partitioner sampling pass would re-run the band join)
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
+    )
+
+
+#: (session, sf) → eagerly-checkpointed (doc_id, simhash) table — the
+#: tokenize + 64-bit-vote stage runs once per session per SF instead of a
+#: naked persist per invocation (the _knn_cache/_mh_base_cache pattern).
+_simhash_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash_table_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paraslice_spark.sources.io import _session_key
+
+    key = (_session_key(spark), sf_dir.rstrip("/"))
+    if key not in _simhash_cache:
+        _simhash_cache[key] = _simhash_table(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+    return _simhash_cache[key]
+
+
+def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash per doc from md5-derived per-token
+    bit votes (see dedup_simhash_bands docstring for the contract)."""
     d = load_tables(spark, sf_dir)["documents"]
     words = F.explode(F.split("text", " "))
     hexs = F.md5("w")
@@ -1398,49 +1456,18 @@ def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
-    # materialize before the band self-join: Spark shares no common subplan
-    # across self-join sides, so an uncached sim would tokenize + vote twice.
-    # O(n_docs × 16 B) — the table a real pipeline would checkpoint anyway.
-    sim = sim.persist()
-    # one exploded (band_idx, band_val) relation + a single self equi-join —
-    # the same blocking as 4 unioned joins at half the plan size. Join key
-    # includes the band index so different bands never cross-match.
-    bands = sim.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bucket"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bucket"
-    )
-    pairs = a.join(b, ["band", "bucket"]).where(F.col("doc_a") < F.col("doc_b"))
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        # hamming is row-local: filter BEFORE the pair-distinct so the
-        # dedup shuffle carries only qualifying pairs, not every blocked
-        # candidate (hot buckets on a degenerate vocab)
-        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .where(F.col("hamming") <= 3)
-        .dropDuplicates(["doc_a", "doc_b"])
-        # small declared output: single-partition sort, not orderBy (the
-        # range-partitioner sampling pass would re-run the band join)
-        .repartition(1)
-        .sortWithinPartitions("doc_a", "doc_b")
-    )
+    # the band self-join consumer materializes this via the memoized
+    # localCheckpoint above (Spark shares no common subplan across
+    # self-join sides; uncheckpointed, tokenize + vote would run twice).
+    return sim
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.9, n_bits: int = 32, bands: int = 4
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 32,
+    bands: int = 4,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: random-hyperplane signatures → banded
     bucket join → exact cosine verify on candidates only.
@@ -1476,10 +1503,12 @@ def embedding_near_dup_pairs(
         return pd.Series(list(out))
 
     buckets_udf = pandas_udf(buckets_fn, "array<long>")
-    emb = _as_double(F.col("embedding"))
-    # persist: base feeds the signature UDF and both verify-join sides;
-    # band_vals feeds both self-join sides (ids+bucket only — 3 longs/row)
-    base = embeddings.select("vec_id", emb.alias("emb")).persist()
+    # base feeds the signature UDF and both verify-join sides; the declared
+    # query passes the memoized _emb_base_cached checkpoint, generic/test
+    # callers fall back to a per-call persist.
+    if base is None:
+        emb = _as_double(F.col("embedding"))
+        base = embeddings.select("vec_id", emb.alias("emb")).persist()
     band_vals = (
         base.select("vec_id", F.posexplode(buckets_udf("emb")))
         .withColumnRenamed("pos", "band")
@@ -1521,8 +1550,13 @@ def embedding_near_dup_pairs(
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at cos ≥ 0.9. Fixture embeddings are
     i.i.d.-random (near-orthogonal), so zero pairs on fixtures is the
-    correct answer; recall is property-tested with planted duplicates."""
-    return embedding_near_dup_pairs(load_tables(spark, sf_dir)["embeddings"])
+    correct answer; recall is property-tested with planted duplicates.
+    The vector base rides the memoized _emb_base_cached checkpoint shared
+    with the IVF/IVF-PQ queries."""
+    return embedding_near_dup_pairs(
+        load_tables(spark, sf_dir)["embeddings"],
+        base=_emb_base_cached(spark, sf_dir),
+    )
 
 
 @query(
