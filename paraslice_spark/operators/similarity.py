@@ -2422,3 +2422,45 @@ def graph_knn_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("u", "v")
     )
+
+
+def knn_label_propagation(
+    spark: SparkSession, sf_dir: str, iters: int = 3
+) -> DataFrame:
+    """SYNCHRONOUS LABEL PROPAGATION over the undirected kNN graph
+    (Raghavan et al. 2007) — the community-detection member of the graph
+    family (pagerank = centrality, triangles/jaccard = cohesion, LPA =
+    partitioning).  Each round every node adopts its neighborhood's MODE
+    label, ties broken (count DESC, label ASC) so the result is fully
+    deterministic — no RNG, no visit order.
+
+    Scale shape: state is one (node, label) long pair; each round is one
+    equi-join onto the (memoized, checkpointed) symmetrized edge list +
+    one count agg + one per-node top-1 window — all keyed on node ids,
+    co-partitionable, the same chained-linear-plan contract as
+    graph_pagerank_knn (fixed iteration count, single consuming action,
+    no convergence probes).  Test-only: community assignments are
+    engine-internal (a DuckDB twin would re-implement the whole loop);
+    invariants live in tests/test_graph_lpa.py."""
+    knn = _knn_graph_cached(spark, sf_dir)
+    fwd = knn.select(F.col("vec_id").alias("s"), F.col("neighbor_id").alias("t"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .distinct()
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), "lbl")
+    for _ in range(iters):
+        nbr = edges.join(
+            labels.select(F.col("node").alias("t"), "lbl"), "t"
+        ).select(F.col("s").alias("node"), "lbl")
+        labels = (
+            nbr.groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels
