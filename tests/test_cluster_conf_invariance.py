@@ -1,0 +1,62 @@
+"""Cluster-conf invariance: results must not depend on runtime confs.
+
+get_session keeps AQE off locally and the driver/tests run 8-32 shuffle
+partitions; a real deployment runs AQE on with ~200+ partitions.  This
+pack re-executes a representative query slice under cluster confs and
+asserts canonical-value equality with the default-conf run — the
+conf-dependence trap class (the r3 session-timezone NTZ bug was exactly
+a "works under MY confs" failure).  Queries chosen to span every shuffle
+machinery AQE touches: multi-join TPC-H, skew-salted join, window funnel,
+banded dedup, range join, grouping sets, and a stateful-twin stream op.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import paraslice_spark.operators  # noqa: F401
+from paraslice_spark.registry import QUERIES
+from tests.conftest import SF_SMALL
+from tests.oracle_harness import canonical_rows
+
+_CLUSTER_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "200",
+}
+
+_REPRESENTATIVES = (
+    "q5_local_supplier_volume",      # 5-way star join + agg
+    "q21_waiting_suppliers",         # window-collapsed EXISTS pair
+    "join_salted_skew",              # static salting under AQE re-plan
+    "join_time_interval",            # band-join trick
+    "events_sessionized_funnel",     # sessionize + funnel windows
+    "dedup_simhash_bands",           # banded self-join (memoized base)
+    "agg_grouping_sets",             # expand + multi-agg
+    "stream_tumbling_counts",        # streaming batch twin
+    "pipeline_sequence_pack",        # bucket-partitioned running sum
+    "agg_countmin_topk_error",       # sketch build + broadcast lookup
+)
+
+
+@pytest.mark.parametrize("name", _REPRESENTATIVES)
+def test_results_invariant_under_cluster_confs(spark, name):
+    base = canonical_rows(QUERIES[name](spark, SF_SMALL).toPandas())
+    conf = spark.conf
+    saved: dict[str, str | None] = {}
+    for k, v in _CLUSTER_CONFS.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        clustered = canonical_rows(QUERIES[name](spark, SF_SMALL).toPandas())
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    assert clustered == base, f"{name}: results changed under cluster confs"
