@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from paraslice_spark.functions.canon import cents, cents_sum, rnd
+from paraslice_spark.functions.canon import cents, cents_sum, micros_units, rnd
 from paraslice_spark.registry import query
 from paraslice_spark.sources.io import load_tables, sql_views
 
@@ -433,7 +433,7 @@ def agg_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = (
         ev.select(
             "event_type",
-            F.round(F.col("value") * 1000000).cast("long").alias("mv"),
+            micros_units("value").alias("mv"),
         )
         .groupBy("event_type", "mv")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -1391,7 +1391,15 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_b) — a total order, so the LIMIT boundary is tie-free —
     executes as TakeOrderedAndProject, never a global sort."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    o = li.select("l_orderkey", "l_partkey").distinct()
+    # the distinct basket table feeds FOUR subplans (both self-join sides,
+    # item counts, basket total) which share no common subplan — non-eager
+    # localCheckpoint materializes the fact scan + distinct once (no
+    # cache-manager entry; the persist-hygiene pattern, CLAUDE.md)
+    o = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     a = o.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = o.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     p = (
@@ -1518,7 +1526,13 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id) is a total order → tie-free LIMIT.  share is one IEEE
     division of exact counts → ROUND(,6) engine-stable."""
     ev = load_tables(spark, sf_dir)["events"]
-    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    # c feeds both the total and the main path (no shared subplan) — one
+    # materialization instead of two fact scans (persist-hygiene pattern)
+    c = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     t = c.agg(F.sum("n").alias("total"))
     return (
         c.crossJoin(F.broadcast(t))
@@ -1564,8 +1578,12 @@ def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     regime as the declared window_distribution demo; spend sums are exact
     int64 cents, shares one IEEE division each → ROUND(,6)."""
     o = load_tables(spark, sf_dir)["orders"]
-    s = o.groupBy("o_custkey").agg(
-        F.sum(cents("o_totalprice")).alias("spend_c")
+    # s feeds both the ntile window and the grand total (no shared
+    # subplan) — one materialization instead of two fact scans
+    s = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("spend_c"))
+        .localCheckpoint(eager=False)
     )
     d = s.select(
         "spend_c",

@@ -619,10 +619,12 @@ def minhash_near_dup_pairs(
     ~99%), and the exact shingle-Jaccard runs on candidates only. Every
     step is a shuffle-safe groupBy/equi-join — the 100 TB shape.
     """
-    # sh feeds the signature agg AND both sides of the verify join — persist
-    # or the shingle transform runs three times (self-join sides share no
-    # common subplan)
-    sh = shingle_docs(docs).persist()
+    # sh feeds the signature agg AND both sides of the verify join (self-join
+    # sides share no common subplan, the CLAUDE.md trap). Non-eager
+    # localCheckpoint: one materialization at first action, NO cache-manager
+    # entry (a naked persist here leaked an InMemoryRelation per call that
+    # callers could never release), blocks freed when the frame drops.
+    sh = shingle_docs(docs).localCheckpoint(eager=False)
     sigs = _minhash_signatures(sh, n_sig)
     return _minhash_verified_pairs(sh, sigs, threshold, n_sig, bands)
 
@@ -1505,15 +1507,19 @@ def embedding_near_dup_pairs(
     buckets_udf = pandas_udf(buckets_fn, "array<long>")
     # base feeds the signature UDF and both verify-join sides; the declared
     # query passes the memoized _emb_base_cached checkpoint, generic/test
-    # callers fall back to a per-call persist.
+    # callers fall back to a per-call non-eager localCheckpoint (one
+    # materialization, no cache-manager entry — see shingle note above).
     if base is None:
         emb = _as_double(F.col("embedding"))
-        base = embeddings.select("vec_id", emb.alias("emb")).persist()
+        base = embeddings.select("vec_id", emb.alias("emb")).localCheckpoint(
+            eager=False
+        )
+    # band_vals feeds both self-join sides (ids+bucket only — 3 longs/row)
     band_vals = (
         base.select("vec_id", F.posexplode(buckets_udf("emb")))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     a = band_vals.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
     b = band_vals.select(F.col("vec_id").alias("vec_b"), "band", "bucket")

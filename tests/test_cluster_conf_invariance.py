@@ -40,8 +40,27 @@ _REPRESENTATIVES = (
 )
 
 
+def _clear_memo_caches() -> None:
+    """Memoized per-(session, sf) bases would otherwise freeze blocks built
+    under the FIRST conf regime, so the clustered run would replay frozen
+    data instead of exercising its build stage under cluster confs —
+    exactly the 'works under my confs' blind spot this pack guards."""
+    from paraslice_spark.operators import similarity
+
+    similarity._simhash_cache.clear()
+    similarity._mh_base_cache.clear()
+    similarity._emb_base_cache.clear()
+
+
+#: queries whose pipeline rides a memoized localCheckpoint base — both
+#: runs must rebuild it under their own confs
+_MEMOIZED = {"dedup_simhash_bands"}
+
+
 @pytest.mark.parametrize("name", _REPRESENTATIVES)
 def test_results_invariant_under_cluster_confs(spark, name):
+    if name in _MEMOIZED:
+        _clear_memo_caches()
     base = canonical_rows(QUERIES[name](spark, SF_SMALL).toPandas())
     conf = spark.conf
     saved: dict[str, str | None] = {}
@@ -52,6 +71,8 @@ def test_results_invariant_under_cluster_confs(spark, name):
             saved[k] = None
         conf.set(k, v)
     try:
+        if name in _MEMOIZED:
+            _clear_memo_caches()
         clustered = canonical_rows(QUERIES[name](spark, SF_SMALL).toPandas())
     finally:
         for k, v in saved.items():
@@ -59,4 +80,8 @@ def test_results_invariant_under_cluster_confs(spark, name):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+        if name in _MEMOIZED:
+            # drop the cluster-conf-built base so later suite consumers
+            # rebuild under the session's normal confs
+            _clear_memo_caches()
     assert clustered == base, f"{name}: results changed under cluster confs"
