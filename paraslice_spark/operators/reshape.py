@@ -1474,9 +1474,13 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent (the r3 NTZ lesson) — yyyy-MM-dd formatting of the
     NTZ-derived date is tz-independent on both."""
     ev = load_tables(spark, sf_dir)["events"]
-    du = ev.select(
-        F.col("ts").cast("date").alias("day"), "user_id"
-    ).distinct()
+    # du feeds three subplans (spine, dau, wau — no shared subplan): one
+    # materialization instead of three fact scans (persist-hygiene pattern)
+    du = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     spine = du.select("day").distinct().select(F.col("day").alias("sday"))
     dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     wau = (

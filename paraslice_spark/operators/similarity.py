@@ -2392,10 +2392,17 @@ def graph_knn_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from the memoized kNN localCheckpoint (no persist — the
     ADVICE r6 hygiene rule)."""
     knn = _knn_graph_cached(spark, sf_dir)
-    e = knn.select(
-        F.least("vec_id", "neighbor_id").alias("u"),
-        F.greatest("vec_id", "neighbor_id").alias("v"),
-    ).distinct()
+    # e feeds three subplans directly and three more through adj (no
+    # shared subplan): one materialization of the canonicalize+distinct
+    # shuffle instead of six (persist-hygiene pattern)
+    e = (
+        knn.select(
+            F.least("vec_id", "neighbor_id").alias("u"),
+            F.greatest("vec_id", "neighbor_id").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
