@@ -801,3 +801,40 @@ def stream_scd2(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_user_traffic(events: DataFrame) -> DataFrame:
+    """Streaming HEAVY-HITTER TRAFFIC — the stateful twin of the batch
+    ``events_heavy_hitters`` aggregate: one monotone int64 counter per
+    user; each micro-batch containing a user's events emits that user's
+    updated running total, so the MAX (== last — counts only grow)
+    emission per user equals the batch per-user count, and top-k over
+    those by (n DESC, user_id) reproduces the declared heavy-hitter
+    table (asserted whole-fixture and split in tests/test_streaming.py).
+
+    State is ONE long per user — the smallest possible stateful-agg
+    footprint, bounded by the key population like stream_retention's
+    mask.  Order-insensitive within a batch (a count needs no sort), so
+    no chunk-concat rule applies.  At TB/day this per-key pre-agg is
+    what feeds a store-sketch rollup (agg_countmin_topk_error's
+    contract) or the AQE/salting skew calibration the batch twin's
+    docstring describes."""
+    import pandas as pd  # local import: only needed when the op runs
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        (n,) = state.get if state.exists else (0,)
+        add = sum(len(pdf) for pdf in pdf_iter)
+        if add:
+            n += add
+            state.update((n,))
+            yield pd.DataFrame([(key[0], n)], columns=["user_id", "n"])
+
+    keyed = events.select("user_id")
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n long",
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

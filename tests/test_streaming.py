@@ -764,3 +764,52 @@ def test_stream_scd2_split_replay_equals_batch_closed(spark, tmp_path):
     streams.run_to_memory(streams.stream_scd2(stream), name, "append")
     got = {tuple(r) for r in spark.table(name).collect()}
     assert got == _scd2_closed_batch_rows(spark) and got
+
+
+def test_stream_user_traffic_equals_batch_counts(spark, events_dir):
+    """Whole-fixture replay: each user's MAX emitted running total must
+    equal the batch per-user count, and top-20 by (n DESC, user_id) must
+    reproduce the declared events_heavy_hitters (user_id, n) table."""
+    import paraslice_spark.operators  # noqa: F401
+    from paraslice_spark.registry import QUERIES
+
+    stream = streams.events_file_stream(spark, events_dir)
+    name = _mem_name()
+    streams.run_to_memory(streams.stream_user_traffic(stream), name, "append")
+    got_totals = {
+        r["user_id"]: r["mx"]
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n").alias("mx"))
+        .collect()
+    }
+    want_totals = {
+        r["user_id"]: r["n"]
+        for r in load_tables(spark, SF_SMALL)["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got_totals == want_totals and len(got_totals) > 0
+    top = sorted(got_totals.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want_top = _rows(
+        QUERIES["events_heavy_hitters"](spark, SF_SMALL), "user_id", "n"
+    )
+    assert sorted(top, key=lambda kv: (-kv[1], kv[0])) == sorted(
+        want_top, key=lambda kv: (-kv[1], kv[0])
+    )
+
+
+def test_stream_user_traffic_split_replay(spark, tmp_path):
+    """Counts must CONTINUE from state across micro-batches: a user seen
+    in both batches emits cumulative totals, not per-batch counts."""
+    d = str(tmp_path / "traffic")
+    _write_batch(spark, d, 0, [(1, _ns(0), 7, "click", 1.0, "{}"),
+                               (2, _ns(1), 7, "click", 1.0, "{}"),
+                               (3, _ns(2), 8, "click", 1.0, "{}")])
+    _write_batch(spark, d, 1, [(4, _ns(3), 7, "click", 1.0, "{}")])
+    stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+    name = _mem_name()
+    streams.run_to_memory(streams.stream_user_traffic(stream), name, "append")
+    got = _rows(spark.table(name), "user_id", "n")
+    assert got == [(7, 2), (7, 3), (8, 1)], got
