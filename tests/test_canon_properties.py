@@ -151,3 +151,41 @@ def test_fixture_assumption_canaries(spark):
         F.min(F.size(F.split("text", " "))).alias("w")
     ).first()["w"]
     assert wmin >= 3, f"documents shorter than 3 words (min {wmin})"
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=600),  # token counts
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(min_value=0, max_value=199),  # append split point
+)
+@settings(max_examples=200, deadline=None)
+def test_sequence_pack_model_is_append_stable(toks, cut):
+    """pipeline_sequence_pack's chunk formula (start-offset // 512 over a
+    per-bucket doc_id-ordered running sum) must be APPEND-STABLE: in an
+    append-only ingest doc_ids are monotone, so new docs sort after every
+    existing doc in their bucket and can never move an existing doc's
+    chunk — the docstring's 'incremental re-ingest repacks only touched
+    shards' claim. Pure-python model of the exact SQL formula (the
+    cross-engine formula itself is hash-verified by the oracle)."""
+    import hashlib
+
+    cut = min(cut, len(toks))
+
+    def assign(items):  # [(doc_id, tok)] -> {doc_id: (bucket, chunk)}
+        out = {}
+        by_bucket: dict[str, int] = {}
+        for doc_id, tok in items:  # items already doc_id-ordered
+            b = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+            start = by_bucket.get(b, 0)
+            out[doc_id] = (b, start // 512)
+            by_bucket[b] = start + tok
+        return out
+
+    items = list(enumerate(toks))  # doc_id = position -> monotone append
+    full = assign(items)
+    prefix = assign(items[:cut])
+    for doc_id, assignment in prefix.items():
+        assert full[doc_id] == assignment
