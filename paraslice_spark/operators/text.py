@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from paraslice_spark.functions.canon import rnd
+from paraslice_spark.functions.canon import HELDOUT_SQL, is_heldout, rnd
 from paraslice_spark.registry import query
 from paraslice_spark.sources.io import load_tables
 
@@ -952,10 +952,10 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_bloom_prefilter",
-    oracle="""
+    oracle=f"""
     WITH d AS (
       SELECT doc_id, md5(text) AS fp,
-             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c'
+             CASE WHEN {HELDOUT_SQL}
                   THEN 'heldout' ELSE 'train' END AS split
       FROM documents),
     mem AS (SELECT DISTINCT fp FROM d WHERE split = 'heldout'),
@@ -1009,10 +1009,7 @@ def text_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"].select(
         "doc_id",
         F.md5("text").alias("fp"),
-        F.when(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) >= "c",
-            "heldout",
-        )
+        F.when(is_heldout("doc_id"), "heldout")
         .otherwise("train")
         .alias("split"),
     )
@@ -1085,7 +1082,10 @@ def bpe_train_merges(
             ),
         )
     )
+    from paraslice_spark.operators.similarity import _free_local_checkpoint
+
     merges: list[str] = []
+    prev = None  # superseded round's checkpoint, released after the next one
     for _ in range(n_merges):
         pairs = (
             vocab.select(
@@ -1130,6 +1130,12 @@ def bpe_train_merges(
                 ).otherwise(F.concat(acc, F.array(x))),
             ),
         ).localCheckpoint()  # keep lineage flat across merge rounds
+        # the new checkpoint is eager (materialized above), so the prior
+        # round's blocks are dead — release them instead of waiting for GC
+        # (ADVICE r7); the latest checkpoint is the caller's to keep.
+        if prev is not None:
+            _free_local_checkpoint(prev)
+        prev = vocab
     return merges, vocab.select(
         "word", F.array_join("toks", " ").alias("toks"), "n"
     )

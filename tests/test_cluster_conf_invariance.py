@@ -47,9 +47,17 @@ def _clear_memo_caches() -> None:
     exactly the 'works under my confs' blind spot this pack guards."""
     from paraslice_spark.operators import similarity
 
-    similarity._simhash_cache.clear()
-    similarity._mh_base_cache.clear()
-    similarity._emb_base_cache.clear()
+    # release the dropped frames' executor blocks (ADVICE r7) — clearing the
+    # dict alone leaves eager-checkpoint storage orphaned until Python GC
+    for cache in (
+        similarity._simhash_cache,
+        similarity._mh_base_cache,  # values are (shingles, signatures) tuples
+        similarity._emb_base_cache,
+    ):
+        for v in cache.values():
+            for df in v if isinstance(v, tuple) else (v,):
+                similarity._free_local_checkpoint(df)
+        cache.clear()
 
 
 #: queries whose pipeline rides a memoized localCheckpoint base — both

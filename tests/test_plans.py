@@ -405,6 +405,19 @@ def test_bottom_k_prunes_via_window_group_limit(spark):
     assert "WindowGroupLimit" in p, p
 
 
+def test_revenue_deciles_has_no_unpartitioned_window(spark):
+    """VERDICT r7 re-plan: customer_revenue_deciles reproduces the ntile
+    oracle via two-level ranking — no ntile anywhere, every Window node
+    partitioned (by the coarse value bucket), and no SinglePartition
+    exchange feeding a data-sized sort (the final repartition(1) carries
+    the 10-row output only, which Spark plans as Exchange SinglePartition
+    over the aggregate — so assert on Window/ntile, the flagged shape)."""
+    p = plan(QUERIES["customer_revenue_deciles"](spark, SF_SMALL))
+    assert "ntile" not in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wins and all("bkt" in ln for ln in wins), p
+
+
 def test_bloom_prefilter_broadcasts_position_set(spark):
     """text_bloom_prefilter claims the KB-sized filter side broadcasts
     (never a sort-merge join against the corpus): both the position-set
