@@ -19,78 +19,18 @@ import paraslice_spark.operators  # noqa: F401  (registers all queries)
 from paraslice_spark.registry import ORACLES, QUERIES
 
 # The driver grades the FIRST ~50 queries of this dict per round, so order
-# encodes grading priority.  Round-7 re-tier (VERDICT r6 item #1, the LAST
-# refresh of the cumulative sweep): after r4+r5+r6's 150 no-overlap driver
-# verdicts, exactly 22 oracled names still lack any post-regeneration
-# driver row (12 r1/r2-vintage tail + 10 r6-late additions) and 10
-# rows-only names are owed their refresh.  Tier 0 (no tuple): queries ADDED
-# in r7 — a first hash verdict beats any refresh.  Tier 1: the 22 oracled
-# names owed their first post-regeneration hash verdict.  Tier 2: the 10
-# rows-only-by-design names (a rows-only driver row carries no hash
-# information, so they sit after every oracled first-verdict; the local
-# rows-run gate covers them every session).  Tier 3: everything already
-# graded r4/r5/r6 — standing fresh, tail position.  22 + 10 = 32 slots,
-# leaving ~18 for r7 additions: CORRECTNESS_r07 completes the cumulative
-# sweep — every declared query will then hold a post-regeneration verdict.
-_T1_ORACLED_UNGRADED: tuple[str, ...] = (
-    # the 10 r6-late oracled pack (no driver row yet) …
-    "events_markov_transitions", "customer_rfm_segments",
-    "part_abc_analysis", "graph_degree_distribution",
-    "events_anomaly_mad", "events_seasonality_profile", "text_vocab_growth",
-    "text_boilerplate_grams", "text_collocations_pmi",
-    "events_interarrival_profile",
-    # … then the 12 r1/r2-vintage tail (newest driver rows pre-date the r4
-    # testdata regeneration; judge-verified green at 3 SFs every round).
-    "agg_string_concat", "multimodal_decode_meta", "project_arithmetic",
-    "reshape_unpivot", "filter_between_in_like", "filter_compound",
-    "filter_null_semantics", "filter_regexp", "udf_grouped_map",
-    "udf_pandas_vectorized", "udf_scalar_py", "udf_udtf_tokenize",
-)
-_T2_ROWSONLY_REFRESH: tuple[str, ...] = (
-    "agg_approx_distinct", "agg_approx_quantile", "dedup_embedding_cosine",
-    "parafac_cp_als", "parafac_cp_als_dist",
-    "parafac_factors_a", "sample_bernoulli", "similarity_ivf_ann",
-    "similarity_lsh_ann", "tucker_hosvd_core",
-)
-_T3_FRESH: tuple[str, ...] = (
-    # r6-graded …
-    "tensor_slices", "dedup_minhash_pairs",
-    "q3_shipping_priority", "q10_returned_revenue", "q14_promo_share",
-    "scan_parquet", "scan_projection", "join_star_5way",
-    "join_broadcast_inner", "join_sortmerge_inner", "join_left_outer",
-    "join_full_outer", "join_semi", "join_anti", "join_cross",
-    "join_range_theta", "agg_rollup", "agg_stats",
-    "q2_min_cost_supplier", "q8_market_share", "q9_product_type_profit",
-    "q11_important_parts", "q12_late_lines_priority",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q19_discounted_revenue", "q20_bulk_shippers", "q21_waiting_suppliers",
-    "q22_dormant_balances", "join_salted_skew", "multimodal_phash_pairs",
-    "audit_constraints", "events_sessionized_funnel", "events_anomaly_zscore",
-    "sample_split_train_val_test", "text_decontaminate",
-    "pipeline_dataset_build", "graph_pagerank_knn", "graph_triangle_count",
-    "similarity_signlsh_ann", "events_ab_test", "events_ab_cuped",
-    "events_scd2_status", "agg_incremental_merge",
-    "events_chi2_independence", "events_forecast_backtest",
-    "text_zipf_fit", "window_cumulative_distinct",
-    # … r5-graded …
-    "agg_mode_deterministic", "q6_forecast_revenue", "q18_large_orders",
-    "q4_priority_late_ship", "q7_volume_shipping",
-    "multimodal_feature_extract", "events_funnel", "events_retention",
-    "events_funnel_users", "events_topk_paths", "events_streaks",
-    "dedup_edit_distance", "dedup_groups_star", "embedding_gram_matrix",
-    "similarity_knn_graph", "dedup_incremental_fp", "dedup_simhash_bands",
-    "sort_limit_offset", "sort_multikey_nulls", "stream_asof_join",
-    "subquery_correlated_scalar", "subquery_in", "subquery_scalar",
-    "tensor_build_coords", "text_langid", "text_ngrams", "text_profile",
-    "text_quality", "text_tfidf", "text_wordcount", "topk_revenue",
-    "scan_events_ts", "join_time_interval", "join_asof",
-    "join_self_sequences", "stream_tumbling_counts", "stream_sliding_avg",
-    "stream_session_windows", "stream_dedup_exact", "agg_count_distinct",
-    "agg_multi_distinct", "agg_conditional", "agg_cube", "agg_global",
-    "agg_grouping_sets", "agg_histogram", "agg_max_by", "agg_percentile",
-    "agg_pivot", "agg_pricing_summary",
-    # … r4-graded.
+# encodes grading priority.  Round-8 re-tier (VERDICT r7 next-round #1):
+# the cumulative post-regeneration sweep COMPLETED in r7 (every declared
+# name holds a driver verdict from r4-r7), so rotation is now freshness
+# maintenance.  Tier 0 (no tuple): the r8 additions (7 new queries) plus
+# customer_revenue_deciles, whose plan was REWRITTEN this round (two-level
+# ranking replacing the unpartitioned ntile) and therefore needs a fresh
+# hash verdict on the new plan.  Tier 1: the r4-graded names — the oldest
+# standing verdicts (~42 of them fit the ~50 sample next to tier 0; the
+# rest spill into the r5 tier's turn next round).  Tiers 2-4: r5-, r6-,
+# r7-graded names in verdict-age order (r7 includes last round's 48
+# tier-0/T1/T2 names plus tensor_slices and dedup_minhash_pairs).
+_T1_R4_GRADED: tuple[str, ...] = (
     "agg_money_split_sum", "agg_salted_skew", "agg_hll_sketch_merge",
     "agg_stats_bivariate", "q5_local_supplier_volume",
     "multimodal_resize_meta", "multimodal_frame_sample", "events_sessionize",
@@ -110,6 +50,72 @@ _T3_FRESH: tuple[str, ...] = (
     "set_intersect_all", "set_union_all", "set_union_distinct",
     "similarity_topk_cosine",
 )
+_T2_R5_GRADED: tuple[str, ...] = (
+    "agg_mode_deterministic", "q6_forecast_revenue", "q18_large_orders",
+    "q4_priority_late_ship", "q7_volume_shipping",
+    "multimodal_feature_extract", "events_funnel", "events_retention",
+    "events_funnel_users", "events_topk_paths", "events_streaks",
+    "dedup_edit_distance", "dedup_groups_star", "embedding_gram_matrix",
+    "similarity_knn_graph", "dedup_incremental_fp", "dedup_simhash_bands",
+    "sort_limit_offset", "sort_multikey_nulls", "stream_asof_join",
+    "subquery_correlated_scalar", "subquery_in", "subquery_scalar",
+    "tensor_build_coords", "text_langid", "text_ngrams", "text_profile",
+    "text_quality", "text_tfidf", "text_wordcount", "topk_revenue",
+    "scan_events_ts", "join_time_interval", "join_asof",
+    "join_self_sequences", "stream_tumbling_counts", "stream_sliding_avg",
+    "stream_session_windows", "stream_dedup_exact", "agg_count_distinct",
+    "agg_multi_distinct", "agg_conditional", "agg_cube", "agg_global",
+    "agg_grouping_sets", "agg_histogram", "agg_max_by", "agg_percentile",
+    "agg_pivot", "agg_pricing_summary",
+)
+_T3_R6_GRADED: tuple[str, ...] = (
+    "q3_shipping_priority", "q10_returned_revenue", "q14_promo_share",
+    "scan_parquet", "scan_projection", "join_star_5way",
+    "join_broadcast_inner", "join_sortmerge_inner", "join_left_outer",
+    "join_full_outer", "join_semi", "join_anti", "join_cross",
+    "join_range_theta", "agg_rollup", "agg_stats",
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_type_profit",
+    "q11_important_parts", "q12_late_lines_priority",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q19_discounted_revenue", "q20_bulk_shippers", "q21_waiting_suppliers",
+    "q22_dormant_balances", "join_salted_skew", "multimodal_phash_pairs",
+    "audit_constraints", "events_sessionized_funnel", "events_anomaly_zscore",
+    "sample_split_train_val_test", "text_decontaminate",
+    "pipeline_dataset_build", "graph_pagerank_knn", "graph_triangle_count",
+    "similarity_signlsh_ann", "events_ab_test", "events_ab_cuped",
+    "events_scd2_status", "agg_incremental_merge",
+    "events_chi2_independence", "events_forecast_backtest",
+    "text_zipf_fit", "window_cumulative_distinct",
+)
+_T4_R7_GRADED: tuple[str, ...] = (
+    # the r7 tier-0 additions (minus customer_revenue_deciles, re-planned
+    # in r8 and back in tier 0) …
+    "agg_percentile_histogram", "agg_countmin_topk_error",
+    "events_forecast_backtest_by_type", "supplier_scorecard",
+    "market_basket_pairs", "events_active_users", "events_heavy_hitters",
+    "sample_bottom_k", "dedup_minhash_estimate_error",
+    "dedup_group_size_histogram", "graph_knn_jaccard", "text_bpe_pairs",
+    "text_repetition_profile", "pipeline_sequence_pack",
+    "text_bloom_prefilter",
+    # … the r7 T1 refresh …
+    "events_markov_transitions", "customer_rfm_segments",
+    "part_abc_analysis", "graph_degree_distribution",
+    "events_anomaly_mad", "events_seasonality_profile", "text_vocab_growth",
+    "text_boilerplate_grams", "text_collocations_pmi",
+    "events_interarrival_profile",
+    "agg_string_concat", "multimodal_decode_meta", "project_arithmetic",
+    "reshape_unpivot", "filter_between_in_like", "filter_compound",
+    "filter_null_semantics", "filter_regexp", "udf_grouped_map",
+    "udf_pandas_vectorized", "udf_scalar_py", "udf_udtf_tokenize",
+    # … the r7 rows-only refresh …
+    "agg_approx_distinct", "agg_approx_quantile", "dedup_embedding_cosine",
+    "parafac_cp_als", "parafac_cp_als_dist",
+    "parafac_factors_a", "sample_bernoulli", "similarity_ivf_ann",
+    "similarity_lsh_ann", "tucker_hosvd_core",
+    # … and the two same-round spillovers.
+    "tensor_slices", "dedup_minhash_pairs",
+)
 
 
 def _rotated(d: dict) -> dict:
@@ -117,9 +123,10 @@ def _rotated(d: dict) -> dict:
     tier = {}
     for t, names in enumerate(
         (
-            _T1_ORACLED_UNGRADED,
-            _T2_ROWSONLY_REFRESH,
-            _T3_FRESH,
+            _T1_R4_GRADED,
+            _T2_R5_GRADED,
+            _T3_R6_GRADED,
+            _T4_R7_GRADED,
         ),
         start=1,
     ):

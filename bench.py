@@ -106,18 +106,28 @@ def main() -> None:
         "shared_builds": {
             "knn_edge_table": [
                 "graph_degree_distribution", "graph_knn_jaccard",
-                "graph_pagerank_knn", "graph_triangle_count",
+                "graph_lpa_communities", "graph_pagerank_knn",
+                "graph_triangle_count", "similarity_ann_recall",
                 "similarity_knn_graph",
             ],
             "decontamination_pair_table": [
                 "pipeline_dataset_build", "text_decontaminate",
             ],
             "minhash_shingles_and_signatures": [
-                "dedup_minhash_estimate_error", "dedup_minhash_pairs",
+                "dedup_method_agreement", "dedup_minhash_estimate_error",
+                "dedup_minhash_pairs",
             ],
             "ngram_jaccard_pair_table": [
                 "dedup_edit_distance", "dedup_group_size_histogram",
-                "dedup_groups", "dedup_groups_star", "dedup_ngram_jaccard",
+                "dedup_groups", "dedup_groups_star", "dedup_method_agreement",
+                "dedup_ngram_jaccard",
+            ],
+            "simhash_table": [
+                "dedup_method_agreement", "dedup_simhash_bands",
+            ],
+            "ivf_centroids_and_pq_codebooks": [
+                "similarity_ann_recall", "similarity_ivf_ann",
+                "similarity_ivfpq_ann",
             ],
         },
     }

@@ -724,6 +724,84 @@ def sample_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_token_budget",
+    oracle=f"""
+    WITH lab AS (
+      SELECT len(string_split(text, ' ')) AS tok, n_chars,
+             CASE WHEN {SPLIT_DIGIT_SQL} < '{SPLIT_VAL_DIGIT}'
+                  THEN 'train'
+                  WHEN {SPLIT_DIGIT_SQL} < '{SPLIT_TEST_DIGIT}'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    s AS (
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM lab GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM s)
+    SELECT split, n_docs, n_tokens, n_chars,
+           ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / total, 6) AS token_share
+    FROM s, t ORDER BY split
+    """,
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN ACCOUNTING per split — the budget table read before any
+    training run ("how many tokens does my train split actually hold, and
+    did the val/test carve-out drift?").  Completes the split family:
+    sample_split_train_val_test audits docs per (split, lang); this audits
+    the TOKEN ledger the compute budget is written in.
+
+    Shares the canon split rule (canon.split_digit — the ADVICE r7 single
+    source of truth), so this table can never disagree with the split
+    assignment itself.  One zero-join pass: per-row whitespace token count
+    (codegen array op) → 3-group hash agg → broadcast 1-row total for the
+    share.  Exact int64 sums; two IEEE divisions each → ROUND(,6)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    h = split_digit("doc_id")
+    split = (
+        F.when(h < SPLIT_VAL_DIGIT, "train")
+        .when(h < SPLIT_TEST_DIGIT, "val")
+        .otherwise("test")
+    )
+    s = (
+        d.select(
+            split.alias("split"),
+            F.size(F.split("text", " ")).cast("long").alias("tok"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        # 3-row aggregate feeds both the total and the main select — one
+        # scan, not two (the heavy_hitters multi-consumer pattern)
+        .localCheckpoint(eager=False)
+    )
+    t = s.agg(F.sum("n_tokens").alias("total"))
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_docs"), 6
+            ).alias("avg_tokens"),
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("total"), 6
+            ).alias("token_share"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("split")
+    )
+
+
+@query(
     "events_ab_test",
     oracle="""
     WITH s AS (
@@ -1972,6 +2050,108 @@ def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1)
         .sortWithinPartitions("log2_bucket")
+    )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, epoch_ns(ts) // 60000000000 AS minute,
+             CAST(round(value*1000000) AS BIGINT) AS mv
+      FROM events),
+    b AS (
+      SELECT event_type, minute, CAST(SUM(mv) AS BIGINT) AS y
+      FROM v GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, minute,
+             CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY minute)
+                  AS BIGINT) AS pre,
+             row_number() OVER (PARTITION BY event_type ORDER BY minute) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      FROM b),
+    c AS (
+      SELECT event_type, minute, n, tot, ABS(n*pre - i*tot) AS a FROM s),
+    m AS (
+      SELECT event_type, MAX(a) AS mx FROM c GROUP BY 1)
+    SELECT c.event_type,
+           CAST(MAX(c.n) AS BIGINT) AS n_minutes,
+           CAST(MIN(CASE WHEN c.a = m.mx THEN c.minute END) AS BIGINT)
+             AS cp_minute,
+           ROUND(CAST(m.mx AS DOUBLE) / (MAX(c.n) * 1000000.0), 6)
+             AS max_cusum,
+           ROUND(CAST(MAX(c.tot) AS DOUBLE) / (MAX(c.n) * 1000000.0), 6)
+             AS mean_per_minute
+    FROM c JOIN m ON c.event_type = m.event_type
+    GROUP BY c.event_type, m.mx ORDER BY c.event_type
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGE-POINT DETECTION per event_type (Page 1954) — where did
+    the per-minute traffic level shift?  The offline twin of a streaming
+    drift monitor, next to events_anomaly_zscore/_mad (outliers) and
+    events_forecast_backtest (trend): the minute whose cumulative
+    deviation from the series mean is largest is the classic single
+    change-point estimate.
+
+    Plan (the anomaly-mad histogram discipline, applied to the TIME
+    axis): raw events hash-aggregate to per-(type, minute) micro-unit
+    sums — the series length is bounded by the time span, never the row
+    count — then ONE partitioned cumulative window over that series
+    computes S_i = prefix − i·mean.  All comparisons are EXACT int64 on
+    the n-scaled form n·prefix − i·total (|T| ≤ n_minutes·total_micros;
+    bound documented — at larger scale widen to per-hour buckets or
+    decimal), the argmax tie-breaks to the earliest minute, and the only
+    floats are two display divisions → ROUND(,6).  DuckDB's HUGEINT
+    window sums make the oracle an overflow canary for the Spark int64
+    path."""
+    ev = load_tables(spark, sf_dir)["events"]
+    b = (
+        ev.select(
+            "event_type",
+            F.expr("ts_ns div 60000000000").alias("minute"),
+            micros_units("value").alias("mv"),
+        )
+        .groupBy("event_type", "minute")
+        .agg(F.sum("mv").alias("y"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("minute")
+    wp = Window.partitionBy("event_type")
+    s = b.select(
+        "event_type",
+        "minute",
+        F.sum("y").over(wo).alias("pre"),
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("y").over(wp).alias("tot"),
+    )
+    c = s.select(
+        "event_type",
+        "minute",
+        "n",
+        "tot",
+        F.abs(F.col("n") * F.col("pre") - F.col("i") * F.col("tot")).alias(
+            "a"
+        ),
+    ).withColumn("mx", F.max("a").over(wp))
+    return (
+        c.groupBy("event_type", "mx")
+        .agg(
+            F.max("n").alias("n_minutes"),
+            F.min(F.when(F.col("a") == F.col("mx"), F.col("minute"))).alias(
+                "cp_minute"
+            ),
+            F.round(
+                F.col("mx").cast("double") / (F.max("n") * 1000000.0), 6
+            ).alias("max_cusum"),
+            F.round(
+                F.max("tot").cast("double") / (F.max("n") * 1000000.0), 6
+            ).alias("mean_per_minute"),
+        )
+        .drop("mx")
+        .repartition(1)
+        .sortWithinPartitions("event_type")
     )
 
 

@@ -1460,6 +1460,100 @@ def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _method_agreement_oracle() -> str:
+    """Composed from the three pair pipelines' REGISTERED oracles (single
+    source of truth: a threshold change in any family automatically flows
+    into this audit) — DuckDB runs them as subqueries."""
+    from paraslice_spark.registry import ORACLES
+
+    mh, ng, sh = (
+        ORACLES["dedup_minhash_pairs"],
+        ORACLES["dedup_ngram_jaccard"],
+        ORACLES["dedup_simhash_bands"],
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT 'minhash' AS m, doc_a, doc_b FROM ({mh})
+      UNION ALL SELECT 'ngram', doc_a, doc_b FROM ({ng})
+      UNION ALL SELECT 'simhash', doc_a, doc_b FROM ({sh})),
+    c AS (SELECT m, COUNT(*) AS n FROM pairs GROUP BY 1),
+    x AS (SELECT a.m AS method_a, b.m AS method_b, COUNT(*) AS nb
+          FROM pairs a JOIN pairs b
+            ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b AND a.m < b.m
+          GROUP BY 1, 2)
+    SELECT ca.m AS method_a, cb.m AS method_b,
+           CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+           CAST(COALESCE(x.nb, 0) AS BIGINT) AS n_both,
+           ROUND(CAST(COALESCE(x.nb, 0) AS DOUBLE)
+                 / NULLIF(ca.n + cb.n - COALESCE(x.nb, 0), 0), 6)
+             AS agreement
+    FROM c ca
+    JOIN c cb ON ca.m < cb.m
+    LEFT JOIN x ON x.method_a = ca.m AND x.method_b = cb.m
+    ORDER BY method_a, method_b
+    """
+
+
+@query("dedup_method_agreement", oracle=_method_agreement_oracle())
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP METHOD CROSS-CALIBRATION — pairwise agreement (set Jaccard of
+    the detected PAIR sets) between the three near-dup detectors: MinHash
+    (shingle-Jaccard ≥ 0.8), exact n-gram Jaccard, and SimHash
+    (hamming ≤ 3).  The r7 self-auditing theme applied ACROSS methods:
+    before trusting one family's sketch at 100 TB, measure how its pair
+    decisions rank against the others on the same corpus — low agreement
+    between the probabilistic members and the exact member localizes
+    which sketch's thresholds drifted.
+
+    Every input is a declared, individually hash-oracled pipeline riding
+    its memoized per-(session, sf) base (zero rebuild when those queries
+    already ran), and the oracle is COMPOSED from their registered oracle
+    SQL — the two sides cannot desynchronize.  All agreement work happens
+    on the few-dozen-row pair tables: one tagged union, two tiny aggs,
+    one self-join keyed on the pair."""
+    tagged = None
+    for m, df in (
+        ("minhash", dedup_minhash_pairs(spark, sf_dir)),
+        ("ngram", dedup_ngram_jaccard(spark, sf_dir)),
+        ("simhash", dedup_simhash_bands(spark, sf_dir)),
+    ):
+        t = df.select(F.lit(m).alias("m"), "doc_a", "doc_b")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    # few-dozen-row pair union feeds counts + the agreement self-join —
+    # materialize once (house multi-consumer pattern)
+    tagged = tagged.localCheckpoint(eager=False)
+    c = tagged.groupBy("m").agg(F.count(F.lit(1)).alias("n"))
+    a = tagged.select(F.col("m").alias("method_a"), "doc_a", "doc_b")
+    b = tagged.select(F.col("m").alias("method_b"), "doc_a", "doc_b")
+    x = (
+        a.join(b, ["doc_a", "doc_b"])
+        .where(F.col("method_a") < F.col("method_b"))
+        .groupBy("method_a", "method_b")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    ca = c.select(F.col("m").alias("method_a"), F.col("n").alias("n_a"))
+    cb = c.select(F.col("m").alias("method_b"), F.col("n").alias("n_b"))
+    nb = F.coalesce(F.col("nb"), F.lit(0))
+    return (
+        ca.join(cb, F.col("method_a") < F.col("method_b"))
+        .join(x, ["method_a", "method_b"], "left")
+        .select(
+            "method_a",
+            "method_b",
+            "n_a",
+            "n_b",
+            nb.alias("n_both"),
+            F.round(
+                nb.cast("double")
+                / F.nullif(F.col("n_a") + F.col("n_b") - nb, F.lit(0)),
+                6,
+            ).alias("agreement"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("method_a", "method_b")
+    )
+
+
 #: (session, sf) → eagerly-checkpointed (doc_id, simhash) table — the
 #: tokenize + 64-bit-vote stage runs once per session per SF instead of a
 #: naked persist per invocation (the _knn_cache/_mh_base_cache pattern).
@@ -1788,6 +1882,96 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     partials = base.mapInPandas(partial_gram, "i long, j long, p long")
     return partials.groupBy("i", "j").agg(F.sum("p").alias("gram_micro"))
+
+
+@query(
+    "embedding_label_centroid_sim",
+    oracle="""
+    WITH u AS (
+      SELECT label, ii.i AS pos,
+             CAST(round(CAST(embedding AS DOUBLE[])[ii.i + 1] * 100)
+                  AS BIGINT) AS c
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) ii),
+    s AS (SELECT label, pos, CAST(SUM(c) AS BIGINT) AS s FROM u GROUP BY 1, 2),
+    n AS (SELECT label, CAST(SUM(s*s) AS BIGINT) AS nsq FROM s GROUP BY 1),
+    d AS (SELECT a.label AS label_a, b.label AS label_b,
+                 CAST(SUM(a.s*b.s) AS BIGINT) AS dot
+          FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+          GROUP BY 1, 2)
+    SELECT d.label_a, d.label_b,
+           ROUND(CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(na.nsq AS DOUBLE))
+                    * sqrt(CAST(nb.nsq AS DOUBLE))), 6) AS cos
+    FROM d
+    JOIN n na ON na.label = d.label_a
+    JOIN n nb ON nb.label = d.label_b
+    ORDER BY label_a, label_b
+    """,
+)
+def embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-CENTROID SIMILARITY MATRIX — pairwise cosine between class
+    mean embeddings, the class-confusability report an embedding pipeline
+    reads before trusting labels for stratified sampling or curriculum
+    ordering (two labels whose centroids sit at cos ≈ 1 are one class).
+
+    Exactness via the SUM-VECTOR identity: cos of two mean vectors equals
+    cos of the corresponding SUM vectors (the 1/n factors cancel), so no
+    division ever touches the vectors — per-row values quantize to int64
+    CENTI-units (round(x*100): coarser than the micro rule, keeping every
+    pairwise dot of label-sum vectors exact int64 to ~1e8 rows/label;
+    quantization perturbs the audited direction by O(1e-2/‖x‖) which is
+    noise at rank-10 granularity), all sums/dots are exact integers, and
+    the two sqrt + one division are the only IEEE ops → ROUND(,6) is
+    engine-deterministic (the similarity_signlsh_ann precedent).
+
+    Scale shape: ONE posexplode pass → (label, dim) hash agg (10×64 rows
+    out of any corpus size — the gram-matrix partial-agg regime), then
+    all pair work happens on the 640-row sum table: broadcast self-join
+    on dim, 45-pair dot agg, two broadcast norm attaches.  The corpus is
+    scanned exactly once."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    s = (
+        e.select("label", F.posexplode(_as_double(F.col("embedding"))))
+        .select(
+            "label",
+            "pos",
+            F.round(F.col("col") * 100).cast("long").alias("c"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("c").alias("s"))
+        # 640-row sum table feeds both pair-join sides and the norms —
+        # one corpus scan, not three
+        .localCheckpoint(eager=False)
+    )
+    nsq = s.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("nsq"))
+    a = s.select(F.col("label").alias("label_a"), "pos", F.col("s").alias("sa"))
+    b = s.select(F.col("label").alias("label_b"), "pos", F.col("s").alias("sb"))
+    d = (
+        a.join(F.broadcast(b), "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    na = nsq.select(F.col("label").alias("label_a"), F.col("nsq").alias("na"))
+    nb = nsq.select(F.col("label").alias("label_b"), F.col("nsq").alias("nb"))
+    return (
+        d.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            rnd(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("label_a", "label_b")
+    )
 
 
 _KNN_K = 3  # neighbors per vector in the k-NN graph
@@ -2558,3 +2742,34 @@ def knn_label_propagation(
         if (i + 1) % 3 == 0 and i + 1 < iters:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+@query("graph_lpa_communities")  # rows-only: labels are loop-internal
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA COMMUNITY-SIZE HISTOGRAM — the declared report card of
+    :func:`knn_label_propagation` (the dedup_group_size_histogram shape
+    applied to the community structure): how many communities of each
+    size does 3-round label propagation find on the exact kNN graph?
+    The number a user reads to pick between near-dup components (sparse,
+    transitive) and LPA communities (denser neighborhoods) for curriculum
+    bucketing.
+
+    Rows-only by design: the per-node labels are the output of an
+    iterative loop (a DuckDB twin would re-implement it — the CP-ALS
+    precedent); determinism invariants (mode tie-breaks, iteration
+    stability, no-rescan plan shape) live in tests/test_graph_lpa.py.
+    Scale: two cardinality-bounded aggs over the (node, lbl) pairs on
+    top of the memoized kNN base."""
+    labels = knn_label_propagation(spark, sf_dir, iters=3)
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
+    return (
+        sizes.groupBy("community_size")
+        .agg(F.count(F.lit(1)).alias("n_communities"))
+        .select(
+            "community_size",
+            "n_communities",
+            (F.col("community_size") * F.col("n_communities")).alias("n_nodes"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("community_size")
+    )

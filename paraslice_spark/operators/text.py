@@ -892,6 +892,123 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_quality_filter",
+    oracle=rf"""
+    WITH t AS (SELECT text, string_split(text, ' ') AS words FROM documents),
+    m AS (SELECT len(words) AS nw,
+             ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / len(words), 6) AS awl,
+             ROUND(CAST(len(list_filter(words,
+                       w -> list_contains({list(_STOPWORDS)!r}, w))) AS DOUBLE)
+                   / len(words), 6) AS sr,
+             ROUND(CAST(len(words) - 1
+                        - len(list_distinct(list_transform(
+                              range(1, len(words)),
+                              i -> words[i] || ' ' || words[i+1]))) AS DOUBLE)
+                   / NULLIF(len(words) - 1, 0), 6) AS dbf
+          FROM t),
+    d AS (SELECT CASE WHEN NOT (nw >= 20) THEN 0
+                      WHEN NOT (awl >= 4.2 AND awl <= 5.0) THEN 1
+                      WHEN NOT (sr >= 0.02) THEN 2
+                      WHEN NOT (dbf <= 0.09) THEN 3
+                      ELSE 4 END AS depth
+          FROM m),
+    a AS (SELECT COUNT(*) AS n0,
+                 COUNT(CASE WHEN depth >= 1 THEN 1 END) AS n1,
+                 COUNT(CASE WHEN depth >= 2 THEN 1 END) AS n2,
+                 COUNT(CASE WHEN depth >= 3 THEN 1 END) AS n3,
+                 COUNT(CASE WHEN depth >= 4 THEN 1 END) AS n4
+          FROM d)
+    SELECT stage, n_in, n_pass, n_in - n_pass AS n_reject,
+           ROUND(CAST(n_pass AS DOUBLE) / NULLIF(n_in, 0), 6) AS pass_rate
+    FROM (SELECT '1_min_words' AS stage, n0 AS n_in, n1 AS n_pass FROM a
+          UNION ALL SELECT '2_word_len', n1, n2 FROM a
+          UNION ALL SELECT '3_stopword', n2, n3 FROM a
+          UNION ALL SELECT '4_repetition', n3, n4 FROM a)
+    ORDER BY stage
+    """,
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-FILTER FUNNEL — the composed pre-training gate (C4/Gopher
+    style: length floor → word-shape band → stopword floor → repetition
+    cap) with per-stage attrition accounting, the report a pipeline owner
+    reads to see WHERE documents die.  Stages reuse the declared metric
+    definitions verbatim (text_quality's avg-word-length/stopword ratio,
+    text_repetition_profile's dup-bigram fraction), so the funnel can
+    never disagree with the per-doc metric tables; thresholds are set
+    from this corpus's measured distribution (sf0.01: awl p5-p95 ≈
+    4.17-4.84, sr median 0.061, dbf p90 0.065) so every stage does real
+    work.
+
+    Scale shape: ONE zero-join pass — all four metrics are per-row
+    codegen array ops (the repetition-profile no-shuffle regime), the
+    funnel depth is a when-chain, and the only shuffle is the 1-row
+    global conditional-count agg; the 4 stage rows are a stack() over
+    that single row.  Ratios are rounded(6) BEFORE comparison in both
+    engines, so threshold compares are bit-deterministic."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+    nw = F.size(words)
+    awl = F.round(
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / nw, 6
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    sr = F.round(
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast(
+            "double"
+        )
+        / nw,
+        6,
+    )
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(nw - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(nw - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    dbf = F.round(
+        (F.size(bigrams) - F.size(F.array_distinct(bigrams))).cast("double")
+        / F.nullif(F.size(bigrams), F.lit(0)),
+        6,
+    )
+    depth = (
+        F.when(~(nw >= 20), 0)
+        .when(~((awl >= 4.2) & (awl <= 5.0)), 1)
+        .when(~(sr >= 0.02), 2)
+        .when(~(dbf <= 0.09), 3)
+        .otherwise(4)
+    )
+    a = d.select(depth.alias("depth")).agg(
+        F.count(F.lit(1)).alias("n0"),
+        *[
+            F.count(F.when(F.col("depth") >= k, 1)).alias(f"n{k}")
+            for k in (1, 2, 3, 4)
+        ],
+    )
+    return (
+        a.selectExpr(
+            """stack(4,
+                 '1_min_words',   n0, n1,
+                 '2_word_len',    n1, n2,
+                 '3_stopword',    n2, n3,
+                 '4_repetition',  n3, n4) AS (stage, n_in, n_pass)"""
+        )
+        .select(
+            "stage",
+            "n_in",
+            "n_pass",
+            (F.col("n_in") - F.col("n_pass")).alias("n_reject"),
+            F.round(
+                F.col("n_pass").cast("double")
+                / F.nullif(F.col("n_in"), F.lit(0)),
+                6,
+            ).alias("pass_rate"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("stage")
+    )
+
+
+@query(
     "pipeline_sequence_pack",
     oracle="""
     WITH t AS (
@@ -929,9 +1046,20 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     is integer division — no float anywhere.  Same md5-shard idiom as
     sample_split_train_val_test."""
     d = load_tables(spark, sf_dir)["documents"]
+    return sequence_pack(d)
+
+
+def sequence_pack(d: DataFrame, shard_digits: int = 1) -> DataFrame:
+    """Packing-manifest builder behind pipeline_sequence_pack.
+    ``shard_digits`` md5 hex digits of doc_id define the shard key: 1 →
+    16 buckets (the declared query), 2 → 256, 3 → 4096 — the 100 TB
+    scale knob (tests/test_sinks_scale.py exercises the 256-shard sink
+    with directory pruning)."""
     t = d.select(
         "doc_id",
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("bucket"),
+        F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, shard_digits
+        ).alias("bucket"),
         F.size(F.split("text", " ")).cast("long").alias("tok"),
     )
     w = (

@@ -838,3 +838,41 @@ def stream_user_traffic(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_countmin_counters(events: DataFrame) -> DataFrame:
+    """Streaming COUNT-MIN SKETCH MAINTENANCE — the stateful rollup twin
+    of ``agg_countmin_topk_error``'s batch sketch (the r7 CMS contract's
+    "at TB/day this is what feeds a store-sketch rollup" sentence made
+    executable): every event increments its d=4 md5-affine buckets, so
+    the streaming state IS the fixed d×w counter table — bounded by the
+    sketch geometry (≤1024 longs), NOT by the key population, which is
+    the whole point of maintaining a sketch instead of exact per-key
+    counters (stream_user_traffic) once keys outgrow state.
+
+    Pure built-in streaming aggregation (no custom state needed —
+    counters are a sum, Spark's agg state machinery is exactly this),
+    sharing the hash constants with the batch query so replaying the
+    fixture must reproduce the batch counter table EXACTLY
+    (tests/test_streaming.py asserts whole-fixture and split-replay
+    equality, and that min-over-buckets estimates never underestimate)."""
+    from paraslice_spark.operators.aggregates import _CMS_AB, _CMS_P, _CMS_W
+
+    h = events.select(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias("h")
+    )
+    buckets = h.select(
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.lit(a) * F.col("h") + F.lit(b)) % _CMS_P) % _CMS_W
+                    for a, b in _CMS_AB
+                ]
+            )
+        ).alias("j", "bucket")
+    )
+    return buckets.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))

@@ -91,9 +91,10 @@ def test_rotation_unchecked_first():
 
     names = list(e.queries())
     tiers = (
-        e._T1_ORACLED_UNGRADED,
-        e._T2_ROWSONLY_REFRESH,
-        e._T3_FRESH,
+        e._T1_R4_GRADED,
+        e._T2_R5_GRADED,
+        e._T3_R6_GRADED,
+        e._T4_R7_GRADED,
     )
     listed = [n for t in tiers for n in t]
     new = [n for n in names if n not in listed]

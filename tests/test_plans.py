@@ -425,3 +425,29 @@ def test_bloom_prefilter_broadcasts_position_set(spark):
     p = plan(QUERIES["text_bloom_prefilter"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_quality_filter_is_one_joinless_pass(spark):
+    """pipeline_quality_filter claims ONE zero-join codegen pass: all four
+    stage metrics are per-row array math, no Join anywhere, exactly one
+    corpus scan, and the only aggregate is the 1-row conditional-count
+    pair (partial + final)."""
+    p = plan(QUERIES["pipeline_quality_filter"](spark, SF_SMALL))
+    assert "Join" not in p, p
+    assert p.count("Scan parquet") == 1, p
+    assert "Window" not in p, p
+
+
+def test_cusum_windows_run_on_minute_histogram(spark):
+    """events_cusum_changepoint claims the histogram-on-the-time-axis
+    discipline: raw events are hash-aggregated to the per-(type, minute)
+    series BEFORE any window, so every Window node keys on the series
+    (partitioned by event_type over minute rows), never raw events, and
+    the corpus is scanned exactly once."""
+    p = plan(QUERIES["events_cusum_changepoint"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 1, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wins and all("event_type" in ln for ln in wins), p
+    # the window input is the minute aggregate: its sums range over y/a,
+    # the per-minute totals — row_number over raw rows would show ts
+    assert not any("ts_ns" in ln for ln in wins), p

@@ -116,3 +116,40 @@ def test_sequence_pack_manifest_partitioned_write(spark, tmp_path):
     total_docs = back.agg(F.sum("n_docs")).first()[0]
     n_docs = load_tables(spark, SF_SMALL)["documents"].count()
     assert total_docs == n_docs
+
+
+def test_sequence_pack_256_shard_sink_prunes_directories(spark, tmp_path):
+    """VERDICT r7 #6: the 100 TB shard knob exercised at 256 shards — the
+    2-digit manifest written partitioned must (a) prune to ONE directory
+    when a single shard is read (PartitionFilters carries the equality,
+    no post-scan bucket filter), (b) keep chunk ids shard-local (every
+    (bucket, chunk) key unique), and (c) agree with the declared 16-way
+    packing on totals (re-sharding can never create or lose doc starts)."""
+    from paraslice_spark.operators.text import sequence_pack
+    from paraslice_spark.registry import QUERIES
+    from paraslice_spark.sources.io import load_tables, write_partitioned
+
+    docs = load_tables(spark, SF_SMALL)["documents"]
+    m256 = sequence_pack(docs, shard_digits=2)
+    out = str(tmp_path / "pack256")
+    write_partitioned(m256, out, ["bucket"])
+
+    back = spark.read.parquet(out)
+    n_shards = back.select("bucket").distinct().count()
+    assert n_shards > 16  # genuinely finer than the declared 16-way split
+    one = back.where(F.col("bucket") == "aa")
+    p = plan(one)
+    assert "PartitionFilters: [isnotnull(bucket" in p, p
+    assert "(bucket#" in p.split("PartitionFilters")[1][:120], p
+    # the bucket predicate must NOT survive as a post-scan Filter
+    assert "Filter (" not in p.split("PartitionFilters")[0], p
+    # chunk ids are shard-local and unique per (bucket, chunk)
+    assert (
+        back.groupBy("bucket", "chunk_id").count().where(F.col("count") > 1).count()
+        == 0
+    )
+    # totals invariant vs the declared 16-way manifest
+    m16 = QUERIES["pipeline_sequence_pack"](spark, SF_SMALL)
+    t256 = back.agg(F.sum("n_docs"), F.sum("tok_started")).first()
+    t16 = m16.agg(F.sum("n_docs"), F.sum("tok_started")).first()
+    assert tuple(t256) == tuple(t16)

@@ -813,3 +813,93 @@ def test_stream_user_traffic_split_replay(spark, tmp_path):
     streams.run_to_memory(streams.stream_user_traffic(stream), name, "append")
     got = _rows(spark.table(name), "user_id", "n")
     assert got == [(7, 2), (7, 3), (8, 1)], got
+
+
+def _batch_cms_counters(spark):
+    """Batch CMS counter table over the sf0.001 events fixture, built with
+    the same constants the stream shares."""
+    from paraslice_spark.operators.aggregates import _CMS_AB, _CMS_P, _CMS_W
+
+    ev = load_tables(spark, SF_SMALL)["events"]
+    h = ev.select(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias("h")
+    )
+    return {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in h.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        ((F.lit(a) * F.col("h") + F.lit(b)) % _CMS_P) % _CMS_W
+                        for a, b in _CMS_AB
+                    ]
+                )
+            ).alias("j", "bucket")
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+
+
+def test_stream_countmin_equals_batch_sketch(spark, events_dir):
+    """Whole-fixture replay: the streaming counter table must equal the
+    batch CMS counters cell-for-cell, and its min-over-buckets estimate
+    must never underestimate any user's exact count (the one-sided-error
+    contract of agg_countmin_topk_error, maintained incrementally)."""
+    stream = streams.events_file_stream(spark, events_dir)
+    name = _mem_name()
+    streams.run_to_memory(streams.stream_countmin_counters(stream), name)
+    got = {
+        (r["j"], r["bucket"]): r["cnt"] for r in spark.table(name).collect()
+    }
+    want = _batch_cms_counters(spark)
+    assert got == want and len(got) > 0
+    # one-sided error spot check on the top exact user
+    ev = load_tables(spark, SF_SMALL)["events"]
+    top = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "user_id").first()
+    )
+    import hashlib
+
+    from paraslice_spark.operators.aggregates import _CMS_AB, _CMS_P, _CMS_W
+
+    hv = int(hashlib.md5(str(top["user_id"]).encode()).hexdigest()[:8], 16)
+    est = min(
+        got[(j, ((a * hv + b) % _CMS_P) % _CMS_W)]
+        for j, (a, b) in enumerate(_CMS_AB)
+    )
+    assert est >= top["n"]
+
+
+def test_stream_countmin_split_replay(spark, tmp_path):
+    """Counter state must accumulate across micro-batches: replaying the
+    same rows in two chunks lands the identical final counter table as
+    one chunk (sketch mergeability, exercised through streaming state)."""
+    rows = [
+        (1, _ns(0), 7, "click", 1.0, "{}"),
+        (2, _ns(1), 7, "click", 1.0, "{}"),
+        (3, _ns(2), 8, "click", 1.0, "{}"),
+        (4, _ns(3), 9, "view", 1.0, "{}"),
+    ]
+    one = str(tmp_path / "cms_one")
+    _write_batch(spark, one, 0, rows)
+    two = str(tmp_path / "cms_two")
+    _write_batch(spark, two, 0, rows[:2])
+    _write_batch(spark, two, 1, rows[2:])
+    final = {}
+    for d, trig in ((one, 10), (two, 1)):
+        stream = streams.events_file_stream(spark, d, max_files_per_trigger=trig)
+        name = _mem_name()
+        streams.run_to_memory(streams.stream_countmin_counters(stream), name)
+        final[d] = {
+            (r["j"], r["bucket"]): r["cnt"]
+            for r in spark.table(name).collect()
+        }
+    assert final[one] == final[two]
+    assert sum(final[one].values()) == 4 * len(rows)  # d buckets per event
