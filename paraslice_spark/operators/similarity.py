@@ -1472,7 +1472,11 @@ def _method_agreement_oracle() -> str:
         ORACLES["dedup_simhash_bands"],
     )
     return f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
+      -- MATERIALIZED is load-bearing: pairs is referenced twice below and
+      -- DuckDB inlines CTEs by default, which would run all three
+      -- pipelines TWICE — at sf0.1 the doubled ngram spill exhausted the
+      -- container disk (measured r8)
       SELECT 'minhash' AS m, doc_a, doc_b FROM ({mh})
       UNION ALL SELECT 'ngram', doc_a, doc_b FROM ({ng})
       UNION ALL SELECT 'simhash', doc_a, doc_b FROM ({sh})),

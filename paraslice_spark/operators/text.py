@@ -1049,12 +1049,11 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pack(d)
 
 
-def sequence_pack(d: DataFrame, shard_digits: int = 1) -> DataFrame:
-    """Packing-manifest builder behind pipeline_sequence_pack.
-    ``shard_digits`` md5 hex digits of doc_id define the shard key: 1 →
-    16 buckets (the declared query), 2 → 256, 3 → 4096 — the 100 TB
-    scale knob (tests/test_sinks_scale.py exercises the 256-shard sink
-    with directory pruning)."""
+def _pack_offsets(d: DataFrame, shard_digits: int = 1) -> DataFrame:
+    """(bucket, doc_id, tok, start_off) — the shared packing-layout stage
+    behind the manifest (:func:`sequence_pack`) and the reader
+    (:func:`pipeline_pack_chunk_reader`): one per-bucket running-sum
+    window ordered by doc_id, exact int64 offsets."""
     t = d.select(
         "doc_id",
         F.substring(
@@ -1067,7 +1066,16 @@ def sequence_pack(d: DataFrame, shard_digits: int = 1) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = t.withColumn("start_off", F.sum("tok").over(w) - F.col("tok"))
+    return t.withColumn("start_off", F.sum("tok").over(w) - F.col("tok"))
+
+
+def sequence_pack(d: DataFrame, shard_digits: int = 1) -> DataFrame:
+    """Packing-manifest builder behind pipeline_sequence_pack.
+    ``shard_digits`` md5 hex digits of doc_id define the shard key: 1 →
+    16 buckets (the declared query), 2 → 256, 3 → 4096 — the 100 TB
+    scale knob (tests/test_sinks_scale.py exercises the 256-shard sink
+    with directory pruning)."""
+    c = _pack_offsets(d, shard_digits)
     return (
         c.groupBy("bucket", F.expr("start_off div 512").alias("chunk_id"))
         .agg(
@@ -1075,6 +1083,178 @@ def sequence_pack(d: DataFrame, shard_digits: int = 1) -> DataFrame:
             F.sum("tok").alias("tok_started"),
             F.min("doc_id").alias("first_doc"),
         )
+    )
+
+
+@query(
+    "pipeline_pack_chunk_reader",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+             len(string_split(text, ' ')) AS tok
+      FROM documents),
+    c AS (
+      SELECT bucket, doc_id, tok,
+             CAST(SUM(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - tok AS BIGINT) AS s
+      FROM t),
+    x AS (
+      SELECT bucket, doc_id, s, tok,
+             unnest(range(s // 512, (s + tok - 1) // 512 + 1)) AS chunk_id
+      FROM c)
+    SELECT bucket, CAST(chunk_id AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN s < chunk_id * 512 THEN 1 END) AS n_carried,
+           CAST(SUM(LEAST(s + tok, (chunk_id + 1) * 512)
+                    - GREATEST(s, chunk_id * 512)) AS BIGINT) AS tok_filled,
+           MIN(doc_id) AS first_doc
+    FROM x GROUP BY 1, 2
+    """,
+)
+def pipeline_pack_chunk_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACK-CHUNK READ PLAN — the CONSUMER side of pipeline_sequence_pack
+    (the r8-candidate "pack-chunk READER path"): for every training window
+    [512·k, 512·(k+1)) of every bucket, which documents must a data loader
+    read, how many of them are carried in from an earlier chunk (doc
+    crosses the boundary, GPT concat-then-split semantics), and how many
+    tokens land inside the window.  The manifest says where docs START;
+    a reader needs what OVERLAPS — without this table a loader re-derives
+    spans at train time.
+
+    Exactness: doc spans [s, s+tok) and window edges are exact int64
+    (shared :func:`_pack_offsets` stage — the layout can never disagree
+    with the manifest); per-(doc, chunk) fill is min/max arithmetic,
+    every output an integer — no float anywhere, so the DuckDB twin is
+    digit-exact.  Invariants (every non-final chunk fills to exactly 512;
+    per-bucket fill totals equal token totals; n_docs − n_carried matches
+    the manifest) are property-tested in tests/test_sinks_scale.py.
+
+    Scale shape: the same per-bucket window as the manifest (sharded by
+    content hash, no global sort), then a BOUNDED interval expansion —
+    explode(sequence(first_chunk, last_chunk)) fans each doc out to
+    ⌈tok/512⌉+1 ≤ a few rows (fixture docs ≪ 512 tokens ⇒ ~1), far
+    cheaper than a chunk×doc range join — and one (bucket, chunk) hash
+    agg.  One corpus scan end-to-end."""
+    d = load_tables(spark, sf_dir)["documents"]
+    c = _pack_offsets(d).withColumnRenamed("start_off", "s")
+    x = c.select(
+        "bucket",
+        "doc_id",
+        "s",
+        "tok",
+        F.explode(
+            F.sequence(
+                F.expr("s div 512"), F.expr("(s + tok - 1) div 512")
+            )
+        ).alias("chunk_id"),
+    )
+    win_lo = F.col("chunk_id") * 512
+    win_hi = (F.col("chunk_id") + 1) * 512
+    return x.groupBy("bucket", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("s") < win_lo, 1)).alias("n_carried"),
+        F.sum(
+            F.least(F.col("s") + F.col("tok"), win_hi)
+            - F.greatest(F.col("s"), win_lo)
+        ).alias("tok_filled"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@query(
+    "pipeline_pack_append_audit",
+    oracle="""
+    WITH mx AS (
+      SELECT CAST(MAX(doc_id) * 9 // 10 AS BIGINT) AS cutoff FROM documents),
+    t AS (
+      SELECT doc_id,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+             len(string_split(text, ' ')) AS tok,
+             CASE WHEN doc_id <= (SELECT cutoff FROM mx) THEN 0 ELSE 1 END
+               AS is_new
+      FROM documents),
+    c AS (
+      SELECT bucket, is_new,
+             CAST(SUM(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - tok AS BIGINT)
+               // 512 AS chunk_id
+      FROM t)
+    SELECT bucket,
+           COUNT(CASE WHEN is_new = 0 THEN 1 END) AS n_old,
+           COUNT(CASE WHEN is_new = 1 THEN 1 END) AS n_new,
+           CAST(MAX(chunk_id) + 1 AS BIGINT) AS n_chunks,
+           CAST(MAX(CASE WHEN is_new = 0 THEN chunk_id END) AS BIGINT)
+             AS last_old_chunk,
+           CAST(MIN(CASE WHEN is_new = 1 THEN chunk_id END) AS BIGINT)
+             AS first_new_chunk,
+           CASE WHEN COUNT(CASE WHEN is_new = 1 THEN 1 END) = 0 THEN 0
+                WHEN MIN(CASE WHEN is_new = 1 THEN chunk_id END)
+                     <= MAX(CASE WHEN is_new = 0 THEN chunk_id END) THEN 1
+                ELSE 0 END AS tail_chunk_rewritten
+    FROM c GROUP BY bucket
+    """,
+)
+def pipeline_pack_append_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL-INGEST AUDIT for sequence packing — the append-stability
+    property (tests/test_canon_properties.py's Hypothesis model) made
+    executable on the real corpus and DECLARED: replay the last ~10% of
+    doc_ids as an "append batch" (old = doc_id ≤ ⌊9·max/10⌋ — exact
+    integer rule, identical in both engines) and report, per shard, how
+    much of the existing layout the append touches.  The operational
+    contract a 100 TB incremental repack is budgeted on: because bucket
+    membership is a pure doc_id hash and packing order is doc_id-ascending,
+    appended ids sort AFTER every old doc in their shard, so every old
+    doc's start offset — hence chunk — is byte-identical and the only
+    chunk an append can rewrite is each shard's TAIL chunk
+    (tail_chunk_rewritten flags whether the first new doc lands in it or
+    the tail happened to end on a 512 boundary).
+
+    ONE window over the combined corpus suffices (no old-only second
+    pass): the old-prefix sums contain no new docs by the ordering
+    argument above, so old chunk_ids read off the combined layout ARE the
+    pre-append layout.  Scale shape: a column-pruned max(doc_id) scan →
+    1-row broadcast cutoff, then the standard per-bucket packing window +
+    one (bucket) conditional-count agg; all integers end-to-end."""
+    d = load_tables(spark, sf_dir)["documents"]
+    cut = d.agg(
+        F.expr("CAST(max(doc_id) * 9 div 10 AS BIGINT)").alias("cutoff")
+    )
+    t = d.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias(
+            "bucket"
+        ),
+        F.size(F.split("text", " ")).cast("long").alias("tok"),
+        F.when(F.col("doc_id") <= F.col("cutoff"), 0)
+        .otherwise(1)
+        .alias("is_new"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.select(
+        "bucket",
+        "is_new",
+        (F.sum("tok").over(w) - F.col("tok")).alias("s"),
+    ).select("bucket", "is_new", F.expr("s div 512").alias("chunk_id"))
+    new_min = F.min(F.when(F.col("is_new") == 1, F.col("chunk_id")))
+    old_max = F.max(F.when(F.col("is_new") == 0, F.col("chunk_id")))
+    n_new = F.count(F.when(F.col("is_new") == 1, 1))
+    return c.groupBy("bucket").agg(
+        F.count(F.when(F.col("is_new") == 0, 1)).alias("n_old"),
+        n_new.alias("n_new"),
+        (F.max("chunk_id") + 1).alias("n_chunks"),
+        old_max.alias("last_old_chunk"),
+        new_min.alias("first_new_chunk"),
+        F.when(n_new == 0, 0)
+        .when(new_min <= old_max, 1)
+        .otherwise(0)
+        .alias("tail_chunk_rewritten"),
     )
 
 

@@ -451,3 +451,31 @@ def test_cusum_windows_run_on_minute_histogram(spark):
     # the window input is the minute aggregate: its sums range over y/a,
     # the per-minute totals — row_number over raw rows would show ts
     assert not any("ts_ns" in ln for ln in wins), p
+
+
+def test_pack_chunk_reader_one_scan_no_join(spark):
+    """pipeline_pack_chunk_reader claims bounded interval EXPANSION, not a
+    chunk×doc range join: one corpus scan, a Generate(explode(sequence))
+    fanout, windows keyed only by bucket, and no Join node anywhere."""
+    p = plan(QUERIES["pipeline_pack_chunk_reader"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 1, p
+    assert "Join" not in p, p
+    assert "SinglePartition" not in p, p
+    assert "Generate explode" in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wins and all("bucket" in ln for ln in wins), p
+
+
+def test_pack_append_audit_windows_bucket_only(spark):
+    """pipeline_pack_append_audit claims the standard sharded packing
+    shape: the one layout window partitions by bucket (never a global
+    sort), the cutoff is a broadcast 1-row attach, and the audit agg adds
+    no extra corpus scan beyond the column-pruned max(doc_id) pass."""
+    p = plan(QUERIES["pipeline_pack_append_audit"](spark, SF_SMALL))
+    # the only SinglePartition exchanges allowed are 1-row global-agg
+    # partials (the cutoff); no data-sized global sort may exist
+    assert "rangepartitioning" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wins and all("bucket" in ln for ln in wins), p
+    assert p.count("Scan parquet") == 2, p  # main + pruned max(doc_id)

@@ -153,3 +153,44 @@ def test_sequence_pack_256_shard_sink_prunes_directories(spark, tmp_path):
     t256 = back.agg(F.sum("n_docs"), F.sum("tok_started")).first()
     t16 = m16.agg(F.sum("n_docs"), F.sum("tok_started")).first()
     assert tuple(t256) == tuple(t16)
+
+def test_pack_chunk_reader_invariants(spark):
+    """pipeline_pack_chunk_reader's contract vs the manifest it reads for:
+    (a) every non-final chunk of a bucket fills to EXACTLY 512 tokens
+    (concat-then-split leaves no internal padding), (b) per-bucket filled
+    tokens equal the corpus token total (the expansion neither loses nor
+    double-counts), (c) docs-started per chunk (n_docs − n_carried)
+    matches the manifest row-for-row."""
+    from paraslice_spark.registry import QUERIES
+
+    reader = QUERIES["pipeline_pack_chunk_reader"](spark, SF_SMALL)
+    manifest = QUERIES["pipeline_sequence_pack"](spark, SF_SMALL)
+    r = reader.localCheckpoint(eager=False)
+
+    last = r.groupBy("bucket").agg(F.max("chunk_id").alias("last_chunk"))
+    nonfinal_bad = (
+        r.join(last, "bucket")
+        .where((F.col("chunk_id") < F.col("last_chunk")) & (F.col("tok_filled") != 512))
+        .count()
+    )
+    assert nonfinal_bad == 0
+
+    docs = load_tables(spark, SF_SMALL)["documents"]
+    total_tok = docs.select(
+        F.sum(F.size(F.split("text", " ")).cast("long"))
+    ).first()[0]
+    assert r.agg(F.sum("tok_filled")).first()[0] == total_tok
+
+    started = r.select(
+        "bucket", "chunk_id", (F.col("n_docs") - F.col("n_carried")).alias("n_started")
+    )
+    m = manifest.select("bucket", "chunk_id", F.col("n_docs").alias("n_manifest"))
+    mismatch = (
+        started.join(m, ["bucket", "chunk_id"], "full")
+        .where(
+            F.coalesce(F.col("n_started"), F.lit(0))
+            != F.coalesce(F.col("n_manifest"), F.lit(0))
+        )
+        .count()
+    )
+    assert mismatch == 0
