@@ -80,6 +80,14 @@ SPLIT_DIGIT_SQL = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
 SPLIT_VAL_DIGIT = "c"  # first non-train digit (heldout boundary)
 SPLIT_TEST_DIGIT = "e"  # first test digit
 HELDOUT_SQL = f"{SPLIT_DIGIT_SQL} >= '{SPLIT_VAL_DIGIT}'"
+#: Three-way split label as one SQL expression — every query that names a
+#: split ('train'/'val'/'test') must use this or :func:`split_label`, never
+#: an inline CASE (r8 review: pipeline_dataset_build restated the digits).
+SPLIT_LABEL_SQL = (
+    f"CASE WHEN {SPLIT_DIGIT_SQL} < '{SPLIT_VAL_DIGIT}' THEN 'train' "
+    f"WHEN {SPLIT_DIGIT_SQL} < '{SPLIT_TEST_DIGIT}' THEN 'val' "
+    f"ELSE 'test' END"
+)
 
 
 def split_digit(col: Column | str = "doc_id") -> Column:
@@ -91,6 +99,16 @@ def split_digit(col: Column | str = "doc_id") -> Column:
 def is_heldout(col: Column | str = "doc_id") -> Column:
     """Spark twin of :data:`HELDOUT_SQL` (val+test membership)."""
     return split_digit(col) >= SPLIT_VAL_DIGIT
+
+
+def split_label(col: Column | str = "doc_id") -> Column:
+    """Spark twin of :data:`SPLIT_LABEL_SQL` (train/val/test label)."""
+    h = split_digit(col)
+    return (
+        F.when(h < SPLIT_VAL_DIGIT, "train")
+        .when(h < SPLIT_TEST_DIGIT, "val")
+        .otherwise("test")
+    )
 
 
 def rev_cents() -> Column:

@@ -796,6 +796,27 @@ _CMS_P = 2147483647  # 2**31 - 1 (Mersenne), same modulus as MinHash
 _CMS_W = 256  # buckets per row; d=4 rows -> 1024 int64 counters total
 
 
+def cms_hash(col: str = "user_id"):
+    """int64 base hash for the CMS (first 8 md5 hex digits of the key) —
+    the single Spark-side definition every CMS consumer (this batch
+    audit, streaming.stream_countmin_counters, tests) must use; the
+    replay==batch cell-for-cell contract rests on it being shared, not
+    copied (r8 review)."""
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def cms_buckets(h):
+    """posexplode'd (j, bucket) generator for a base-hash column — the
+    d=4 md5-affine bucket rule paired with :func:`cms_hash`."""
+    return F.posexplode(
+        F.array(
+            *[((F.lit(a) * h + F.lit(b)) % _CMS_P) % _CMS_W for a, b in _CMS_AB]
+        )
+    )
+
+
 @query(
     "agg_countmin_topk_error",
     oracle=f"""
@@ -855,23 +876,11 @@ def agg_countmin_topk_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the next scale-up."""
     e = load_tables(spark, sf_dir)["events"]
     per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
-    h = per_user.withColumn(
-        "h",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        ),
-    )
+    h = per_user.withColumn("h", cms_hash())
     buckets = h.select(
         "user_id",
         "exact_n",
-        F.posexplode(
-            F.array(
-                *[
-                    ((F.lit(a) * F.col("h") + F.lit(b)) % _CMS_P) % _CMS_W
-                    for a, b in _CMS_AB
-                ]
-            )
-        ).alias("j", "bucket"),
+        cms_buckets(F.col("h")).alias("j", "bucket"),
     )
     counters = buckets.groupBy("j", "bucket").agg(F.sum("exact_n").alias("cnt"))
     est = (

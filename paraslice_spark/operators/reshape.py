@@ -13,13 +13,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from paraslice_spark.functions.canon import (
-    SPLIT_DIGIT_SQL,
-    SPLIT_TEST_DIGIT,
-    SPLIT_VAL_DIGIT,
+    SPLIT_LABEL_SQL,
     cents,
     micros_units,
     rev_cents,
-    split_digit,
+    split_label,
 )
 from paraslice_spark.registry import query
 from paraslice_spark.sources.io import load_tables
@@ -678,12 +676,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_split_train_val_test",
     oracle=f"""
     WITH lab AS (
-      SELECT lang, n_chars,
-             CASE WHEN {SPLIT_DIGIT_SQL} < '{SPLIT_VAL_DIGIT}'
-                  THEN 'train'
-                  WHEN {SPLIT_DIGIT_SQL} < '{SPLIT_TEST_DIGIT}'
-                  THEN 'val'
-                  ELSE 'test' END AS split
+      SELECT lang, n_chars, {SPLIT_LABEL_SQL} AS split
       FROM documents)
     SELECT split, lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
@@ -703,14 +696,8 @@ def sample_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Embarrassingly parallel: one codegen'd md5 + two compares per row,
     one small agg shuffle."""
     d = load_tables(spark, sf_dir)["documents"]
-    h = split_digit("doc_id")  # shared rule — canon.SPLIT_DIGIT_SQL twin
-    split = (
-        F.when(h < SPLIT_VAL_DIGIT, "train")
-        .when(h < SPLIT_TEST_DIGIT, "val")
-        .otherwise("test")
-    )
     return (
-        d.select(split.alias("split"), "lang", "n_chars")
+        d.select(split_label().alias("split"), "lang", "n_chars")
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -728,11 +715,7 @@ def sample_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH lab AS (
       SELECT len(string_split(text, ' ')) AS tok, n_chars,
-             CASE WHEN {SPLIT_DIGIT_SQL} < '{SPLIT_VAL_DIGIT}'
-                  THEN 'train'
-                  WHEN {SPLIT_DIGIT_SQL} < '{SPLIT_TEST_DIGIT}'
-                  THEN 'val'
-                  ELSE 'test' END AS split
+             {SPLIT_LABEL_SQL} AS split
       FROM documents),
     s AS (
       SELECT split, COUNT(*) AS n_docs,
@@ -753,18 +736,13 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample_split_train_val_test audits docs per (split, lang); this audits
     the TOKEN ledger the compute budget is written in.
 
-    Shares the canon split rule (canon.split_digit — the ADVICE r7 single
+    Shares the canon split rule (canon.split_label — the ADVICE r7 single
     source of truth), so this table can never disagree with the split
     assignment itself.  One zero-join pass: per-row whitespace token count
     (codegen array op) → 3-group hash agg → broadcast 1-row total for the
     share.  Exact int64 sums; two IEEE divisions each → ROUND(,6)."""
     d = load_tables(spark, sf_dir)["documents"]
-    h = split_digit("doc_id")
-    split = (
-        F.when(h < SPLIT_VAL_DIGIT, "train")
-        .when(h < SPLIT_TEST_DIGIT, "val")
-        .otherwise("test")
-    )
+    split = split_label()
     s = (
         d.select(
             split.alias("split"),

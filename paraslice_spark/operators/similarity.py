@@ -33,6 +33,19 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _l2_dist(a, b):
+    """Exact Euclidean distance — THE metric similarity_lsh_ann ranks by
+    and similarity_ann_recall's lsh truth side must rank by; shared so the
+    audit can never silently compare mixed metrics (r8 review)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
 #: (session, sf) → eagerly-checkpointed (vec_id, emb-as-double) base shared
 #: by the ANN queries that re-read it for quantizer fit + assignment +
 #: verify passes — replaces one naked per-invocation persist per consumer
@@ -151,13 +164,7 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
     )
     ne = base.select(F.col("vec_id").alias("neighbor_id"), "emb")
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("q_emb"), F.col("emb"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    dist = _l2_dist(F.col("q_emb"), F.col("emb"))
     w = Window.partitionBy("q_id").orderBy("dist", "neighbor_id")
     return (
         cand.join(F.broadcast(qe), "q_id")
@@ -494,13 +501,7 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qe = base.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
     )
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("q_emb"), F.col("emb"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    dist = _l2_dist(F.col("q_emb"), F.col("emb"))
     w = Window.partitionBy("q_id").orderBy("dist", "neighbor_id")
     truth_l2 = (
         base.select(F.col("vec_id").alias("neighbor_id"), "emb")

@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from paraslice_spark.functions.canon import HELDOUT_SQL, is_heldout, rnd
+from paraslice_spark.functions.canon import (
+    HELDOUT_SQL,
+    SPLIT_LABEL_SQL,
+    is_heldout,
+    rnd,
+    split_label,
+)
 from paraslice_spark.registry import query
 from paraslice_spark.sources.io import load_tables
 
@@ -24,6 +30,79 @@ _ARTICLES = ("the", "a")
 _CORE = ("scan", "join", "merge", "hash")
 _SCHEMA = ("query", "table", "row", "column")
 _STOPWORDS = ("the", "a", "of", "and")
+
+# ---- shared per-doc quality-metric definitions (single source of truth:
+# the declared per-doc tables text_quality / text_repetition_profile and
+# the pipeline_quality_filter funnel must gate on EXACTLY these
+# expressions — r8 review: the funnel copy-pasted them, so an edit to one
+# family silently desynchronized the other while each passed its own
+# oracle).  SQL fragments assume a CTE exposing `words` (and, for the
+# bigram metrics, `bigrams`). ----
+WORDS_SQL = "string_split(text, ' ')"
+BIGRAMS_SQL = (
+    "list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])"
+)
+AWL_SQL = (
+    "ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(words), 6)"
+)
+SR_SQL = (
+    f"ROUND(CAST(len(list_filter(words, w -> list_contains("
+    f"{list(_STOPWORDS)!r}, w))) AS DOUBLE) / len(words), 6)"
+)
+DUP_WORD_FRAC_SQL = (
+    "ROUND((len(words) - len(list_distinct(words)))"
+    " / CAST(NULLIF(len(words), 0) AS DOUBLE), 6)"
+)
+DUP_BIGRAM_FRAC_SQL = (
+    "ROUND((len(bigrams) - len(list_distinct(bigrams)))"
+    " / CAST(NULLIF(len(bigrams), 0) AS DOUBLE), 6)"
+)
+
+
+def doc_words():
+    """Spark twin of :data:`WORDS_SQL`."""
+    return F.split("text", " ")
+
+
+def doc_bigrams(words):
+    """Spark twin of :data:`BIGRAMS_SQL` (adjacent-pair join)."""
+    nw = F.size(words)
+    return F.zip_with(
+        F.slice(words, 1, F.greatest(nw - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(nw - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def avg_word_len(words):
+    """Spark twin of :data:`AWL_SQL`."""
+    return rnd(
+        F.length(F.regexp_replace("text", " ", "")).cast("double")
+        / F.size(words),
+        6,
+    )
+
+
+def stopword_ratio(words):
+    """Spark twin of :data:`SR_SQL`."""
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    return rnd(
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast(
+            "double"
+        )
+        / F.size(words),
+        6,
+    )
+
+
+def dup_frac(arr):
+    """Spark twin of the DUP_*_FRAC_SQL fragments for any array column."""
+    n = F.size(arr)
+    return rnd(
+        (n - F.size(F.array_distinct(arr))).cast("double")
+        / F.nullif(n, F.lit(0)),
+        6,
+    )
 
 
 @query(
@@ -162,36 +241,28 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality",
     oracle=rf"""
     WITH t AS (SELECT doc_id, text, n_chars,
-                      string_split(text, ' ') AS words FROM documents)
+                      {WORDS_SQL} AS words FROM documents)
     SELECT doc_id,
            CAST(len(words) AS BIGINT) AS n_words,
            CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
-           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(words), 6)
-             AS avg_word_len,
-           ROUND(CAST(len(list_filter(words,
-                     w -> list_contains({list(_STOPWORDS)!r}, w))) AS DOUBLE)
-                 / len(words), 6) AS stopword_ratio
+           {AWL_SQL} AS avg_word_len,
+           {SR_SQL} AS stopword_ratio
     FROM t
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: word/token counts (whitespace + BPE-ish regex),
-    average word length, stopword ratio — one division each, rounded(6)."""
+    average word length, stopword ratio — one division each, rounded(6).
+    Metric expressions are the shared module-level definitions the
+    pipeline_quality_filter funnel also gates on."""
     d = load_tables(spark, sf_dir)["documents"]
-    words = F.split("text", " ")
-    nw = F.size(words)
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    words = doc_words()
     return d.select(
         "doc_id",
-        nw.cast("long").alias("n_words"),
+        F.size(words).cast("long").alias("n_words"),
         F.regexp_count("text", F.lit(r"\w+|[^\w\s]")).cast("long").alias("n_tokens"),
-        rnd(
-            F.length(F.regexp_replace("text", " ", "")).cast("double") / nw, 6
-        ).alias("avg_word_len"),
-        rnd(
-            F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("double") / nw,
-            6,
-        ).alias("stopword_ratio"),
+        avg_word_len(words).alias("avg_word_len"),
+        stopword_ratio(words).alias("stopword_ratio"),
     )
 
 
@@ -555,7 +626,7 @@ def decontaminate_pairs(train_docs: DataFrame, bench_index: DataFrame) -> DataFr
 
 @query(
     "pipeline_dataset_build",
-    oracle="""
+    oracle=f"""
     WITH survivors AS (
       SELECT doc_id, text, lang, source FROM (
         SELECT doc_id, text, lang, source,
@@ -581,12 +652,7 @@ def decontaminate_pairs(train_docs: DataFrame, bench_index: DataFrame) -> DataFr
     clean AS (SELECT * FROM survivors
               WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
     lab AS (
-      SELECT lang,
-             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
-                  THEN 'train'
-                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
-                  THEN 'val'
-                  ELSE 'test' END AS split
+      SELECT lang, {SPLIT_LABEL_SQL} AS split
       FROM clean)
     SELECT split, lang, COUNT(*) AS n_docs
     FROM lab GROUP BY 1, 2 ORDER BY 1, 2
@@ -621,11 +687,9 @@ def pipeline_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("train_doc").alias("doc_id"))
         .distinct()
     )
-    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    split = F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
     return (
         survivors.join(F.broadcast(contaminated), "doc_id", "left_anti")
-        .select(split.alias("split"), "lang")
+        .select(split_label().alias("split"), "lang")
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .repartition(1)
@@ -831,22 +895,18 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_repetition_profile",
-    oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {WORDS_SQL} AS words
                FROM documents),
-    b AS (SELECT doc_id, words,
-                 list_transform(range(1, len(words)),
-                                i -> words[i] || ' ' || words[i + 1]) AS bigrams
+    b AS (SELECT doc_id, words, {BIGRAMS_SQL} AS bigrams
           FROM w)
     SELECT doc_id,
            len(words) AS n_words,
            len(list_distinct(words)) AS uniq_words,
            len(bigrams) AS n_bigrams,
            len(list_distinct(bigrams)) AS uniq_bigrams,
-           ROUND((len(words) - len(list_distinct(words)))
-                 / CAST(NULLIF(len(words), 0) AS DOUBLE), 6) AS dup_word_frac,
-           ROUND((len(bigrams) - len(list_distinct(bigrams)))
-                 / CAST(NULLIF(len(bigrams), 0) AS DOUBLE), 6) AS dup_bigram_frac
+           {DUP_WORD_FRAC_SQL} AS dup_word_frac,
+           {DUP_BIGRAM_FRAC_SQL} AS dup_bigram_frac
     FROM b
     """,
 )
@@ -867,46 +927,29 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-2-word docs (fixture canary asserts ≥3 words, but regeneration
     safety is free here)."""
     d = load_tables(spark, sf_dir)["documents"]
-    words = F.split("text", " ")
-    n_w = F.size(words)
-    u_w = F.size(F.array_distinct(words))
-    bigrams = F.zip_with(
-        F.slice(words, 1, F.greatest(n_w - 1, F.lit(0))),
-        F.slice(words, 2, F.greatest(n_w - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    n_b = F.size(bigrams)
-    u_b = F.size(F.array_distinct(bigrams))
-    frac = lambda n, u: rnd(  # noqa: E731
-        (n - u).cast("double") / F.nullif(n, F.lit(0)), 6
-    )
+    words = doc_words()
+    bigrams = doc_bigrams(words)
     return d.select(
         "doc_id",
-        n_w.cast("long").alias("n_words"),
-        u_w.cast("long").alias("uniq_words"),
-        n_b.cast("long").alias("n_bigrams"),
-        u_b.cast("long").alias("uniq_bigrams"),
-        frac(n_w, u_w).alias("dup_word_frac"),
-        frac(n_b, u_b).alias("dup_bigram_frac"),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("uniq_words"),
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("uniq_bigrams"),
+        dup_frac(words).alias("dup_word_frac"),
+        dup_frac(bigrams).alias("dup_bigram_frac"),
     )
 
 
 @query(
     "pipeline_quality_filter",
-    oracle=rf"""
-    WITH t AS (SELECT text, string_split(text, ' ') AS words FROM documents),
+    oracle=f"""
+    WITH t AS (SELECT text, {WORDS_SQL} AS words FROM documents),
+    b AS (SELECT text, words, {BIGRAMS_SQL} AS bigrams FROM t),
     m AS (SELECT len(words) AS nw,
-             ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                   / len(words), 6) AS awl,
-             ROUND(CAST(len(list_filter(words,
-                       w -> list_contains({list(_STOPWORDS)!r}, w))) AS DOUBLE)
-                   / len(words), 6) AS sr,
-             ROUND(CAST(len(words) - 1
-                        - len(list_distinct(list_transform(
-                              range(1, len(words)),
-                              i -> words[i] || ' ' || words[i+1]))) AS DOUBLE)
-                   / NULLIF(len(words) - 1, 0), 6) AS dbf
-          FROM t),
+             {AWL_SQL} AS awl,
+             {SR_SQL} AS sr,
+             {DUP_BIGRAM_FRAC_SQL} AS dbf
+          FROM b),
     d AS (SELECT CASE WHEN NOT (nw >= 20) THEN 0
                       WHEN NOT (awl >= 4.2 AND awl <= 5.0) THEN 1
                       WHEN NOT (sr >= 0.02) THEN 2
@@ -932,10 +975,11 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUALITY-FILTER FUNNEL — the composed pre-training gate (C4/Gopher
     style: length floor → word-shape band → stopword floor → repetition
     cap) with per-stage attrition accounting, the report a pipeline owner
-    reads to see WHERE documents die.  Stages reuse the declared metric
-    definitions verbatim (text_quality's avg-word-length/stopword ratio,
-    text_repetition_profile's dup-bigram fraction), so the funnel can
-    never disagree with the per-doc metric tables; thresholds are set
+    reads to see WHERE documents die.  Stages gate on the SHARED
+    module-level metric definitions (text_quality's avg-word-length/
+    stopword ratio, text_repetition_profile's dup-bigram fraction — same
+    helper objects, not copies), so the funnel structurally cannot
+    disagree with the per-doc metric tables; thresholds are set
     from this corpus's measured distribution (sf0.01: awl p5-p95 ≈
     4.17-4.84, sr median 0.061, dbf p90 0.065) so every stage does real
     work.
@@ -947,29 +991,11 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     that single row.  Ratios are rounded(6) BEFORE comparison in both
     engines, so threshold compares are bit-deterministic."""
     d = load_tables(spark, sf_dir)["documents"]
-    words = F.split("text", " ")
+    words = doc_words()
     nw = F.size(words)
-    awl = F.round(
-        F.length(F.regexp_replace("text", " ", "")).cast("double") / nw, 6
-    )
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    sr = F.round(
-        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast(
-            "double"
-        )
-        / nw,
-        6,
-    )
-    bigrams = F.zip_with(
-        F.slice(words, 1, F.greatest(nw - 1, F.lit(0))),
-        F.slice(words, 2, F.greatest(nw - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    dbf = F.round(
-        (F.size(bigrams) - F.size(F.array_distinct(bigrams))).cast("double")
-        / F.nullif(F.size(bigrams), F.lit(0)),
-        6,
-    )
+    awl = avg_word_len(words)
+    sr = stopword_ratio(words)
+    dbf = dup_frac(doc_bigrams(words))
     depth = (
         F.when(~(nw >= 20), 0)
         .when(~((awl >= 4.2) & (awl <= 5.0)), 1)
@@ -1216,32 +1242,25 @@ def pipeline_pack_append_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass): the old-prefix sums contain no new docs by the ordering
     argument above, so old chunk_ids read off the combined layout ARE the
     pre-append layout.  Scale shape: a column-pruned max(doc_id) scan →
-    1-row broadcast cutoff, then the standard per-bucket packing window +
-    one (bucket) conditional-count agg; all integers end-to-end."""
+    1-row broadcast cutoff, then the SHARED :func:`_pack_offsets` layout
+    stage (the audit can never disagree with the layout the manifest and
+    reader describe) + one (bucket) conditional-count agg; all integers
+    end-to-end."""
     d = load_tables(spark, sf_dir)["documents"]
     cut = d.agg(
         F.expr("CAST(max(doc_id) * 9 div 10 AS BIGINT)").alias("cutoff")
     )
-    t = d.crossJoin(F.broadcast(cut)).select(
-        "doc_id",
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias(
-            "bucket"
-        ),
-        F.size(F.split("text", " ")).cast("long").alias("tok"),
-        F.when(F.col("doc_id") <= F.col("cutoff"), 0)
-        .otherwise(1)
-        .alias("is_new"),
+    c = (
+        _pack_offsets(d)
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "bucket",
+            F.when(F.col("doc_id") <= F.col("cutoff"), 0)
+            .otherwise(1)
+            .alias("is_new"),
+            F.expr("start_off div 512").alias("chunk_id"),
+        )
     )
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = t.select(
-        "bucket",
-        "is_new",
-        (F.sum("tok").over(w) - F.col("tok")).alias("s"),
-    ).select("bucket", "is_new", F.expr("s div 512").alias("chunk_id"))
     new_min = F.min(F.when(F.col("is_new") == 1, F.col("chunk_id")))
     old_max = F.max(F.when(F.col("is_new") == 0, F.col("chunk_id")))
     n_new = F.count(F.when(F.col("is_new") == 1, 1))

@@ -856,23 +856,8 @@ def stream_countmin_counters(events: DataFrame) -> DataFrame:
     fixture must reproduce the batch counter table EXACTLY
     (tests/test_streaming.py asserts whole-fixture and split-replay
     equality, and that min-over-buckets estimates never underestimate)."""
-    from paraslice_spark.operators.aggregates import _CMS_AB, _CMS_P, _CMS_W
+    from paraslice_spark.operators.aggregates import cms_buckets, cms_hash
 
-    h = events.select(
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
-        )
-        .cast("long")
-        .alias("h")
-    )
-    buckets = h.select(
-        F.posexplode(
-            F.array(
-                *[
-                    ((F.lit(a) * F.col("h") + F.lit(b)) % _CMS_P) % _CMS_W
-                    for a, b in _CMS_AB
-                ]
-            )
-        ).alias("j", "bucket")
-    )
+    h = events.select(cms_hash().alias("h"))
+    buckets = h.select(cms_buckets(F.col("h")).alias("j", "bucket"))
     return buckets.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))

@@ -189,3 +189,33 @@ def test_sequence_pack_model_is_append_stable(toks, cut):
     prefix = assign(items[:cut])
     for doc_id, assignment in prefix.items():
         assert full[doc_id] == assignment
+
+
+@given(st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_split_label_agrees_with_duckdb(doc_id):
+    """canon.split_label (Python md5 twin) and canon.SPLIT_LABEL_SQL must
+    assign the same train/val/test label to any doc_id — the single
+    source of truth every split consumer (sample_split_train_val_test,
+    pipeline_token_budget, pipeline_dataset_build, text_bloom_prefilter
+    via HELDOUT) now shares."""
+    import hashlib
+
+    from paraslice_spark.functions.canon import (
+        SPLIT_LABEL_SQL,
+        SPLIT_TEST_DIGIT,
+        SPLIT_VAL_DIGIT,
+    )
+
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+    py = (
+        "train"
+        if h < SPLIT_VAL_DIGIT
+        else ("val" if h < SPLIT_TEST_DIGIT else "test")
+    )
+    with duckdb.connect() as con:
+        db = con.execute(
+            f"SELECT {SPLIT_LABEL_SQL} FROM (SELECT CAST(? AS BIGINT) AS doc_id)",
+            [doc_id],
+        ).fetchone()[0]
+    assert py == db, (doc_id, h, py, db)

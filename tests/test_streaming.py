@@ -816,30 +816,18 @@ def test_stream_user_traffic_split_replay(spark, tmp_path):
 
 
 def _batch_cms_counters(spark):
-    """Batch CMS counter table over the sf0.001 events fixture, built with
-    the same constants the stream shares."""
-    from paraslice_spark.operators.aggregates import _CMS_AB, _CMS_P, _CMS_W
+    """Batch CMS counter table over the sf0.001 events fixture, via the
+    SHARED cms_hash/cms_buckets helpers (the independent anchor for the
+    hash rule is agg_countmin_topk_error's DuckDB oracle, which rebuilds
+    the counters digit-for-digit in SQL — not a third hand-kept copy
+    here)."""
+    from paraslice_spark.operators.aggregates import cms_buckets, cms_hash
 
     ev = load_tables(spark, SF_SMALL)["events"]
-    h = ev.select(
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
-        )
-        .cast("long")
-        .alias("h")
-    )
+    h = ev.select(cms_hash().alias("h"))
     return {
         (r["j"], r["bucket"]): r["cnt"]
-        for r in h.select(
-            F.posexplode(
-                F.array(
-                    *[
-                        ((F.lit(a) * F.col("h") + F.lit(b)) % _CMS_P) % _CMS_W
-                        for a, b in _CMS_AB
-                    ]
-                )
-            ).alias("j", "bucket")
-        )
+        for r in h.select(cms_buckets(F.col("h")).alias("j", "bucket"))
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
