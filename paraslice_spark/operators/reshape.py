@@ -1619,6 +1619,118 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_ltv_cohorts",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS mi,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS rev_c
+      FROM orders),
+    cm AS (SELECT o_custkey, mi, CAST(SUM(rev_c) AS BIGINT) AS rev_c
+           FROM m GROUP BY 1, 2),
+    j AS (SELECT o_custkey, rev_c,
+                 MIN(mi) OVER (PARTITION BY o_custkey) AS m0,
+                 mi - MIN(mi) OVER (PARTITION BY o_custkey) AS k
+          FROM cm),
+    g AS (SELECT m0, k, COUNT(*) AS n_active,
+                 CAST(SUM(rev_c) AS BIGINT) AS rev_c
+          FROM j GROUP BY 1, 2),
+    w AS (SELECT m0, k, n_active, rev_c,
+                 CAST(SUM(rev_c) OVER (PARTITION BY m0 ORDER BY k)
+                      AS BIGINT) AS cum_c,
+                 MAX(CASE WHEN k = 0 THEN n_active END)
+                   OVER (PARTITION BY m0) AS cohort_size
+          FROM g)
+    SELECT CAST((m0 - 1) // 12 AS BIGINT) AS cohort_year,
+           CAST((m0 - 1) % 12 + 1 AS BIGINT) AS cohort_month,
+           k, CAST(n_active AS BIGINT) AS n_active,
+           CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+           ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention,
+           ROUND(CAST(cum_c AS DOUBLE) / (cohort_size * 100.0), 6)
+             AS cum_ltv_per_customer
+    FROM w ORDER BY cohort_year, cohort_month, k
+    """,
+)
+def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LTV TRIANGLE — customers grouped by first-order month, then
+    per (cohort, months-since-first-order): active customers, revenue,
+    retention, and CUMULATIVE LIFETIME VALUE per cohort member.  The table
+    every subscription/commerce dashboard opens with, and the one BI shape
+    the repo lacked next to events_retention (activity retention on
+    events) and customer_revenue_deciles (cross-sectional concentration):
+    LTV is LONGITUDINAL — it follows each acquisition cohort forward.
+
+    Exactness: calendar math stays INTEGER end-to-end (month index
+    mi = year·12 + month on the NTZ timestamp — the scalar_datetime_pack
+    precedent; cohort age k = mi − m0; year/month recovered by exact
+    div/mod), revenue is exact int64 cents, and each ratio is ONE IEEE
+    division of exact integers → ROUND(,6) engine-stable
+    (cohort_size·100 stays int64, so cum LTV divides once, not twice).
+
+    Scale shape: orders hash-reduce to (customer, month) — bounded by
+    |customers|·months, not |orders| — then m0 comes from a window
+    PARTITIONED by customer (one co-partitioned shuffle, no join back),
+    the cohort agg is cardinality-bounded (months² triangle ≈ thousands
+    of rows at any corpus size), and both report windows partition by
+    cohort over that tiny table.  n_active needs no DISTINCT: (customer,
+    month) is unique by construction after the first agg."""
+    o = load_tables(spark, sf_dir)["orders"]
+    m = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mi"),
+        cents("o_totalprice").alias("rev_c"),
+    )
+    cm = m.groupBy("o_custkey", "mi").agg(F.sum("rev_c").alias("rev_c"))
+    wc = Window.partitionBy("o_custkey")
+    j = cm.select(
+        "rev_c",
+        F.min("mi").over(wc).alias("m0"),
+        (F.col("mi") - F.min("mi").over(wc)).alias("k"),
+    )
+    g = j.groupBy("m0", "k").agg(
+        F.count(F.lit(1)).alias("n_active"), F.sum("rev_c").alias("rev_c")
+    )
+    wk = (
+        Window.partitionBy("m0")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("m0")
+    w = g.select(
+        "m0",
+        "k",
+        "n_active",
+        "rev_c",
+        F.sum("rev_c").over(wk).alias("cum_c"),
+        F.max(F.when(F.col("k") == 0, F.col("n_active")))
+        .over(wp)
+        .alias("cohort_size"),
+    )
+    return (
+        w.select(
+            F.expr("(m0 - 1) div 12").alias("cohort_year"),
+            ((F.col("m0") - 1) % 12 + 1).alias("cohort_month"),
+            "k",
+            "n_active",
+            (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+            F.round(
+                F.col("cum_c").cast("double")
+                / (F.col("cohort_size") * 100.0),
+                6,
+            ).alias("cum_ltv_per_customer"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("cohort_year", "cohort_month", "k")
+    )
+
+
+@query(
     "customer_revenue_deciles",
     oracle="""
     WITH s AS (SELECT o_custkey,

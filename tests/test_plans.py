@@ -479,3 +479,15 @@ def test_pack_append_audit_windows_bucket_only(spark):
     wins = [ln for ln in p.splitlines() if "Window [" in ln]
     assert wins and all("bucket" in ln for ln in wins), p
     assert p.count("Scan parquet") == 2, p  # main + pruned max(doc_id)
+
+
+def test_ltv_cohorts_windows_partitioned_and_one_scan(spark):
+    """customer_ltv_cohorts claims: orders scanned once, hash-reduced to
+    (customer, month) BEFORE any window, m0 via a customer-partitioned
+    window (no join back), report windows partitioned by cohort — no
+    unpartitioned Window or global sort anywhere in the data path."""
+    p = plan(QUERIES["customer_ltv_cohorts"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 1, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wins and all(("o_custkey" in ln) or ("m0" in ln) for ln in wins), p
+    assert "rangepartitioning" not in p, p
