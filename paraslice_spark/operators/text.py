@@ -58,6 +58,14 @@ DUP_BIGRAM_FRAC_SQL = (
     " / CAST(NULLIF(len(bigrams), 0) AS DOUBLE), 6)"
 )
 
+#: pipeline_quality_filter stage thresholds (single source for the Spark
+#: expression, the oracle, and the cross-query consistency test; set from
+#: the measured fixture distributions so every stage rejects)
+QF_MIN_WORDS = 20
+QF_AWL_LO, QF_AWL_HI = 4.2, 5.0
+QF_SR_MIN = 0.02
+QF_DBF_MAX = 0.09
+
 
 def doc_words():
     """Spark twin of :data:`WORDS_SQL`."""
@@ -950,10 +958,11 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              {SR_SQL} AS sr,
              {DUP_BIGRAM_FRAC_SQL} AS dbf
           FROM b),
-    d AS (SELECT CASE WHEN NOT (nw >= 20) THEN 0
-                      WHEN NOT (awl >= 4.2 AND awl <= 5.0) THEN 1
-                      WHEN NOT (sr >= 0.02) THEN 2
-                      WHEN NOT (dbf <= 0.09) THEN 3
+    d AS (SELECT CASE WHEN NOT (nw >= {QF_MIN_WORDS}) THEN 0
+                      WHEN NOT (awl >= {QF_AWL_LO} AND awl <= {QF_AWL_HI})
+                        THEN 1
+                      WHEN NOT (sr >= {QF_SR_MIN}) THEN 2
+                      WHEN NOT (dbf <= {QF_DBF_MAX}) THEN 3
                       ELSE 4 END AS depth
           FROM m),
     a AS (SELECT COUNT(*) AS n0,
@@ -997,10 +1006,10 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sr = stopword_ratio(words)
     dbf = dup_frac(doc_bigrams(words))
     depth = (
-        F.when(~(nw >= 20), 0)
-        .when(~((awl >= 4.2) & (awl <= 5.0)), 1)
-        .when(~(sr >= 0.02), 2)
-        .when(~(dbf <= 0.09), 3)
+        F.when(~(nw >= QF_MIN_WORDS), 0)
+        .when(~((awl >= QF_AWL_LO) & (awl <= QF_AWL_HI)), 1)
+        .when(~(sr >= QF_SR_MIN), 2)
+        .when(~(dbf <= QF_DBF_MAX), 3)
         .otherwise(4)
     )
     a = d.select(depth.alias("depth")).agg(

@@ -113,3 +113,45 @@ def test_bottom_k_rank_stability_under_growth(spark):
             by_lang.setdefault(r.lang, []).append(big_rank[key])
     for lang, ranks in by_lang.items():
         assert ranks == sorted(ranks), (lang, ranks)
+
+
+def test_quality_filter_agrees_with_metric_tables(spark):
+    """Cross-query consistency: the funnel's final survivor count must
+    equal 'docs passing every threshold' recomputed from the DECLARED
+    per-doc metric tables (text_quality + text_repetition_profile) using
+    the shared QF_* constants — the executable form of the funnel's
+    'cannot disagree with the metric tables' claim."""
+    from paraslice_spark.operators.text import (
+        QF_AWL_HI,
+        QF_AWL_LO,
+        QF_DBF_MAX,
+        QF_MIN_WORDS,
+        QF_SR_MIN,
+    )
+
+    q = QUERIES["text_quality"](spark, SF_SMALL)
+    r = QUERIES["text_repetition_profile"](spark, SF_SMALL).select(
+        "doc_id", "dup_bigram_frac"
+    )
+    survivors = (
+        q.join(r, "doc_id")
+        .where(
+            (F.col("n_words") >= QF_MIN_WORDS)
+            & (F.col("avg_word_len") >= QF_AWL_LO)
+            & (F.col("avg_word_len") <= QF_AWL_HI)
+            & (F.col("stopword_ratio") >= QF_SR_MIN)
+            & (F.col("dup_bigram_frac") <= QF_DBF_MAX)
+        )
+        .count()
+    )
+    funnel = {
+        row["stage"]: row
+        for row in QUERIES["pipeline_quality_filter"](spark, SF_SMALL).collect()
+    }
+    assert funnel["4_repetition"]["n_pass"] == survivors
+    # and the funnel is a real funnel: monotone n_in, every stage rejects
+    order = ["1_min_words", "2_word_len", "3_stopword", "4_repetition"]
+    for a, b in zip(order, order[1:]):
+        assert funnel[b]["n_in"] == funnel[a]["n_pass"]
+        assert funnel[a]["n_reject"] > 0
+    assert funnel["4_repetition"]["n_reject"] > 0
