@@ -395,6 +395,30 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hist_selection_frame(hist, part_col: str, value_col: str):
+    """Append the cumulative-count selection columns (`cum`, `n`) to a
+    per-(partition, value) COUNT HISTOGRAM (must carry `cnt`) — the
+    shared machinery of exact order-statistic selection WITHOUT sorting
+    raw rows (agg_percentile_histogram / events_anomaly_mad discipline;
+    extracted r8 review so the three consumers cannot drift).  Windows
+    run over the distinct-value list only."""
+    w = Window.partitionBy(part_col).orderBy(value_col)
+    wp = Window.partitionBy(part_col)
+    return hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wp)
+    )
+
+
+def hist_at_rank(value_col: str, rank_expr: str):
+    """Unaliased aggregate selecting the exact value at 1-based rank
+    ``rank_expr`` from a :func:`hist_selection_frame` output: the value
+    whose count span (cum-cnt, cum] covers the rank.  Exactly one row
+    per group matches, so SUM is selection, not arithmetic."""
+    rk = F.expr(rank_expr)
+    lo = F.col("cum") - F.col("cnt")
+    return F.sum(F.when((lo < rk) & (rk <= F.col("cum")), F.col(value_col)))
+
+
 @query(
     "agg_percentile_histogram",
     oracle="""
@@ -438,25 +462,12 @@ def agg_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "mv")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.partitionBy("event_type").orderBy("mv")
-    wp = Window.partitionBy("event_type")
-    r = hist.select(
-        "event_type",
-        "mv",
-        "cnt",
-        F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(wp).alias("n"),
-    )
-    lo = F.col("cum") - F.col("cnt")
+    r = hist_selection_frame(hist, "event_type", "mv")
 
     def at_rank(rank_expr: str, out: str):
-        # 1-based rank r is held by the value whose span (lo, cum] covers it
-        rk = F.expr(rank_expr)
-        return (
-            F.sum(F.when((lo < rk) & (rk <= F.col("cum")), F.col("mv")))
-            .cast("double")
-            / 1000000.0
-        ).alias(out)
+        return (hist_at_rank("mv", rank_expr).cast("double") / 1000000.0).alias(
+            out
+        )
 
     return (
         r.groupBy("event_type")
@@ -896,5 +907,88 @@ def agg_countmin_topk_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_n",
             "cms_n",
             (F.col("cms_n") - F.col("exact_n")).alias("overest"),
+        )
+    )
+
+
+@query(
+    "agg_cms_selfjoin_size",
+    oracle=f"""
+    WITH k AS (
+      SELECT l_partkey,
+             ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+               ::UBIGINT::BIGINT AS h,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1),
+    exact AS (SELECT CAST(SUM(n * n) AS BIGINT) AS exact_size FROM k),
+    ab AS (
+      SELECT j.j AS j,
+             ([{",".join(str(a) for a, _ in _CMS_AB)}])[j.j + 1] AS a,
+             ([{",".join(str(b) for _, b in _CMS_AB)}])[j.j + 1] AS b
+      FROM (SELECT unnest(range(4)) AS j) j),
+    counters AS (
+      SELECT ab.j, ((ab.a * k.h + ab.b) % {_CMS_P}) % {_CMS_W} AS bucket,
+             CAST(SUM(k.n) AS BIGINT) AS cnt
+      FROM k CROSS JOIN ab GROUP BY 1, 2),
+    est AS (
+      SELECT CAST(MIN(row_est) AS BIGINT) AS cms_est
+      FROM (SELECT j, SUM(cnt * cnt) AS row_est
+            FROM counters GROUP BY j))
+    SELECT exact_size, cms_est,
+           cms_est - exact_size AS overest,
+           (cms_est - exact_size) * 1000000 // exact_size AS rel_err_ppm
+    FROM exact CROSS JOIN est
+    """,
+)
+def agg_cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-CARDINALITY ESTIMATION from the Count-Min sketch — the
+    planner-side use of the same d=4 x w=256 counter table
+    agg_countmin_topk_error maintains: |R join_k R| = sum_k n_k^2 is
+    estimated as min_j sum_b cnt_j[b]^2 (the CM inner-product estimate,
+    Cormode & Muthukrishnan '05 §4.2 — every term nonnegative, so the
+    estimate NEVER underestimates and `overest >= 0` is structural,
+    which the exact twin verifies along with the integer ppm error).
+
+    This is the audit you run before a 100 TB self-join on a skewed key:
+    the exact side costs a full groupBy; the sketch side is a fixed
+    1 KB-state rollup you'd maintain incrementally (store-sketch/
+    merge-later), and the declared query measures exactly how much the
+    collision noise inflates the predicted join size at this key
+    cardinality.  All integer: counters are exact int64 sums over
+    md5-affine buckets (shared cms_hash/cms_buckets definitions), both
+    sides reconstruct cell-for-cell in DuckDB; cnt^2 sums stay < 2^63
+    to ~3e9 rows per sketch row (DuckDB HUGEINT is the overflow canary).
+
+    Scale shape: per-key counts = one map-combined shuffle; the sketch =
+    a 1024-cell rollup of that table; both estimates reduce to ONE row.
+    The n^2/cnt^2 squaring happens on the aggregated tables, never on
+    the fact table."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    k = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("h", cms_hash("l_partkey"))
+        .localCheckpoint(eager=False)  # feeds exact + counters (no shared subplan)
+    )
+    exact = k.agg(F.sum(F.col("n") * F.col("n")).alias("exact_size"))
+    counters = (
+        k.select(cms_buckets(F.col("h")).alias("j", "bucket"), "n")
+        .groupBy("j", "bucket")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    est = (
+        counters.groupBy("j")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("row_est"))
+        .agg(F.min("row_est").alias("cms_est"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "exact_size",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_size")).alias("overest"),
+            F.expr(
+                "(cms_est - exact_size) * 1000000 div exact_size"
+            ).alias("rel_err_ppm"),
         )
     )

@@ -2281,3 +2281,408 @@ def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 10)
         .select("lang", "rk", "doc_id", "n_chars")
     )
+
+
+@query(
+    "events_session_concurrency",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+               CASE WHEN epoch_ns(ts)
+                         - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY epoch_ns(ts), event_id)
+                         > 1800000000000
+                         OR lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY epoch_ns(ts), event_id)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+    s AS (
+        SELECT user_id, ts_ns,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts_ns, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM t),
+    b AS (
+        SELECT user_id, session_idx,
+               MIN(ts_ns) // 3600000000000 AS sh,
+               MAX(ts_ns) // 3600000000000 AS eh
+        FROM s GROUP BY 1, 2),
+    e AS (SELECT user_id, unnest(range(sh, eh + 1)) AS hr FROM b)
+    SELECT hr, COUNT(*) AS n_sessions,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM e GROUP BY hr
+    """,
+)
+def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCURRENT-SESSION LOAD PROFILE — for each clock hour, how many
+    gap-based sessions (events_sessionize's exact 30-min rule) were IN
+    PROGRESS during that hour, and by how many distinct users: the
+    capacity-planning view (peak concurrency) that DAU
+    (events_active_users) deliberately blurs.  Interval-overlap
+    semantics: a session [start, end] counts toward every hour bucket
+    its span touches.
+
+    Scale shape: sessionization is the one user-keyed shuffle (two
+    stacked windows sharing a single partition/order — same plan as
+    events_sessionize); session bounds collapse events to one row per
+    session BEFORE the interval explode, whose fanout is
+    session-duration hours (gap-bounded sessions are short; a
+    pathological year-long session costs 8 760 rows, not a join).  The
+    hour rollup is a map-combined agg on integer epoch-hours — emitted
+    AS integers (tz-independent, the r3 NTZ lesson; a consumer formats
+    them).  No calendar spine needed: hours with no sessions simply
+    don't appear (the gap-fill twin is events_hourly_gapfill)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    new_sess = (gap > 1_800_000_000_000) | F.lag("ts_ns").over(w).isNull()
+    sess = (
+        ev.withColumn("new_sess", new_sess.cast("int"))
+        .withColumn(
+            "session_idx",
+            F.sum("new_sess")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.expr("min(ts_ns) div 3600000000000").alias("sh"),
+            F.expr("max(ts_ns) div 3600000000000").alias("eh"),
+        )
+    )
+    hours = sess.select(
+        "user_id",
+        F.explode(F.sequence(F.col("sh"), F.col("eh"))).alias("hr"),
+    )
+    return hours.groupBy("hr").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "customer_gini_by_nation",
+    oracle="""
+    WITH s AS (SELECT o_custkey,
+                      SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS spend_c
+               FROM orders GROUP BY 1),
+    r AS (SELECT n.n_name, s.spend_c,
+                 row_number() OVER (PARTITION BY n.n_name
+                                    ORDER BY s.spend_c, s.o_custkey) AS i
+          FROM s
+          JOIN customer c ON c.c_custkey = s.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    g AS (SELECT n_name,
+                 CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 CAST(SUM(spend_c) AS BIGINT) AS s1,
+                 CAST(SUM(i * spend_c) AS BIGINT) AS s2
+          FROM r GROUP BY 1)
+    SELECT n_name, n_customers,
+           CAST(s1 AS DOUBLE) / 100.0 AS revenue,
+           ROUND(CAST(2 * s2 - (n_customers + 1) * s1 AS DOUBLE)
+                 / (n_customers * s1), 6) AS gini
+    FROM g
+    """,
+)
+def customer_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE INEQUALITY per nation — the Gini coefficient of customer
+    spend, the one-number concentration summary next to the Lorenz
+    deciles (customer_revenue_deciles) and ABC classes
+    (part_abc_analysis).  Population = customers WITH orders (an inner
+    join on the order rollup; zero-spend customers would need a left
+    join and shift every Gini toward 1 — documented choice).
+
+    EXACT-INTEGER FORMULA: with per-nation ranks i (ascending spend,
+    custkey tie-break), G = (2*sum(i*x_i) - (n+1)*sum(x_i)) /
+    (n*sum(x_i)) — numerator and denominator are exact int64 cents
+    sums, ONE IEEE division at the end, ROUND(,6) engine-stable.
+    i*x_i stays < 2^63 to ~4e8 customers per nation at 1e7-cent spends
+    (DuckDB HUGEINT is the overflow canary; beyond that, rescale cents
+    to dollars first).
+
+    Scale shape: the fact table collapses to |customers| rows FIRST
+    (one map-combined shuffle), then one shuffle join to customer for
+    the nation key (at 100 TB both sides are custkey-hashed — AQE picks
+    SMJ), a broadcast of the 25-row nation dim, and the rank window is
+    PARTITIONED BY nation — ~n/25 rows per task, never a global sort
+    (the deciles lesson).  25 output rows."""
+    t = load_tables(spark, sf_dir)
+    s = t["orders"].groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("spend_c")
+    )
+    r = (
+        s.join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            s["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "spend_c", "o_custkey")
+    )
+    w = Window.partitionBy("n_name").orderBy("spend_c", "o_custkey")
+    g = (
+        r.withColumn("i", F.row_number().over(w))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("spend_c").alias("s1"),
+            F.sum(F.col("i") * F.col("spend_c")).alias("s2"),
+        )
+    )
+    return g.select(
+        "n_name",
+        "n_customers",
+        (F.col("s1").cast("double") / 100.0).alias("revenue"),
+        F.round(
+            (2 * F.col("s2") - (F.col("n_customers") + 1) * F.col("s1"))
+            .cast("double")
+            / (F.col("n_customers") * F.col("s1")),
+            6,
+        ).alias("gini"),
+    )
+
+
+def _funnel_latency_oracle() -> str:
+    """Composed from the REGISTERED events_funnel_users oracle (the
+    dedup_method_agreement precedent: the stage rule cannot
+    desynchronize because it is not restated).  Single reference, so no
+    MATERIALIZED needed."""
+    from paraslice_spark.registry import ORACLES
+
+    return f"""
+    WITH fu AS ({ORACLES["events_funnel_users"]}),
+    lat AS (
+      SELECT 'view_to_click' AS step,
+             (t_click - t_view) // 1000000000 AS lat_s
+      FROM fu WHERE t_click IS NOT NULL
+      UNION ALL
+      SELECT 'click_to_purchase',
+             (t_purchase - t_click) // 1000000000
+      FROM fu WHERE t_purchase IS NOT NULL),
+    r AS (
+      SELECT step, lat_s,
+             row_number() OVER (PARTITION BY step ORDER BY lat_s) AS rk,
+             COUNT(*) OVER (PARTITION BY step) AS n
+      FROM lat)
+    SELECT step, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN rk = (n + 1) // 2 THEN lat_s END) AS BIGINT)
+             AS p50_s,
+           CAST(SUM(CASE WHEN rk = (9 * n + 9) // 10 THEN lat_s END)
+                AS BIGINT) AS p90_s,
+           ROUND(CAST(CAST(SUM(lat_s) AS BIGINT) AS DOUBLE) / MAX(n), 6)
+             AS mean_s
+    FROM r GROUP BY step ORDER BY step
+    """
+
+
+@query("events_funnel_latency", oracle=_funnel_latency_oracle())
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT per funnel transition — exact nearest-rank p50/p90
+    and mean of the latency between a user's qualifying stage times
+    (strictly-ordered first view → first click → first purchase), the
+    "how long does the funnel take" companion to events_funnel's "how
+    many make it".
+
+    Builds DIRECTLY on the declared events_funnel_users table (Spark
+    side calls the registered query; the oracle wraps the registered
+    oracle — neither restates the stage rule).  Latencies quantize to
+    whole SECONDS (integer ns div 1e9 — the declared granularity), and
+    the order statistics are selected by CUMULATIVE COUNT over the
+    per-(step, second) histogram — the anomaly-MAD/percentile-histogram
+    discipline: no per-row sort; the selection windows run over the
+    time-span-bounded distinct-seconds table.  Mean is one exact int64
+    sum and one IEEE division, ROUND(,6).
+
+    Scale shape: the funnel table is user-keyed aggs + joins (its own
+    docstring), the latency stack is a map, the histogram is one
+    map-combined shuffle on (step, second); the two selection windows
+    partition by step over distinct seconds only.  2 output rows."""
+    from paraslice_spark.registry import QUERIES
+
+    fu = QUERIES["events_funnel_users"](spark, sf_dir)
+    lat = fu.selectExpr(
+        """stack(2,
+                 'view_to_click',
+                 CASE WHEN t_click IS NOT NULL
+                      THEN (t_click - t_view) div 1000000000 END,
+                 'click_to_purchase',
+                 CASE WHEN t_purchase IS NOT NULL
+                      THEN (t_purchase - t_click) div 1000000000 END)
+           AS (step, lat_s)"""
+    ).where(F.col("lat_s").isNotNull())
+    from paraslice_spark.operators.aggregates import (
+        hist_at_rank,
+        hist_selection_frame,
+    )
+
+    hist = lat.groupBy("step", "lat_s").agg(F.count(F.lit(1)).alias("cnt"))
+    r = hist_selection_frame(hist, "step", "lat_s").withColumn(
+        "wsum", F.col("lat_s") * F.col("cnt")
+    )
+    return (
+        r.groupBy("step")
+        .agg(
+            F.max("n").alias("n"),
+            hist_at_rank("lat_s", "(n + 1) div 2").alias("p50_s"),
+            hist_at_rank("lat_s", "(9 * n + 9) div 10").alias("p90_s"),
+            F.round(
+                F.sum("wsum").cast("double") / F.max("n"), 6
+            ).alias("mean_s"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("step")
+    )
+
+
+@query(
+    "supplier_hhi_by_type",
+    oracle="""
+    WITH q AS (
+      SELECT p.p_type, l.l_suppkey,
+             SUM(CAST(round(l.l_quantity*100) AS BIGINT)) AS q_c
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    t AS (
+      SELECT p_type,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(q_c) AS BIGINT) AS tot_c,
+             CAST(SUM(q_c * q_c) AS BIGINT) AS sq_c,
+             CAST(MAX(q_c) AS BIGINT) AS max_c
+      FROM q GROUP BY 1)
+    SELECT p_type, n_suppliers,
+           CAST(tot_c AS DOUBLE) / 100.0 AS total_qty,
+           ROUND(CAST(sq_c AS DOUBLE) / (CAST(tot_c AS DOUBLE) * tot_c), 6)
+             AS hhi,
+           ROUND(CAST(max_c AS DOUBLE) / tot_c, 6) AS top_share
+    FROM t
+    """,
+)
+def supplier_hhi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPPLY-CONCENTRATION audit — the Herfindahl-Hirschman index of
+    supplier quantity shares per part type, plus the top supplier's
+    share: the sourcing-risk table (HHI > 0.25 = concentrated market)
+    next to part_abc_analysis (value concentration) and
+    customer_gini_by_nation (demand inequality).
+
+    EXACT-INTEGER HHI: with per-(type, supplier) quantity cents q_i,
+    HHI = sum(q_i^2) / (sum q_i)^2 — numerator and denominator exact
+    int64 (denominator formed as double*double of ONE exact int to dodge
+    the int64 square overflow earlier: tot^2 up to 1e14 is
+    double-exact under 2^53 at these SFs; DuckDB mirrors the same
+    double product, and its HUGEINT sq_c sum is the overflow canary for
+    the numerator).  Two IEEE divisions total, ROUND(,6).
+
+    Scale shape: ONE fact pass — lineitem joins only the broadcast part
+    dim for p_type, hash-aggregates (type, supplier) with map-side
+    combine, then collapses to |types| rows; the squaring runs on the
+    aggregated table (the cms_selfjoin rule: never square fact rows).
+    150 output rows."""
+    t = load_tables(spark, sf_dir)
+    q = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(cents("l_quantity")).alias("q_c"))
+    )
+    agg = q.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("q_c").alias("tot_c"),
+        F.sum(F.col("q_c") * F.col("q_c")).alias("sq_c"),
+        F.max("q_c").alias("max_c"),
+    )
+    tot_d = F.col("tot_c").cast("double")
+    return agg.select(
+        "p_type",
+        "n_suppliers",
+        (tot_d / 100.0).alias("total_qty"),
+        F.round(F.col("sq_c").cast("double") / (tot_d * F.col("tot_c")), 6).alias(
+            "hhi"
+        ),
+        F.round(F.col("max_c").cast("double") / F.col("tot_c"), 6).alias(
+            "top_share"
+        ),
+    )
+
+
+@query(
+    "orders_ship_latency",
+    oracle="""
+    WITH d AS (
+      SELECT o.o_orderpriority,
+             CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+               AS delay_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    r AS (
+      SELECT o_orderpriority, delay_days,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY delay_days) AS rk,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM d)
+    SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN rk = (n + 1) // 2 THEN delay_days END)
+                AS BIGINT) AS p50_days,
+           CAST(SUM(CASE WHEN rk = (9 * n + 9) // 10 THEN delay_days END)
+                AS BIGINT) AS p90_days,
+           ROUND(CAST(CAST(SUM(delay_days) AS BIGINT) AS DOUBLE) / MAX(n), 6)
+             AS mean_days
+    FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULFILLMENT LATENCY distribution — exact nearest-rank p50/p90 and
+    mean of order-to-ship days per order priority: the operational-SLA
+    view behind TPC-H q4's binary "late" flag.
+
+    Day deltas are exact integers on both engines (NTZ timestamp → DATE
+    cast is tz-independent — the r3 lesson — and DATE subtraction /
+    datediff both count whole days).  Selection runs on the per-
+    (priority, delay) COUNT HISTOGRAM via the shared
+    hist_selection_frame/hist_at_rank machinery (5-value partition key
+    ⇒ never sort raw lines — the anomaly-MAD discipline); the delay
+    domain is contract-bounded (~0-122 days), so the selection windows
+    see ≤ |priorities|×|domain| rows.  Mean is one exact int64 sum and
+    one IEEE division, ROUND(,6).
+
+    Scale shape: one lineitem-orders equi-join on the natural key (at
+    100 TB both sides are orderkey-partitioned — co-located SMJ), then
+    a map-combined histogram agg; 5 output rows."""
+    from paraslice_spark.operators.aggregates import (
+        hist_at_rank,
+        hist_selection_frame,
+    )
+
+    t = load_tables(spark, sf_dir)
+    d = t["lineitem"].select("l_orderkey", "l_shipdate").join(
+        t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("delay_days"),
+    )
+    hist = d.groupBy("o_orderpriority", "delay_days").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    r = hist_selection_frame(hist, "o_orderpriority", "delay_days").withColumn(
+        "wsum", F.col("delay_days") * F.col("cnt")
+    )
+    return (
+        r.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_lines"),
+            hist_at_rank("delay_days", "(n + 1) div 2").alias("p50_days"),
+            hist_at_rank("delay_days", "(9 * n + 9) div 10").alias("p90_days"),
+            F.round(F.sum("wsum").cast("double") / F.max("n"), 6).alias(
+                "mean_days"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_orderpriority")
+    )

@@ -2778,3 +2778,189 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("community_size")
     )
+
+
+#: embedding_cosine_histogram sample rule + geometry (shared with tests)
+_COSHIST_MOD = 10  # keep vec_id % 10 == 0 (deterministic ~10% sample)
+_COSHIST_BINS = 10  # bin width 0.1 over [-1, 1] -> bins 0..20
+
+
+@query(
+    "embedding_cosine_histogram",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS vm
+      FROM embeddings WHERE vec_id % {_COSHIST_MOD} = 0),
+    n AS (SELECT vec_id,
+                 CAST(list_dot_product(vm, vm) AS BIGINT) AS s
+          FROM base),
+    p AS (
+      SELECT ROUND(CAST(CAST(list_dot_product(a.vm, b.vm) AS BIGINT)
+                        AS DOUBLE)
+                   / (sqrt(CAST(na.s AS DOUBLE)) * sqrt(CAST(nb.s AS DOUBLE))),
+                   6) AS cos
+      FROM base a JOIN base b ON a.vec_id < b.vec_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nb ON nb.vec_id = b.vec_id)
+    SELECT CAST(FLOOR((cos + 1.0) * {_COSHIST_BINS}) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MIN(cos) AS min_cos, MAX(cos) AS max_cos
+    FROM p GROUP BY 1
+    """,
+)
+def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRWISE-COSINE DISTRIBUTION of the embedding corpus (deterministic
+    ~10% modulus sample) — the calibration table you read BEFORE choosing
+    any similarity threshold.  The documented r6 lesson made a declared
+    artifact: dedup_embedding_cosine@0.9 is vacuous on this corpus
+    because the max pairwise cosine is ~0.51 — this histogram is where
+    that number comes from, per 0.1-wide bin with exact pair counts and
+    the bin's min/max.
+
+    Determinism: int64 MICRO-UNIT dots (64-dim micro products stay under
+    2^53, so even a double accumulator sums exact integers — the
+    signlsh/pagerank precedent), one IEEE division per pair, ROUND(,6);
+    binning FLOORs the already-identical rounded double, so bins can
+    never straddle engines.
+
+    Scale shape: the sample (n/10 rows) localCheckpoints once; the pair
+    generator is a broadcast self-join (sample² pairs — the POINT is a
+    sketch of the distribution, so the sample rate is the knob: at 100 TB
+    you'd drop _COSHIST_MOD to ~1e-4 of the corpus and still get 1e7
+    pairs, far tighter than any histogram needs).  All arithmetic is
+    codegen array work; output is <= 21 rows."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    vm = F.transform(
+        _as_double(F.col("embedding")),
+        lambda x: F.round(x * 1000000).cast("long"),
+    )
+    base = (
+        e.where(F.col("vec_id") % _COSHIST_MOD == 0)
+        .select("vec_id", vm.alias("vm"))
+        .withColumn(
+            "s",
+            F.aggregate(
+                F.zip_with("vm", "vm", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .localCheckpoint(eager=False)  # feeds both self-join sides
+    )
+    a = base.select(
+        F.col("vec_id").alias("ida"), F.col("vm").alias("va"),
+        F.col("s").alias("sa"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("idb"), F.col("vm").alias("vb"),
+        F.col("s").alias("sb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = rnd(
+        dot.cast("double")
+        / (F.sqrt(F.col("sa").cast("double")) * F.sqrt(F.col("sb").cast("double"))),
+        6,
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("ida") < F.col("idb"))
+        .select(cos.alias("cos"))
+    )
+    return pairs.groupBy(
+        F.floor((F.col("cos") + 1.0) * _COSHIST_BINS).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("cos").alias("min_cos"),
+        F.max("cos").alias("max_cos"),
+    )
+
+
+@query(
+    "embedding_int8_quant_audit",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS vm
+      FROM embeddings),
+    m AS (SELECT vec_id, vm,
+                 CAST(list_max(list_transform(vm, x -> abs(x))) AS BIGINT)
+                   AS maxabs
+          FROM base),
+    el AS (
+      SELECT vec_id, maxabs, i.i AS i, vm[i.i + 1] AS v,
+             CAST(round(CAST(127 * vm[i.i + 1] AS DOUBLE) / maxabs)
+                  AS BIGINT) AS q
+      FROM m CROSS JOIN (SELECT unnest(range(64)) AS i) i
+      WHERE maxabs > 0)
+    SELECT vec_id,
+           CAST(maxabs AS DOUBLE) / 1000000.0 AS maxabs,
+           COUNT(CASE WHEN q != 0 THEN 1 END) AS nnz_q,
+           CAST(SUM(abs(q)) AS BIGINT) AS l1_q,
+           CAST(SUM((i + 1) * q) AS BIGINT) AS checksum,
+           CAST(SUM(abs(127 * v - q * maxabs)) AS BIGINT) AS err_sum,
+           ROUND(CAST(CAST(SUM(abs(127 * v - q * maxabs)) AS BIGINT)
+                      AS DOUBLE) / 8128000000.0, 9) AS mean_abs_err
+    FROM el GROUP BY vec_id, maxabs
+    """,
+)
+def embedding_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 SCALAR QUANTIZATION with an exact distortion audit — the
+    4x-compression step an embedding store applies before ANN serving,
+    in the r7/r8 house contract (sketch next to its exact error):
+    per vector, symmetric absmax scaling q_i = round(127·x_i/absmax),
+    plus the EXACT integer residual sum(|127·x_i − q_i·absmax|) (in
+    127·micro units — every term exact int64, order-free) and its
+    per-dim mean in original units (ONE division by the constant
+    127·10⁶·64).  nnz/l1/position-weighted checksum pin the quantized
+    vector itself (the text_hashed_features contract).
+
+    Determinism: inputs quantize to int64 micros first; 127·v is exact;
+    the single rounding of an identical IEEE quotient is half-away on
+    both engines; everything after is integer.
+
+    Scale shape: pure per-row array codegen (explode-free on the Spark
+    side — transform/aggregate over the 64-wide array), one scan, no
+    shuffle, no model state; at 100 TB this is a map stage fused into
+    whatever writes the serving shards."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    vm = F.transform(
+        _as_double(F.col("embedding")),
+        lambda x: F.round(x * 1000000).cast("long"),
+    )
+    base = e.select("vec_id", vm.alias("vm")).withColumn(
+        "maxabs_mic", F.array_max(F.transform("vm", F.abs))
+    ).where(F.col("maxabs_mic") > 0)
+    q = F.transform(
+        "vm",
+        lambda x: F.round((127 * x).cast("double") / F.col("maxabs_mic")).cast(
+            "long"
+        ),
+    )
+    qd = base.withColumn("q", q)
+    isum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    err_sum = isum(
+        F.zip_with(
+            "vm", "q", lambda v, qq: F.abs(127 * v - qq * F.col("maxabs_mic"))
+        )
+    )
+    return qd.select(
+        "vec_id",
+        (F.col("maxabs_mic").cast("double") / 1000000.0).alias("maxabs"),
+        F.size(F.filter("q", lambda x: x != 0)).cast("long").alias("nnz_q"),
+        isum(F.transform("q", F.abs)).alias("l1_q"),
+        isum(
+            F.zip_with(
+                F.sequence(F.lit(1), F.size("q")), "q", lambda i, x: i * x
+            )
+        ).alias("checksum"),
+        err_sum.alias("err_sum"),
+        rnd(err_sum.cast("double") / 8128000000.0, 9).alias("mean_abs_err"),
+    )

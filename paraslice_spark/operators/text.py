@@ -1475,3 +1475,256 @@ def bpe_train_merges(
     return merges, vocab.select(
         "word", F.array_join("toks", " ").alias("toks"), "n"
     )
+
+
+# ---- RAG / feature-extraction additions (r8 continuation) ----
+
+#: pipeline_doc_chunks geometry — window of CHUNK_W words advancing by
+#: CHUNK_S (CHUNK_W - CHUNK_S words of overlap); single source for the
+#: Spark query, the oracle, and the coverage property test.
+CHUNK_W = 64
+CHUNK_S = 48
+
+
+@query(
+    "pipeline_doc_chunks",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {WORDS_SQL} AS words FROM documents),
+    s AS (SELECT doc_id, words, len(words) AS n,
+                 unnest(range(1, len(words) + 1, {CHUNK_S})) AS start_word
+          FROM w)
+    SELECT doc_id,
+           CAST((start_word - 1) // {CHUNK_S} + 1 AS BIGINT) AS chunk_id,
+           CAST(start_word AS BIGINT) AS start_word,
+           CAST(least({CHUNK_W}, n - start_word + 1) AS BIGINT)
+             AS n_chunk_words,
+           md5(array_to_string(
+                 list_slice(words, start_word, start_word + {CHUNK_W} - 1),
+                 ' ')) AS chunk_md5
+    FROM s
+    """,
+)
+def pipeline_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style DOCUMENT CHUNKING — fixed word windows (W=64) with
+    overlap (stride S=48, 16 words shared between neighbors), the
+    retrieval-corpus preparation step between cleaning and embedding.
+
+    Chunk text is emitted as its md5 (the driver's canonicalizer hashes
+    scalar cells, and a 64-word string column would dominate the
+    shuffle; the digest proves the exact reassembled bytes match).
+    Deterministic by construction: starts are the integer sequence
+    1, 1+S, 1+2S, ... <= n_words; both engines' slice clamps at the tail,
+    so the last chunk is partial with n_chunk_words = n - start + 1.
+
+    Scale shape: a pure MAP-SIDE explode — split, sequence(), slice,
+    md5 all inside one whole-stage-codegen projection; NO shuffle at
+    any corpus size (plan-asserted: no Exchange).  Fanout is bounded by
+    n_words/S + 1 per doc, so output rows ~ corpus_tokens/S — the same
+    order as the token count a downstream embedder pays anyway."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = doc_words()
+    n = F.size("words")
+    return (
+        d.select("doc_id", words.alias("words"))
+        .select(
+            "doc_id",
+            "words",
+            n.alias("n"),
+            F.explode(F.sequence(F.lit(1), n, F.lit(CHUNK_S))).alias(
+                "start_word"
+            ),
+        )
+        .select(
+            "doc_id",
+            (((F.col("start_word") - 1) / CHUNK_S).cast("long") + 1).alias(
+                "chunk_id"
+            ),
+            F.col("start_word").cast("long"),
+            F.least(F.lit(CHUNK_W), F.col("n") - F.col("start_word") + 1)
+            .cast("long")
+            .alias("n_chunk_words"),
+            F.md5(
+                F.array_join(
+                    F.slice("words", F.col("start_word"), F.lit(CHUNK_W)), " "
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+#: text_hashed_features dimensionality (hashing-trick buckets)
+HASH_FEAT_B = 1024
+
+
+@query(
+    "text_hashed_features",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, unnest({WORDS_SQL}) AS term
+                   FROM documents),
+    tf AS (SELECT doc_id,
+                  ('0x' || substring(md5(term), 1, 8))::UBIGINT::BIGINT
+                    % {HASH_FEAT_B} AS bucket,
+                  COUNT(*) AS tf
+           FROM words GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS nnz,
+           CAST(SUM(tf) AS BIGINT) AS l1,
+           CAST(SUM(tf * tf) AS BIGINT) AS sq_norm,
+           CAST(SUM((bucket + 1) * tf) AS BIGINT) AS checksum
+    FROM tf GROUP BY doc_id
+    """,
+)
+def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASHING-TRICK feature vectors (Weinberger et al. '09) — the
+    fixed-dimension bag-of-words featurization that needs NO vocabulary
+    pass: term -> bucket = md5_u32(term) mod B (B=1024), so the feature
+    space is known before the first row is read and two corpora hash
+    into comparable vectors with zero coordination — the property that
+    matters when featurizing shards independently at 100 TB.
+
+    The declared output is the exactly-verifiable per-doc contract
+    (nnz coordinates, l1 = token count, integer squared norm, and the
+    position-weighted checksum sum((bucket+1)*tf) that pins every
+    coordinate's value AND position); the vector itself is just the
+    (doc_id, bucket, tf) intermediate.  All integers end to end.
+
+    Scale shape: one shuffle on (doc_id, bucket) with map-side partial
+    aggregation, then a doc-keyed rollup; no vocabulary table, no
+    broadcast, state bounded by B per doc."""
+    d = load_tables(spark, sf_dir)["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+        % HASH_FEAT_B
+    )
+    tf = (
+        d.select("doc_id", F.explode(doc_words()).alias("term"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.sum("tf").alias("l1"),
+        F.sum(F.col("tf") * F.col("tf")).alias("sq_norm"),
+        F.sum((F.col("bucket") + 1) * F.col("tf")).alias("checksum"),
+    )
+
+
+@query(
+    "text_doc_keywords",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, unnest({WORDS_SQL}) AS term
+                   FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.tf DESC, df.df, tf.term)
+                   AS rank
+          FROM tf JOIN df USING (term))
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           ROUND(tf * ln((n.n + 1.0) / (df + 1.0)), 6) AS tfidf
+    FROM r CROSS JOIN n WHERE rank <= 3
+    """,
+)
+def text_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOCUMENT KEYWORD EXTRACTION — top-3 terms per doc, the
+    labeling/routing step (cluster naming, dedup explanation, index
+    metadata) downstream of text_tfidf.
+
+    The RANK is decided by INTEGERS ONLY — (tf desc, df asc, term asc);
+    a float-ordered top-k would hinge ties on last-bit ln() agreement
+    (the canon.py rule: floats may be DISPLAYED, never COMPARED).  The
+    tfidf score is display-only, rounded once.
+
+    Scale shape: tf shuffles by (doc, term), df by term and BROADCASTS
+    back (vocabulary-bounded), and the top-3 window is PARTITIONED BY
+    doc — Spark plans it as WindowGroupLimit, pruning to 3 rows per doc
+    before the window sort's shuffle."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = d.select("doc_id", F.explode(doc_words()).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), "df", "term"
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("rank").cast("long"),
+            "term",
+            "tf",
+            "df",
+            rnd(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "pipeline_dataset_mix",
+    oracle=f"""
+    WITH t AS (SELECT source, len({WORDS_SQL}) AS toks
+               FROM documents WHERE NOT ({HELDOUT_SQL})),
+    s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(toks) AS BIGINT) AS tokens
+          FROM t GROUP BY 1),
+    g AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+                 CAST(MAX(tokens) AS BIGINT) AS max_tokens FROM s)
+    SELECT source, n_docs, tokens,
+           tokens * 1000000 // total AS share_ppm,
+           max_tokens * 1000000 // tokens AS upsample_ppm
+    FROM s CROSS JOIN g
+    """,
+)
+def pipeline_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET MIXTURE REPORT — per-source token budgets over the TRAIN
+    split (canon.HELDOUT_SQL's complement, the shared split rule) plus
+    the two numbers a mixture designer reads off before setting sampling
+    weights: each source's realized share and the oversampling factor
+    that would equalize it with the largest source (both in exact
+    integer ppm — `div` on both engines, no float shares to diverge).
+
+    Token counts here are whitespace words (the corpus tokenizer);
+    tokens*1e6 stays under 2^53 to ~9e9 corpus tokens per source —
+    beyond that reorder to tokens div (total div 1e6); the DuckDB twin
+    computes in HUGEINT and acts as the overflow canary (the CUSUM
+    precedent).
+
+    Scale shape: one scan -> per-source partial-aggregated rollup
+    (|sources| rows), totals from the tiny rollup, broadcast back.  The
+    rollup feeds s, total and max with no shared subplan -> one
+    localCheckpoint materialization instead of three scans."""
+    d = load_tables(spark, sf_dir)["documents"]
+    s = (
+        d.where(~is_heldout())
+        .select("source", F.size(doc_words()).alias("toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("tokens"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    g = s.agg(
+        F.sum("tokens").alias("total"), F.max("tokens").alias("max_tokens")
+    )
+    return (
+        s.crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.expr("tokens * 1000000 div total").alias("share_ppm"),
+            F.expr("max_tokens * 1000000 div tokens").alias("upsample_ppm"),
+        )
+    )

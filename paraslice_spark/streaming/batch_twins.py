@@ -225,3 +225,49 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+from paraslice_spark.operators.aggregates import _CMS_AB, _CMS_P, _CMS_W
+
+
+@query(
+    "stream_countmin_cells",
+    # oracle constants come from the one shared _CMS_AB definition — the
+    # same no-transcription rule the batch sketch queries follow
+    oracle=f"""
+    WITH h AS (
+      SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               ::UBIGINT::BIGINT AS h
+      FROM events),
+    ab AS (
+      SELECT j.j AS j,
+             ([{",".join(str(a) for a, _ in _CMS_AB)}])[j.j + 1] AS a,
+             ([{",".join(str(b) for _, b in _CMS_AB)}])[j.j + 1] AS b
+      FROM (SELECT unnest(range({len(_CMS_AB)})) AS j) j)
+    SELECT CAST(ab.j AS BIGINT) AS j,
+           ((ab.a * h.h + ab.b) % {_CMS_P}) % {_CMS_W} AS bucket,
+           COUNT(*) AS cnt
+    FROM h CROSS JOIN ab GROUP BY 1, 2
+    """,
+)
+def stream_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared surface for the STREAMING COUNT-MIN rollup
+    (streams.stream_countmin_counters): the full d=4 x w=256 counter
+    table as maintained by the streaming aggregation, declared through
+    its batch twin — the Dataset-duality contract every other stream_*
+    query follows, closing the r8 'declared streaming-CMS surface'
+    item.  tests/test_streaming.py replays the fixture through
+    readStream (whole and split) and asserts cell-for-cell equality
+    with exactly this table; the DuckDB oracle is the independent
+    anchor rebuilding every md5-affine cell.
+
+    Scale shape: state is the sketch geometry (<=1024 longs),
+    independent of key cardinality — the property that lets the
+    streaming job outlive any per-key counter design; cells arrive
+    partial-aggregated (map-side combine on (j, bucket)) so the shuffle
+    carries at most cores x 1024 rows per microbatch."""
+    from paraslice_spark.streaming.streams import stream_countmin_counters
+
+    ev = load_tables(spark, sf_dir)["events"]
+    c = stream_countmin_counters(ev)
+    return c.select(F.col("j").cast("long"), "bucket", "cnt")

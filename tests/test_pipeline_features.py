@@ -1,0 +1,264 @@
+"""Property / cross-query consistency tests for the r8-continuation
+additions (doc chunking, hashed features, dataset mix, CMS join-size,
+session concurrency, per-nation Gini).
+
+The oracle-diff layer already hash-checks each query against DuckDB;
+these pin the SEMANTICS against independent recomputation (pure-Python
+chunker / hasher on the collected sf0.001 corpus) and the structural
+invariants the docstrings promise (coverage, overestimate one-sidedness,
+Gini bounds, cross-query count agreement)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+import paraslice_spark.operators  # noqa: F401
+from paraslice_spark.operators.text import CHUNK_S, CHUNK_W, HASH_FEAT_B
+from paraslice_spark.registry import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_doc_chunks_match_pure_python_chunker(spark):
+    """Every (doc, chunk) row — id, start, width, digest — must equal a
+    from-scratch Python implementation of the W/S window rule."""
+    from paraslice_spark.sources.io import load_tables
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_tables(spark, SF_SMALL)["documents"].collect()
+    }
+    expect = {}
+    for doc_id, text in docs.items():
+        words = text.split(" ")
+        for k, start in enumerate(range(0, len(words), CHUNK_S)):
+            chunk = words[start : start + CHUNK_W]
+            expect[(doc_id, k + 1)] = (start + 1, len(chunk), _md5(" ".join(chunk)))
+    got = {
+        (r["doc_id"], r["chunk_id"]): (
+            r["start_word"],
+            r["n_chunk_words"],
+            r["chunk_md5"],
+        )
+        for r in QUERIES["pipeline_doc_chunks"](spark, SF_SMALL).collect()
+    }
+    assert got == expect
+
+
+def test_doc_chunks_cover_every_word(spark):
+    """Coverage + overlap arithmetic: chunks tile each doc — the union of
+    [start, start+n) spans exactly [1, n_words], consecutive starts differ
+    by S, and only the LAST chunk may be narrower than W."""
+    rows = QUERIES["pipeline_doc_chunks"](spark, SF_SMALL).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert chunks[0]["start_word"] == 1
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_word"] - a["start_word"] == CHUNK_S
+        # the last chunk ends exactly at the doc's word count …
+        last = chunks[-1]
+        n_words = last["start_word"] + last["n_chunk_words"] - 1
+        # … every chunk's width is the clamp rule min(W, n - start + 1)
+        # (chunks whose window overruns the tail are partial, full-W
+        # otherwise), so spans [start, start+width) tile 1..n_words with
+        # S-step starts — coverage with W-S overlap follows
+        for c in chunks:
+            assert c["n_chunk_words"] == min(
+                CHUNK_W, n_words - c["start_word"] + 1
+            )
+        assert last["start_word"] <= n_words  # no empty chunk emitted
+
+
+def test_hashed_features_match_pure_python(spark):
+    """nnz / l1 / sq_norm / checksum per doc vs a hashlib+Counter
+    reimplementation of the bucket rule (md5_u32(term) mod B)."""
+    from collections import Counter
+
+    from paraslice_spark.sources.io import load_tables
+
+    docs = load_tables(spark, SF_SMALL)["documents"].collect()
+    expect = {}
+    for r in docs:
+        tf = Counter(
+            int(_md5(t)[:8], 16) % HASH_FEAT_B for t in r["text"].split(" ")
+        )
+        expect[r["doc_id"]] = (
+            len(tf),
+            sum(tf.values()),
+            sum(v * v for v in tf.values()),
+            sum((b + 1) * v for b, v in tf.items()),
+        )
+    got = {
+        r["doc_id"]: (r["nnz"], r["l1"], r["sq_norm"], r["checksum"])
+        for r in QUERIES["text_hashed_features"](spark, SF_SMALL).collect()
+    }
+    assert got == expect
+
+
+def test_dataset_mix_invariants(spark):
+    """Shares sum to <= 1e6 (floor division), every upsample >= 1e6, and
+    the largest source's upsample is exactly 1e6 (it is its own target)."""
+    rows = QUERIES["pipeline_dataset_mix"](spark, SF_SMALL).collect()
+    assert rows
+    assert sum(r["share_ppm"] for r in rows) <= 1_000_000
+    assert all(r["upsample_ppm"] >= 1_000_000 for r in rows)
+    biggest = max(rows, key=lambda r: r["tokens"])
+    assert biggest["upsample_ppm"] == 1_000_000
+
+
+def test_cms_selfjoin_estimate_never_underestimates(spark):
+    """CM inner-product one-sidedness: every term nonnegative, so
+    overest >= 0 structurally; exact side equals a direct groupBy sum."""
+    row = QUERIES["agg_cms_selfjoin_size"](spark, SF_SMALL).collect()[0]
+    assert row["overest"] >= 0
+    assert row["cms_est"] == row["exact_size"] + row["overest"]
+    from paraslice_spark.sources.io import load_tables
+
+    li = load_tables(spark, SF_SMALL)["lineitem"]
+    exact = (
+        li.groupBy("l_partkey")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")))
+        .collect()[0][0]
+    )
+    assert row["exact_size"] == exact
+
+
+def test_session_concurrency_agrees_with_sessionize(spark):
+    """Cross-query consistency: summing each session's hour-span over
+    events_sessionize's session table must reproduce the concurrency
+    histogram's total, and per-hour users can never exceed sessions."""
+    conc = QUERIES["events_session_concurrency"](spark, SF_SMALL).collect()
+    assert conc
+    for r in conc:
+        assert 1 <= r["n_users"] <= r["n_sessions"]
+    from paraslice_spark.sources.io import load_tables
+
+    ev = load_tables(spark, SF_SMALL)["events"]
+    sess = (
+        QUERIES["events_sessionize"](spark, SF_SMALL)
+        .join(ev.select("event_id", "ts_ns"), "event_id")
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.expr("max(ts_ns) div 3600000000000 - min(ts_ns) div 3600000000000 + 1")
+            .alias("span_hours")
+        )
+        .agg(F.sum("span_hours"))
+        .collect()[0][0]
+    )
+    assert sum(r["n_sessions"] for r in conc) == sess
+
+
+def test_gini_bounds_and_revenue_total(spark):
+    """0 <= G < 1 per nation, and the per-nation revenue partition sums
+    back to total order revenue (nothing dropped by the joins)."""
+    rows = QUERIES["customer_gini_by_nation"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0, r
+    from paraslice_spark.functions.canon import cents
+    from paraslice_spark.sources.io import load_tables
+
+    total_c = (
+        load_tables(spark, SF_SMALL)["orders"]
+        .agg(F.sum(cents("o_totalprice")))
+        .collect()[0][0]
+    )
+    assert round(sum(r["revenue"] for r in rows), 2) == total_c / 100.0
+
+
+def test_int8_quant_matches_numpy(spark):
+    """q / err_sum vs a numpy reimplementation of absmax int8 symmetric
+    quantization on the micro-quantized vectors."""
+    import numpy as np
+
+    from paraslice_spark.sources.io import load_tables
+
+    vecs = {
+        r["vec_id"]: np.round(np.array(r["embedding"], dtype=np.float64) * 1e6)
+        .astype(np.int64)
+        for r in load_tables(spark, SF_SMALL)["embeddings"].collect()
+    }
+    got = {
+        r["vec_id"]: r
+        for r in QUERIES["embedding_int8_quant_audit"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == {v for v, m in vecs.items() if np.abs(m).max() > 0}
+    for vid, vm in vecs.items():
+        maxabs = int(np.abs(vm).max())
+        if maxabs == 0:
+            continue
+        # np.round is banker's; the engines round half AWAY — replicate
+        # via floor(x + 0.5) for positives and symmetric for negatives
+        ratio = 127.0 * vm / maxabs
+        q = np.sign(ratio) * np.floor(np.abs(ratio) + 0.5)
+        q = q.astype(np.int64)
+        r = got[vid]
+        assert r["l1_q"] == int(np.abs(q).sum())
+        assert r["checksum"] == int((np.arange(1, 65) * q).sum())
+        assert r["err_sum"] == int(np.abs(127 * vm - q * maxabs).sum())
+        assert abs(q).max() <= 127  # int8 range by construction
+
+
+def test_cosine_histogram_accounts_for_all_pairs(spark):
+    """Bin counts sum to C(sample, 2) and every bin sits inside [-1, 1]
+    with min <= max; the corpus-calibration claim (no bin above cos 0.9
+    on this fixture) holds."""
+    from paraslice_spark.operators.similarity import _COSHIST_MOD
+    from paraslice_spark.sources.io import load_tables
+
+    n_sample = (
+        load_tables(spark, SF_SMALL)["embeddings"]
+        .where(F.col("vec_id") % _COSHIST_MOD == 0)
+        .count()
+    )
+    rows = QUERIES["embedding_cosine_histogram"](spark, SF_SMALL).collect()
+    assert sum(r["n_pairs"] for r in rows) == n_sample * (n_sample - 1) // 2
+    for r in rows:
+        assert 0 <= r["bin"] <= 20
+        assert -1.0 <= r["min_cos"] <= r["max_cos"] <= 1.0
+        # rounded cos inside its bin (floor rule)
+        import math
+
+        assert math.floor((r["min_cos"] + 1.0) * 10) == r["bin"]
+        assert math.floor((r["max_cos"] + 1.0) * 10) == r["bin"]
+
+
+def test_funnel_latency_agrees_with_funnel_counts(spark):
+    """Composition consistency: the latency table's populations are
+    exactly the funnel's stage-2 and stage-3 user counts, latencies are
+    non-negative, and p50 <= p90 <= max span."""
+    lat = {
+        r["step"]: r
+        for r in QUERIES["events_funnel_latency"](spark, SF_SMALL).collect()
+    }
+    funnel = {
+        r["stage"]: r["users"]
+        for r in QUERIES["events_funnel"](spark, SF_SMALL).collect()
+    }
+    assert lat["view_to_click"]["n"] == funnel[2]
+    assert lat["click_to_purchase"]["n"] == funnel[3]
+    for r in lat.values():
+        assert 0 <= r["p50_s"] <= r["p90_s"]
+        assert 0 <= r["mean_s"]
+
+
+def test_hhi_bounds(spark):
+    """1/n <= HHI <= 1, top_share <= HHI^0.5 bound is loose — assert the
+    tight structural ones: top_share <= 1, HHI >= 1/n_suppliers and
+    HHI >= top_share^2 (the max term alone)."""
+    rows = QUERIES["supplier_hhi_by_type"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["hhi"] <= 1.0
+        assert r["hhi"] >= 1.0 / r["n_suppliers"] - 1e-9
+        assert r["hhi"] >= r["top_share"] ** 2 - 1e-9
+        assert 0 < r["top_share"] <= 1.0

@@ -491,3 +491,96 @@ def test_ltv_cohorts_windows_partitioned_and_one_scan(spark):
     wins = [ln for ln in p.splitlines() if "Window [" in ln]
     assert wins and all(("o_custkey" in ln) or ("m0" in ln) for ln in wins), p
     assert "rangepartitioning" not in p, p
+
+
+def test_doc_chunks_is_map_side_only(spark):
+    """pipeline_doc_chunks claims a pure map-side explode: split,
+    sequence, slice, md5 all in one codegen stage over one scan — no
+    Exchange, no Window, no Aggregate at any corpus size."""
+    p = plan(QUERIES["pipeline_doc_chunks"](spark, SF_SMALL))
+    assert "Exchange" not in p, p
+    assert "Window" not in p, p
+    assert "Aggregate" not in p, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_doc_keywords_prunes_via_window_group_limit(spark):
+    """text_doc_keywords' top-3-per-doc window must plan as
+    WindowGroupLimit (3 rows per doc survive the partial pass before the
+    doc-keyed exchange) with the vocabulary-bounded df side broadcast."""
+    p = plan(QUERIES["text_doc_keywords"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_session_concurrency_one_user_shuffle(spark):
+    """events_session_concurrency claims sessionization costs ONE shuffle:
+    both stacked windows (lag marker + running sum) share a single
+    user_id exchange/sort, sessions collapse to bounds BEFORE the
+    interval explode, and the only other exchange is the hour rollup."""
+    p = plan(QUERIES["events_session_concurrency"](spark, SF_SMALL))
+    assert p.count("Exchange hashpartitioning(user_id") == 1, p
+    assert "SinglePartition" not in p, p
+    # bounds (min/max per session) aggregate precedes the explode
+    gen = p.index("Generate explode(sequence")
+    assert "HashAggregate" in p[gen:], p
+
+
+def test_gini_windows_partition_by_nation(spark):
+    """customer_gini_by_nation: the rank window partitions by nation
+    (never a global sort — the deciles lesson), the fact collapses to
+    per-customer rows before any join, and the 25-row dim broadcasts."""
+    p = plan(QUERIES["customer_gini_by_nation"](spark, SF_SMALL))
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wins and all("n_name" in ln for ln in wins), p
+    assert "SinglePartition" not in p, p
+    assert "BroadcastExchange" in p, p
+
+
+def test_cosine_histogram_broadcasts_sample(spark):
+    """embedding_cosine_histogram: the modulus sample broadcasts onto the
+    pair self-join (never a shuffle of pair rows), and the sample filter
+    is pushed into the scan-side projection before the checkpoint."""
+    p = plan(QUERIES["embedding_cosine_histogram"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_int8_quant_audit_is_map_side_only(spark):
+    """embedding_int8_quant_audit claims a pure per-row array map: no
+    Exchange, no Aggregate, no Generate — one scan, all codegen."""
+    p = plan(QUERIES["embedding_int8_quant_audit"](spark, SF_SMALL))
+    assert "Exchange" not in p, p
+    assert "Aggregate(" not in p, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_funnel_latency_windows_run_on_histogram(spark):
+    """events_funnel_latency selects its p50/p90 from the per-(step,
+    second) count histogram: every Window cumulates counts (no
+    row_number over raw latencies), partitioned by step."""
+    p = plan(QUERIES["events_funnel_latency"](spark, SF_SMALL))
+    assert "row_number" not in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wins and all("sum(" in ln and "step" in ln for ln in wins), p
+
+
+def test_hhi_broadcasts_part_and_never_squares_fact_rows(spark):
+    """supplier_hhi_by_type: the part dim broadcasts onto the single
+    fact pass; the q^2 squaring runs above the (type, supplier)
+    aggregate, never on lineitem rows."""
+    p = plan(QUERIES["supplier_hhi_by_type"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, p
+    agg_idx = p.index("HashAggregate")
+    assert "Scan parquet" in p[agg_idx:], p  # aggregate sits above the scan
+
+
+def test_ship_latency_windows_run_on_histogram(spark):
+    """orders_ship_latency: selection windows cumulate histogram counts
+    partitioned by priority — no row_number over raw line rows."""
+    p = plan(QUERIES["orders_ship_latency"](spark, SF_SMALL))
+    assert "row_number" not in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wins and all(
+        "sum(" in ln and "o_orderpriority" in ln for ln in wins
+    ), p
