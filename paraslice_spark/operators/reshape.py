@@ -165,27 +165,53 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_sessionize",
-    oracle="""
-    WITH t AS (
-        SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
-               CASE WHEN epoch_ns(ts)
-                         - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
-                                                   ORDER BY epoch_ns(ts), event_id)
-                         > 1800000000000
-                         OR lag(epoch_ns(ts)) OVER (PARTITION BY user_id
-                                                    ORDER BY epoch_ns(ts), event_id)
-                            IS NULL
+#: gap-based sessionization rule — >30-min silence opens a new session.
+#: Single source (r8 review: the lag/cumsum pair was restated by three
+#: declared queries and their oracles; an edit to one would silently
+#: desynchronize the others' notion of "session" while each still passed
+#: its own oracle).
+SESSION_GAP_NS = 1_800_000_000_000
+
+#: Oracle twin: CTE chain exposing s(user_id, event_id, event_type,
+#: ts_ns, session_idx) — embed as  f"WITH {SESSIONIZE_SQL} ..."
+SESSIONIZE_SQL = f"""t AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts_ns,
+               CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                      OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+                         > {SESSION_GAP_NS}
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+    s AS (
+        SELECT user_id, event_id, event_type, ts_ns,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                        ORDER BY ts_ns, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_idx
+        FROM t)"""
+
+
+def with_session_idx(ev: DataFrame) -> DataFrame:
+    """Spark twin of :data:`SESSIONIZE_SQL`: append per-user session_idx
+    (lag marks session starts, a running sum numbers them — two stacked
+    windows over ONE partition/order, so sessionization costs a single
+    shuffle on user_id; the plan shares the sort)."""
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    new_sess = (gap > SESSION_GAP_NS) | F.lag("ts_ns").over(w).isNull()
+    return ev.withColumn("new_sess", new_sess.cast("int")).withColumn(
+        "session_idx",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
     )
-    SELECT event_id, user_id,
-           CAST(SUM(new_sess) OVER (PARTITION BY user_id
-                                    ORDER BY ts_ns, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
-             AS session_idx
-    FROM t
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH {SESSIONIZE_SQL}
+    SELECT event_id, user_id, session_idx FROM s
     """,
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,17 +224,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     examples) need the id on each event, not just per-session rollups.
     Comparisons run on ts_ns longs — exact, no timestamp arithmetic."""
     ev = load_tables(spark, sf_dir)["events"]
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
-    new_sess = (gap > 1_800_000_000_000) | F.lag("ts_ns").over(w).isNull()
-    return (
-        ev.withColumn("new_sess", new_sess.cast("int"))
-        .withColumn(
-            "session_idx",
-            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
-        )
-        .select("event_id", "user_id", "session_idx")
-    )
+    return with_session_idx(ev).select("event_id", "user_id", "session_idx")
 
 
 @query(
@@ -430,24 +446,9 @@ def events_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_sessionized_funnel",
-    oracle="""
-    WITH s AS (
-      SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns,
-             CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
-                    OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
-                       > 1800000000000
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
-    ),
-    s2 AS (
-      SELECT user_id, event_type, ts_ns,
-             CAST(SUM(new_sess) OVER (PARTITION BY user_id
-                                      ORDER BY ts_ns, event_id
-                                      ROWS UNBOUNDED PRECEDING)
-                  AS BIGINT) AS session_idx
-      FROM s
-    ),
+    oracle=f"""
+    WITH {SESSIONIZE_SQL},
+    s2 AS (SELECT user_id, event_type, ts_ns, event_id, session_idx FROM s),
     g AS (
       SELECT user_id, session_idx,
              MIN(CASE WHEN event_type = 'view' THEN ts_ns END) AS t_view
@@ -491,18 +492,8 @@ def events_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-session collapse groups on keys whose window values are
     group-constant, so first() is deterministic."""
     ev = load_tables(spark, sf_dir)["events"]
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
-    new_sess = (gap > 1_800_000_000_000) | F.lag("ts_ns").over(w).isNull()
-    sess = (
+    sess = with_session_idx(
         ev.select("user_id", "event_id", "event_type", "ts_ns")
-        .withColumn("new_sess", new_sess.cast("int"))
-        .withColumn(
-            "session_idx",
-            F.sum("new_sess")
-            .over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .cast("long"),
-        )
     )
     ws = Window.partitionBy("user_id", "session_idx")
     funneled = (
@@ -2285,24 +2276,8 @@ def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_session_concurrency",
-    oracle="""
-    WITH t AS (
-        SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
-               CASE WHEN epoch_ns(ts)
-                         - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
-                                                   ORDER BY epoch_ns(ts), event_id)
-                         > 1800000000000
-                         OR lag(epoch_ns(ts)) OVER (PARTITION BY user_id
-                                                    ORDER BY epoch_ns(ts), event_id)
-                            IS NULL
-                    THEN 1 ELSE 0 END AS new_sess
-        FROM events),
-    s AS (
-        SELECT user_id, ts_ns,
-               SUM(new_sess) OVER (PARTITION BY user_id
-                                   ORDER BY ts_ns, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_idx
-        FROM t),
+    oracle=f"""
+    WITH {SESSIONIZE_SQL},
     b AS (
         SELECT user_id, session_idx,
                MIN(ts_ns) // 3600000000000 AS sh,
@@ -2334,17 +2309,8 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     them).  No calendar spine needed: hours with no sessions simply
     don't appear (the gap-fill twin is events_hourly_gapfill)."""
     ev = load_tables(spark, sf_dir)["events"]
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
-    new_sess = (gap > 1_800_000_000_000) | F.lag("ts_ns").over(w).isNull()
     sess = (
-        ev.withColumn("new_sess", new_sess.cast("int"))
-        .withColumn(
-            "session_idx",
-            F.sum("new_sess")
-            .over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .cast("long"),
-        )
+        with_session_idx(ev)
         .groupBy("user_id", "session_idx")
         .agg(
             F.expr("min(ts_ns) div 3600000000000").alias("sh"),

@@ -262,3 +262,16 @@ def test_hhi_bounds(spark):
         assert r["hhi"] >= 1.0 / r["n_suppliers"] - 1e-9
         assert r["hhi"] >= r["top_share"] ** 2 - 1e-9
         assert 0 < r["top_share"] <= 1.0
+
+
+def test_streaming_sessionize_gap_matches_shared_constant():
+    """streams.stream_sessionize's default gap must equal the shared
+    reshape.SESSION_GAP_NS (the streaming module keeps a parameter
+    default rather than importing reshape — this pins the two)."""
+    import inspect
+
+    from paraslice_spark.operators.reshape import SESSION_GAP_NS
+    from paraslice_spark.streaming.streams import stream_sessionize
+
+    sig = inspect.signature(stream_sessionize)
+    assert sig.parameters["gap_ns"].default == SESSION_GAP_NS
