@@ -16,7 +16,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from paraslice_spark.registry import query
@@ -361,4 +361,68 @@ def phash_pairs(media: DataFrame) -> DataFrame:
         .select("media_a", "media_b", "hamming")
         .repartition(1)
         .sortWithinPartitions("media_a", "media_b")
+    )
+
+
+def _phash_groups_oracle() -> str:
+    """Composed from the REGISTERED multimodal_phash_pairs oracle + the
+    dedup_groups recursive-closure shape (the dedup_method_agreement
+    precedent: neither the dHash bit rule nor the component contract is
+    restated).  Single reference to the pair CTE — no MATERIALIZED
+    needed."""
+    from paraslice_spark.registry import ORACLES
+
+    return f"""
+    WITH RECURSIVE p AS ({ORACLES["multimodal_phash_pairs"]}),
+    edges AS (SELECT media_a AS u, media_b AS v FROM p
+              UNION ALL SELECT media_b, media_a FROM p),
+    reach(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    rep AS (SELECT src AS media_id, MIN(node) AS rep_id
+            FROM reach GROUP BY src)
+    SELECT media_id, rep_id,
+           COUNT(*) OVER (PARTITION BY rep_id) AS group_size
+    FROM rep ORDER BY media_id
+    """
+
+
+@query("multimodal_phash_groups", oracle=_phash_groups_oracle())
+def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE DUPLICATE GROUPS — connected components over the declared
+    dHash near-dup pair graph, every media item mapped to its canonical
+    (minimum-id) representative with group size: the cross-MODALITY
+    closure of the dedup family (dedup_groups does exactly this for
+    text n-gram pairs; a real pipeline keeps one representative per
+    perceptual cluster before captioning/embedding the survivors).
+
+    Pure composition — Spark side runs the shared phash_pairs pipeline
+    then the SAME min-label-propagation helper dedup_groups uses
+    (near-dup clusters are near-cliques, 2-3 rounds); the oracle wraps
+    the REGISTERED pair oracle in the recursive reachability closure.
+    Neither the bit rule nor the component semantics is restated.
+
+    Scale shape: pair graph ≪ corpus (band-blocked), label propagation
+    shuffles ids only, isolated media rejoin as their own rep via the
+    left join — same 100 TB contract as dedup_groups."""
+    from paraslice_spark.operators.similarity import _min_label_components
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = with_media_column(docs)
+    pairs = phash_pairs(media).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    labels = _min_label_components(pairs)
+    w = Window.partitionBy("rep_id")
+    return (
+        docs.select(F.col("doc_id").alias("media_id"))
+        .join(
+            labels.withColumnRenamed("node", "media_id"), "media_id", "left"
+        )
+        .select("media_id", F.coalesce("lbl", "media_id").alias("rep_id"))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .repartition(1)
+        .sortWithinPartitions("media_id")
     )
