@@ -219,3 +219,41 @@ def test_split_label_agrees_with_duckdb(doc_id):
             [doc_id],
         ).fetchone()[0]
     assert py == db, (doc_id, h, py, db)
+
+
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=120, deadline=None)
+def test_doc_chunk_rule_matches_python_for_any_length(n_words, seed):
+    """The W/S chunk rule (starts 1, 1+S, ... <= n; width min(W, n-s+1))
+    as evaluated by the ORACLE's DuckDB expressions must equal a pure
+    Python chunker for arbitrary word counts — the boundary cases (n < W,
+    n = k*S, n = k*S+1, short tails) are exactly where a slice clamp
+    could diverge."""
+    from paraslice_spark.operators.text import CHUNK_S, CHUNK_W
+
+    words = [f"w{seed}_{i}" for i in range(n_words)]
+    text = " ".join(words)
+    expect = []
+    for k, start in enumerate(range(0, n_words, CHUNK_S)):
+        chunk = words[start : start + CHUNK_W]
+        expect.append((k + 1, start + 1, len(chunk)))
+    with duckdb.connect() as con:
+        got = con.execute(
+            f"""
+            WITH w AS (SELECT string_split(?, ' ') AS words),
+            s AS (SELECT words, len(words) AS n,
+                         unnest(range(1, len(words) + 1, {CHUNK_S}))
+                           AS start_word
+                  FROM w)
+            SELECT (start_word - 1) // {CHUNK_S} + 1,
+                   start_word,
+                   len(list_slice(words, start_word,
+                                  start_word + {CHUNK_W} - 1))
+            FROM s ORDER BY 2
+            """,
+            [text],
+        ).fetchall()
+    assert [tuple(r) for r in got] == expect
