@@ -111,6 +111,29 @@ def split_label(col: Column | str = "doc_id") -> Column:
     )
 
 
+def md5_u32(col: Column | str) -> Column:
+    """int64 of the first 8 md5 hex digits of a column's string form —
+    the single md5-u32 base-hash rule every hash consumer (CMS family,
+    text_hashed_features) must use; extracted in the r8-continuation
+    review after text_hashed_features restated it inline (the cms_hash
+    drift warning, one level down).
+
+    DuckDB twin: :func:`md5_u32_sql`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def md5_u32_sql(expr: str) -> str:
+    """DuckDB twin of :func:`md5_u32` for an arbitrary SQL expression."""
+    return (
+        f"('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 8))"
+        "::UBIGINT::BIGINT"
+    )
+
+
 def rev_cents() -> Column:
     """TPC-H revenue term in cents²: cents(price) * (100 - cents(discount)).
 

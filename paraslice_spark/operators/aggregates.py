@@ -11,7 +11,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from paraslice_spark.functions.canon import cents, cents_sum, micros_units, rnd
+from paraslice_spark.functions.canon import (
+    cents,
+    cents_sum,
+    md5_u32,
+    md5_u32_sql,
+    micros_units,
+    rnd,
+)
 from paraslice_spark.registry import query
 from paraslice_spark.sources.io import load_tables, sql_views
 
@@ -813,9 +820,7 @@ def cms_hash(col: str = "user_id"):
     audit, streaming.stream_countmin_counters, tests) must use; the
     replay==batch cell-for-cell contract rests on it being shared, not
     copied (r8 review)."""
-    return F.conv(
-        F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    return md5_u32(col)
 
 
 def cms_buckets(h):
@@ -833,15 +838,14 @@ def cms_buckets(h):
     oracle=f"""
     WITH h AS (
       SELECT user_id,
-             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
-               ::UBIGINT::BIGINT AS h,
+             {md5_u32_sql("user_id")} AS h,
              COUNT(*) AS exact_n
       FROM events GROUP BY 1),
     ab AS (
       SELECT j.j AS j,
              ([{",".join(str(a) for a, _ in _CMS_AB)}])[j.j + 1] AS a,
              ([{",".join(str(b) for _, b in _CMS_AB)}])[j.j + 1] AS b
-      FROM (SELECT unnest(range(4)) AS j) j),
+      FROM (SELECT unnest(range({len(_CMS_AB)})) AS j) j),
     buckets AS (
       SELECT h.user_id, h.exact_n, ab.j,
              ((ab.a * h.h + ab.b) % {_CMS_P}) % {_CMS_W} AS bucket
@@ -916,8 +920,7 @@ def agg_countmin_topk_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH k AS (
       SELECT l_partkey,
-             ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
-               ::UBIGINT::BIGINT AS h,
+             {md5_u32_sql("l_partkey")} AS h,
              COUNT(*) AS n
       FROM lineitem GROUP BY 1),
     exact AS (SELECT CAST(SUM(n * n) AS BIGINT) AS exact_size FROM k),
@@ -925,7 +928,7 @@ def agg_countmin_topk_error(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT j.j AS j,
              ([{",".join(str(a) for a, _ in _CMS_AB)}])[j.j + 1] AS a,
              ([{",".join(str(b) for _, b in _CMS_AB)}])[j.j + 1] AS b
-      FROM (SELECT unnest(range(4)) AS j) j),
+      FROM (SELECT unnest(range({len(_CMS_AB)})) AS j) j),
     counters AS (
       SELECT ab.j, ((ab.a * k.h + ab.b) % {_CMS_P}) % {_CMS_W} AS bucket,
              CAST(SUM(k.n) AS BIGINT) AS cnt

@@ -410,7 +410,19 @@ def events_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the table a labeler joins against; the streaming state-machine
     twin is :func:`paraslice_spark.streaming.streams.stream_funnel`,
     asserted replay-equal in tests/test_streaming.py."""
-    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        funnel_user_times(load_tables(spark, sf_dir)["events"])
+        .repartition(1)
+        .sortWithinPartitions("user_id")
+    )
+
+
+def funnel_user_times(ev: DataFrame) -> DataFrame:
+    """Core per-user funnel state build (first view / qualifying click /
+    qualifying purchase + stage) — split from the declared wrapper so
+    composing queries (events_funnel_latency) don't inherit the
+    presentation tail's single-partition collapse (r8-continuation
+    review)."""
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -438,9 +450,9 @@ def events_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         v.join(c, "user_id", "left")
         .join(p, "user_id", "left")
-        .select("user_id", "t_view", "t_click", "t_purchase", stage.alias("stage"))
-        .repartition(1)
-        .sortWithinPartitions("user_id")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase", stage.alias("stage")
+        )
     )
 
 
@@ -2452,9 +2464,9 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "how long does the funnel take" companion to events_funnel's "how
     many make it".
 
-    Builds DIRECTLY on the declared events_funnel_users table (Spark
-    side calls the registered query; the oracle wraps the registered
-    oracle — neither restates the stage rule).  Latencies quantize to
+    Builds DIRECTLY on the funnel_user_times core (the declared
+    events_funnel_users minus its presentation tail; the oracle wraps
+    the REGISTERED oracle — neither restates the stage rule).  Latencies quantize to
     whole SECONDS (integer ns div 1e9 — the declared granularity), and
     the order statistics are selected by CUMULATIVE COUNT over the
     per-(step, second) histogram — the anomaly-MAD/percentile-histogram
@@ -2466,9 +2478,7 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring), the latency stack is a map, the histogram is one
     map-combined shuffle on (step, second); the two selection windows
     partition by step over distinct seconds only.  2 output rows."""
-    from paraslice_spark.registry import QUERIES
-
-    fu = QUERIES["events_funnel_users"](spark, sf_dir)
+    fu = funnel_user_times(load_tables(spark, sf_dir)["events"])
     lat = fu.selectExpr(
         """stack(2,
                  'view_to_click',

@@ -17,6 +17,8 @@ from paraslice_spark.functions.canon import (
     HELDOUT_SQL,
     SPLIT_LABEL_SQL,
     is_heldout,
+    md5_u32,
+    md5_u32_sql,
     rnd,
     split_label,
 )
@@ -1562,8 +1564,7 @@ HASH_FEAT_B = 1024
     WITH words AS (SELECT doc_id, unnest({WORDS_SQL}) AS term
                    FROM documents),
     tf AS (SELECT doc_id,
-                  ('0x' || substring(md5(term), 1, 8))::UBIGINT::BIGINT
-                    % {HASH_FEAT_B} AS bucket,
+                  {md5_u32_sql("term")} % {HASH_FEAT_B} AS bucket,
                   COUNT(*) AS tf
            FROM words GROUP BY 1, 2)
     SELECT doc_id,
@@ -1592,10 +1593,7 @@ def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, then a doc-keyed rollup; no vocabulary table, no
     broadcast, state bounded by B per doc."""
     d = load_tables(spark, sf_dir)["documents"]
-    bucket = (
-        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
-        % HASH_FEAT_B
-    )
+    bucket = md5_u32("term") % HASH_FEAT_B
     tf = (
         d.select("doc_id", F.explode(doc_words()).alias("term"))
         .select("doc_id", bucket.alias("bucket"))
@@ -1645,8 +1643,16 @@ def text_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the window sort's shuffle."""
     d = load_tables(spark, sf_dir)["documents"]
     words = d.select("doc_id", F.explode(doc_words()).alias("term"))
-    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf feeds both the ranking branch and df — and df IS tf's row count
+    # per term (tf rows are distinct (doc, term)): one tokenization pass,
+    # one materialization (the CLAUDE.md multi-consumer rule), where the
+    # naive form exploded the corpus twice
+    tf = (
+        words.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), "df", "term"

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from paraslice_spark.functions.canon import micros_units
+from paraslice_spark.functions.canon import md5_u32_sql, micros_units
 from paraslice_spark.registry import query
 from paraslice_spark.sources.io import load_tables
 
@@ -236,8 +236,7 @@ from paraslice_spark.operators.aggregates import _CMS_AB, _CMS_P, _CMS_W
     # same no-transcription rule the batch sketch queries follow
     oracle=f"""
     WITH h AS (
-      SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
-               ::UBIGINT::BIGINT AS h
+      SELECT {md5_u32_sql("user_id")} AS h
       FROM events),
     ab AS (
       SELECT j.j AS j,

@@ -571,8 +571,11 @@ def test_hhi_broadcasts_part_and_never_squares_fact_rows(spark):
     aggregate, never on lineitem rows."""
     p = plan(QUERIES["supplier_hhi_by_type"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in p, p
-    agg_idx = p.index("HashAggregate")
-    assert "Scan parquet" in p[agg_idx:], p  # aggregate sits above the scan
+    # the only multiplies of the aggregated quantity live INSIDE
+    # HashAggregate function lists (sum(q_c * q_c)); a regression that
+    # squared fact rows would put the multiply in a Project over the scan
+    mul_lines = [ln for ln in p.splitlines() if "* q_c" in ln]
+    assert mul_lines and all("HashAggregate" in ln for ln in mul_lines), p
 
 
 def test_ship_latency_windows_run_on_histogram(spark):
