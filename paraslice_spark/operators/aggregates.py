@@ -995,3 +995,93 @@ def agg_cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err_ppm"),
         )
     )
+
+
+_KMV_K = 64  # sketch size: k smallest hashes retained per group
+
+
+@query(
+    "agg_kmv_distinct_error",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (SELECT event_type, {md5_u32_sql("user_id")} AS h FROM u),
+    r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM h),
+    g AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS exact_n,
+                 CAST(SUM(CASE WHEN rk = {_KMV_K} THEN h END) AS BIGINT)
+                   AS vk
+          FROM r GROUP BY event_type)
+    SELECT event_type, exact_n,
+           CASE WHEN vk IS NULL THEN exact_n
+                ELSE ({_KMV_K} - 1) * 4294967296 // vk END AS kmv_n,
+           CASE WHEN vk IS NULL THEN CAST(0 AS BIGINT)
+                ELSE ({_KMV_K} - 1) * 4294967296 // vk - exact_n END AS err
+    FROM g ORDER BY event_type
+    """,
+)
+def agg_kmv_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) DISTINCT-COUNT sketch with an exact error
+    audit — the distinct-counting member of the exactly-verifiable
+    sketch family (Bar-Yossef et al. '02: the k-th smallest of uniform
+    hashes estimates cardinality as (k-1)/v_k).  agg_approx_distinct
+    (HLL) stays rows-only because Spark's HLL register layout is
+    engine-internal; KMV over the shared md5-u32 rule is REBUILDABLE
+    digit-for-digit in DuckDB, so this is the declared, hash-oracled
+    distinct sketch — per event_type: exact distinct users, the k=64
+    estimate (k-1)·2³²/v_k (pure integer floor-div; groups with fewer
+    than k distinct keys fall back to exact — the standard KMV rule),
+    and the signed error.
+
+    Scale shape: the only pass over raw events is the (type, user)
+    dedup (one shuffle); the rank window partitions by type over the
+    DISTINCT-user table and Spark prunes it to k rows per partition via
+    WindowGroupLimit before the exchange (the sample_bottom_k shape —
+    KMV state IS a bottom-k reservoir of hashes, mergeable by
+    union+re-truncate, which is why it store-sketches at 100 TB).
+
+    Measured calibration (the audit's point): sf0.001 has 15 users/type
+    (< k, fallback exact, err 0); sf0.01 (150 users) estimates 144,
+    err −6 (−4%); sf0.1 (1.5k users) estimates 1944, err +444 (+30% —
+    within 3σ of the 1/√63 ≈ 12.6% envelope, and the SAME error for all
+    five types because the fixture's user population is shared across
+    types, so all five sketches see identical hash sets).  Read the err
+    column before trusting k=64 at the next scale-up; k is the knob."""
+    ev = load_tables(spark, sf_dir)["events"]
+    # u feeds the exact rollup AND the sketch path (no shared subplan in
+    # Catalyst) — one materialization (the multi-consumer rule)
+    u = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    exact = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    h = u.select("event_type", md5_u32("user_id").alias("h"))
+    # the rank window stands ALONE so its rk <= k filter plans as
+    # WindowGroupLimit (k rows per partition survive the partial pass);
+    # fusing the exact count into the same window frame would force every
+    # row through (count-all blocks the prune — measured in the first cut)
+    w = Window.partitionBy("event_type").orderBy("h")
+    vk = (
+        h.select(
+            "event_type", "h", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") == _KMV_K)
+        .select("event_type", F.col("h").alias("vk"))
+    )
+    g = exact.join(F.broadcast(vk), "event_type", "left")
+    est = F.when(F.col("vk").isNull(), F.col("exact_n")).otherwise(
+        F.expr(f"({_KMV_K} - 1) * 4294967296 div vk")
+    )
+    return (
+        g.select(
+            "event_type",
+            "exact_n",
+            est.alias("kmv_n"),
+            (est - F.col("exact_n")).alias("err"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_type")
+    )

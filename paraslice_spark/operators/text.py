@@ -1734,3 +1734,64 @@ def pipeline_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max_tokens * 1000000 div tokens").alias("upsample_ppm"),
         )
     )
+
+
+#: pipeline_length_buckets padding granularity (words per pad step)
+PAD_STEP = 64
+
+
+@query(
+    "pipeline_length_buckets",
+    oracle=f"""
+    WITH d AS (SELECT len({WORDS_SQL}) AS n FROM documents),
+    b AS (SELECT n, ((n + {PAD_STEP} - 1) // {PAD_STEP}) * {PAD_STEP}
+                   AS bucket_cap
+          FROM d)
+    SELECT bucket_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_words,
+           CAST(SUM(bucket_cap - n) AS BIGINT) AS pad_words,
+           CAST(SUM(bucket_cap - n) AS BIGINT) * 1000000
+             // (COUNT(*) * bucket_cap) AS waste_ppm
+    FROM b GROUP BY bucket_cap
+    """,
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED BATCHING audit — the dynamic-padding design table:
+    docs grouped into stride-{64}-word length buckets (cap = n rounded
+    UP to the pad step), with the exact padding cost of batching each
+    bucket at its cap (pad_words) and the relative waste in integer ppm.
+    This is the table you read before choosing bucket boundaries for a
+    packing/padding tradeoff (its packed-sequence sibling is
+    pipeline_sequence_pack, which pays zero padding but loses doc
+    boundaries to chunking).
+
+    All INTEGER: the cap is pure int arithmetic ((n + step-1) div step *
+    step — no log2/pow float boundary), waste is floor-div ppm of two
+    exact int64 sums; `//`/`div` agree (non-negative operands).
+
+    Scale shape: one scan, the cap is a per-row codegen map, one
+    map-combined agg on ~(max_len/step) bucket keys; no joins, no
+    windows, nothing driver-side."""
+    d = load_tables(spark, sf_dir)["documents"]
+    n = F.size(doc_words())
+    cap = F.expr(f"((n + {PAD_STEP} - 1) div {PAD_STEP}) * {PAD_STEP}")
+    return (
+        d.select(n.alias("n"))
+        .select("n", cap.alias("bucket_cap"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_words"),
+            F.sum(F.col("bucket_cap") - F.col("n")).alias("pad_words"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "total_words",
+            "pad_words",
+            F.expr(
+                "pad_words * 1000000 div (n_docs * bucket_cap)"
+            ).alias("waste_ppm"),
+        )
+    )

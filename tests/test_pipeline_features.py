@@ -275,3 +275,42 @@ def test_streaming_sessionize_gap_matches_shared_constant():
 
     sig = inspect.signature(stream_sessionize)
     assert sig.parameters["gap_ns"].default == SESSION_GAP_NS
+
+
+def test_length_buckets_conserve_words_and_bound_waste(spark):
+    """Bucket partition conserves the corpus word count; per-bucket
+    padding is < PAD_STEP per doc (the cap rounds up by less than one
+    step); caps are positive multiples of the step."""
+    from paraslice_spark.operators.text import PAD_STEP
+
+    rows = QUERIES["pipeline_length_buckets"](spark, SF_SMALL).collect()
+    assert rows
+    from paraslice_spark.operators.text import doc_words
+    from paraslice_spark.sources.io import load_tables
+
+    total = (
+        load_tables(spark, SF_SMALL)["documents"]
+        .select(F.size(doc_words()).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r["total_words"] for r in rows) == total
+    for r in rows:
+        assert r["bucket_cap"] > 0 and r["bucket_cap"] % PAD_STEP == 0
+        assert r["pad_words"] < r["n_docs"] * PAD_STEP
+        assert 0 <= r["waste_ppm"] < 1_000_000
+
+
+def test_kmv_fallback_and_plan(spark):
+    """KMV: groups under k distinct keys report exact (err 0) — sf0.001
+    has 15 users/type < k=64 — and the rank window prunes via
+    WindowGroupLimit (the bottom-k reservoir shape)."""
+    rows = QUERIES["agg_kmv_distinct_error"](spark, SF_SMALL).collect()
+    assert rows and all(r["err"] == 0 and r["kmv_n"] == r["exact_n"] for r in rows)
+    p = (
+        QUERIES["agg_kmv_distinct_error"](spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in p, p
