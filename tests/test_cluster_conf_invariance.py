@@ -37,6 +37,11 @@ _REPRESENTATIVES = (
     "stream_tumbling_counts",        # streaming batch twin
     "pipeline_sequence_pack",        # bucket-partitioned running sum
     "agg_countmin_topk_error",       # sketch build + broadcast lookup
+    # r8-continuation shapes:
+    "customer_gini_by_nation",       # partitioned rank + fact rollup join
+    "orders_ship_latency",           # fact-fact join + histogram selection
+    "agg_kmv_distinct_error",        # WindowGroupLimit prune + broadcast vk
+    "events_funnel_latency",         # composed funnel + histogram selection
 )
 
 
