@@ -2662,3 +2662,121 @@ def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("o_orderpriority")
     )
+
+
+#: events_watermark_late_audit contract constants
+WM_DELAY_NS = 600_000_000_000  # 10-min watermark delay
+_WM_C = 65536  # fixed prefix-scan fanout (id-bucket width per level)
+
+
+@query(
+    "events_watermark_late_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, epoch_ns(ts) AS ts_ns,
+             (epoch_ns(ts) // 3600000000000) AS hr,
+             (epoch_ns(ts) // 3600000000000 + 1) * 3600000000000 AS hr_end
+      FROM events),
+    wm AS (
+      SELECT hr, hr_end,
+             MAX(ts_ns) OVER (ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prefix_max
+      FROM e)
+    SELECT hr, CAST(COUNT(*) AS BIGINT) AS n_events,
+           COUNT(CASE WHEN prefix_max - {WM_DELAY_NS} >= hr_end
+                      THEN 1 END) AS n_late
+    FROM wm GROUP BY hr
+    """,
+)
+def events_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DATA AUDIT — the declared surface for ST4: replay
+    the fixture in ARRIVAL ORDER (event_id — the deterministic arrival
+    proxy the streaming replay tests use) and count, per hour window,
+    the events a Structured Streaming job with a 10-min watermark would
+    DROP: an event is late iff the watermark at its arrival
+    (max event-time seen strictly before it, minus the delay) has
+    already passed its window's end — exactly Spark's eviction rule.
+    Run this batch audit before picking a production
+    ``withWatermark`` delay: n_late is the data loss that delay buys.
+
+    The interesting scale problem is the STRICT PREFIX MAX over arrival
+    order — a global running max is a SinglePartition window (the
+    deciles trap, on a scan instead of a sort).  Here it's the textbook
+    DISTRIBUTED PREFIX SCAN, three fixed levels of id-buckets (C=65536):
+
+    1. in-bucket strict prefix — window PARTITIONED BY b1 (≤C rows/task);
+    2. per-bucket maxes roll up to L1; their in-group strict prefix is a
+       window PARTITIONED BY b2 (≤C buckets/task);
+    3. the L2 summary (n/C² rows — 233 rows at a TRILLION events) takes
+       the only unpartitioned window, then offsets broadcast back down.
+
+    prefix(e) = greatest(in-bucket, L1-offset, L2-offset) — max is
+    associative, so the decomposition is exact; every quantity is an
+    int64 ns epoch, so the oracle's one-window form matches
+    bit-for-bit.  The final rollup is a map-combined agg on ~253 hour
+    keys.  First arrival has NULL prefix → never late (both engines).
+
+    VACUITY NOTE (measured, the dedup_embedding_cosine discipline): the
+    fixture stream arrives EXACTLY in event-time order at every sf (max
+    prefix_max − ts is negative), so n_late is structurally 0 here at
+    ANY delay — the declared contract's signal is the per-hour arrival
+    histogram plus the measured "ordered corpus loses nothing" fact.
+    The late-detection machinery itself is exercised by the
+    planted-disorder test (tests/test_pipeline_features.py) against a
+    pure-Python replay — the phash planted-perturbation pattern."""
+    return watermark_late_counts(load_tables(spark, sf_dir)["events"])
+
+
+def watermark_late_counts(ev: DataFrame) -> DataFrame:
+    """Core three-level prefix-scan + eviction-rule audit over any
+    (event_id, ts_ns) frame — split out so tests can feed PLANTED
+    disordered arrivals (the corpus itself arrives in order)."""
+    hr = F.expr("ts_ns div 3600000000000")
+    e = ev.select(
+        "event_id",
+        "ts_ns",
+        hr.alias("hr"),
+        ((hr + 1) * 3_600_000_000_000).alias("hr_end"),
+        F.expr(f"event_id div {_WM_C}").alias("b1"),
+        F.expr(f"event_id div {_WM_C} div {_WM_C}").alias("b2"),
+    )
+    w_in = (
+        Window.partitionBy("b1")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # L1: one row per id-bucket (max ts + its L2 group)
+    l1 = e.groupBy("b1", "b2").agg(F.max("ts_ns").alias("m1"))
+    w_l1 = (
+        Window.partitionBy("b2")
+        .orderBy("b1")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # L2: one row per C² ids — tiny at any corpus size; the only
+    # unpartitioned window runs here
+    l2 = l1.groupBy("b2").agg(F.max("m1").alias("m2"))
+    w_l2 = (
+        Window.orderBy("b2").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    l2_off = l2.select("b2", F.max("m2").over(w_l2).alias("off2"))
+    l1_off = (
+        l1.withColumn("off1", F.max("m1").over(w_l1))
+        .join(F.broadcast(l2_off), "b2")
+        .select(
+            "b1",
+            F.greatest(
+                F.coalesce("off1", F.lit(None)), F.coalesce("off2", F.lit(None))
+            ).alias("off"),
+        )
+    )
+    wm = (
+        e.join(l1_off, "b1")
+        .withColumn("inb", F.max("ts_ns").over(w_in))
+        .withColumn("prefix_max", F.greatest("inb", "off"))
+    )
+    late = (F.col("prefix_max") - WM_DELAY_NS) >= F.col("hr_end")
+    return wm.groupBy("hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(late, F.lit(1))).alias("n_late"),
+    )

@@ -314,3 +314,45 @@ def test_kmv_fallback_and_plan(spark):
         .toString()
     )
     assert "WindowGroupLimit" in p, p
+
+
+def test_watermark_audit_on_planted_disorder(spark):
+    """The late-detection machinery (three-level prefix scan + Spark's
+    eviction rule) must reproduce a pure-Python streaming replay on a
+    PLANTED disordered arrival stream — the fixture arrives in order
+    (n_late structurally 0, measured), so this is where the rule is
+    actually exercised (the phash planted-perturbation pattern)."""
+    import random
+
+    from paraslice_spark.operators.reshape import (
+        WM_DELAY_NS,
+        watermark_late_counts,
+    )
+
+    rng = random.Random(42)
+    base = 1_700_000_000_000_000_000
+    rows = []
+    ts_list = []
+    for i in range(5_000):
+        # event times drift forward with heavy jitter -> real disorder
+        ts = base + i * 7_000_000_000 + rng.randrange(0, 3_600_000_000_000)
+        rows.append((i, ts))
+        ts_list.append(ts)
+    df = spark.createDataFrame(rows, "event_id long, ts_ns long").repartition(8)
+    got = {
+        r["hr"]: (r["n_events"], r["n_late"])
+        for r in watermark_late_counts(df).collect()
+    }
+    # pure-Python replay of Spark's watermark eviction
+    expect: dict[int, list] = {}
+    prefix = None
+    for i, ts in enumerate(ts_list):  # arrival order = event_id order
+        hr = ts // 3_600_000_000_000
+        hr_end = (hr + 1) * 3_600_000_000_000
+        late = prefix is not None and prefix - WM_DELAY_NS >= hr_end
+        e = expect.setdefault(hr, [0, 0])
+        e[0] += 1
+        e[1] += int(late)
+        prefix = ts if prefix is None else max(prefix, ts)
+    assert got == {h: tuple(v) for h, v in expect.items()}
+    assert sum(v[1] for v in expect.values()) > 0  # disorder really bites

@@ -587,3 +587,21 @@ def test_ship_latency_windows_run_on_histogram(spark):
     assert wins and all(
         "sum(" in ln and "o_orderpriority" in ln for ln in wins
     ), p
+
+
+def test_watermark_audit_prefix_scan_decomposition(spark):
+    """events_watermark_late_audit claims the distributed prefix scan:
+    the in-bucket and L1 windows are PARTITIONED (b1 / b2); the only
+    unpartitioned window runs on the L2 summary — above an Aggregate
+    keyed by b2, never on raw event rows."""
+    import re
+
+    p = plan(QUERIES["events_watermark_late_audit"](spark, SF_SMALL))
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert len(wins) == 3, p
+    # partitioned Window nodes print a non-empty partition-spec list
+    # (..., [b1#..L], [order...]); the unpartitioned one has only the
+    # order list and must be the L2 (m2) summary window
+    unpart = [ln for ln in wins
+              if not re.search(r"\], \[b[12]#\d+L?\], \[", ln)]
+    assert len(unpart) == 1 and "m2" in unpart[0], p
