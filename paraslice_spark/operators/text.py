@@ -1795,3 +1795,66 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_ppm"),
         )
     )
+
+
+def _langid_eval_oracle() -> str:
+    """Composed from the REGISTERED text_langid oracle (the scoring rule
+    and tie-break are never restated).  Single reference — no
+    MATERIALIZED needed, and nothing recursive."""
+    from paraslice_spark.registry import ORACLES
+
+    return f"""
+    WITH pred AS ({ORACLES["text_langid"]}),
+    m AS (
+      SELECT d.lang, p.pred_class, COUNT(*) AS n_docs
+      FROM pred p JOIN documents d USING (doc_id)
+      GROUP BY 1, 2)
+    SELECT lang, pred_class, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs * 1000000
+                // SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+             AS row_share_ppm
+    FROM m
+    """
+
+
+@query("text_langid_eval", oracle=_langid_eval_oracle())
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER EVAL TABLE — the confusion matrix of the langid
+    heuristic's predicted class against the corpus's true lang label,
+    with each cell's share of its true-label row in integer ppm: the
+    model-evaluation step a labeling pipeline runs before trusting a
+    cheap classifier to route documents (precision/recall per class
+    read straight off the matrix).  (On this fixture the vocabulary is
+    deliberately identical across langs — text_langid's docstring — so
+    the matrix MEASURES that near-independence rather than recovering
+    labels; the contract is the exact count/share arithmetic.)
+
+    Pure composition: the Spark side joins the REGISTERED text_langid
+    output (no presentation tail) back to the lang column; the oracle
+    wraps the registered oracle.  Scale shape: the scoring scan is
+    text_langid's own; the matrix is one map-combined agg to
+    |langs|x|classes| rows, and the row-share window runs on that tiny
+    matrix PARTITIONED BY lang.  All integer (ppm floor-div)."""
+    from paraslice_spark.registry import QUERIES
+
+    d = load_tables(spark, sf_dir)["documents"]
+    pred = QUERIES["text_langid"](spark, sf_dir)
+    m = (
+        pred.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_class")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return m.select(
+        "lang",
+        "pred_class",
+        "n_docs",
+        F.expr("n_docs * 1000000").cast("long")
+        .alias("_num"),
+        F.sum("n_docs").over(w).alias("_den"),
+    ).select(
+        "lang",
+        "pred_class",
+        "n_docs",
+        F.expr("_num div _den").alias("row_share_ppm"),
+    )

@@ -356,3 +356,33 @@ def test_watermark_audit_on_planted_disorder(spark):
         prefix = ts if prefix is None else max(prefix, ts)
     assert got == {h: tuple(v) for h, v in expect.items()}
     assert sum(v[1] for v in expect.values()) > 0  # disorder really bites
+
+
+def test_langid_eval_matrix_consistency(spark):
+    """Confusion-matrix bookkeeping: cells partition the corpus (total
+    matches doc count), per-lang shares floor-sum to <= 1e6, and cell
+    counts agree with a direct recount of the composed prediction."""
+    rows = QUERIES["text_langid_eval"](spark, SF_SMALL).collect()
+    assert rows
+    from paraslice_spark.sources.io import load_tables
+
+    n_docs = load_tables(spark, SF_SMALL)["documents"].count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    by_lang: dict[str, int] = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["row_share_ppm"]
+        assert 0 < r["row_share_ppm"] <= 1_000_000
+    assert all(v <= 1_000_000 for v in by_lang.values())
+    pred = {
+        (r["lang"], r["pred_class"]): r["n_docs"] for r in rows
+    }
+    d = load_tables(spark, SF_SMALL)["documents"]
+    direct = {
+        (r["lang"], r["pred_class"]): r["count"]
+        for r in QUERIES["text_langid"](spark, SF_SMALL)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_class")
+        .count()
+        .collect()
+    }
+    assert pred == direct
