@@ -23,17 +23,17 @@ from paraslice_spark.registry import ORACLES, QUERIES
 # the cumulative post-regeneration sweep COMPLETED in r7 (every declared
 # name holds a driver verdict from r4-r7), so rotation is now freshness
 # maintenance.  Tier 0 (no tuple): the r8 additions — 10 from the first
-# session + 18 from the continuation session (doc_chunks,
+# session + 19 from the continuation session (doc_chunks,
 # hashed_features, doc_keywords, dataset_mix, cms_selfjoin_size,
 # stream_countmin_cells, session_concurrency, gini_by_nation,
 # cosine_histogram, int8_quant_audit, funnel_latency, hhi_by_type,
 # ship_latency, phash_groups, length_buckets, kmv_distinct,
-# watermark_late_audit, langid_eval) — plus
+# watermark_late_audit, langid_eval, stats_collect) — plus
 # customer_revenue_deciles, whose plan was
 # REWRITTEN this round (two-level ranking replacing the unpartitioned
 # ntile) and therefore needs a fresh hash verdict on the new plan;
-# 29 names, leaving ~21 of the r4 tail in the ~50 sample.  Tier 1: the
-# r4-graded names — the oldest standing verdicts (~21 of them fit the
+# 30 names, leaving ~20 of the r4 tail in the ~50 sample.  Tier 1: the
+# r4-graded names — the oldest standing verdicts (~20 of them fit the
 # ~50 sample next to tier 0; the rest spill into the r5 tier's turn
 # next round).  Tiers 2-4: r5-, r6-,
 # r7-graded names in verdict-age order (r7 includes last round's 48

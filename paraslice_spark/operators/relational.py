@@ -260,3 +260,68 @@ def audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.repartition(1).sortWithinPartitions("check_name")
+
+
+@query(
+    "stats_collect_lineitem",
+    oracle="""
+    WITH s AS (
+      SELECT * FROM (
+        SELECT 'l_quantity' AS col,
+               CAST(round(l_quantity*100) AS BIGINT) AS v FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(round(l_extendedprice*100) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', CAST(round(l_discount*100) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', l_partkey FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey', l_suppkey FROM lineitem))
+    SELECT col, CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) - COUNT(v) AS n_null,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+           MIN(v) AS min_v, MAX(v) AS max_v,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM s GROUP BY col ORDER BY col
+    """,
+)
+def stats_collect_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style TABLE STATISTICS collection — the CBO inputs
+    (row count, null count, exact NDV, min/max, sum) for the lineitem
+    columns a planner cares about, in ONE long-format pass: the engine
+    feature behind `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`,
+    declared so the numbers themselves are oracle-checked (Spark's own
+    ANALYZE writes catalog-internal state that can't be hash-compared).
+
+    Money columns quantize to exact cents (canon rule) so min/max/sum
+    are int64-exact; key columns pass through.  The stack is a per-row
+    map (5× fanout over the 5 profiled columns), then one map-combined
+    agg per column; exact NDV costs the usual distinct expansion —
+    groups by (col, v) first under the hood — which is the honest price
+    of exact NDV (the sketch path for 100 TB is agg_kmv_distinct_error/
+    agg_approx_distinct; this query IS the calibration source those
+    sketches get compared against).  5 output rows."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pairs = li.selectExpr(
+        """stack(5,
+                 'l_quantity', CAST(round(l_quantity*100) AS BIGINT),
+                 'l_extendedprice', CAST(round(l_extendedprice*100) AS BIGINT),
+                 'l_discount', CAST(round(l_discount*100) AS BIGINT),
+                 'l_partkey', l_partkey,
+                 'l_suppkey', l_suppkey) AS (col, v)"""
+    )
+    return (
+        pairs.groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+            F.countDistinct("v").alias("ndv"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.sum("v").alias("sum_v"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("col")
+    )

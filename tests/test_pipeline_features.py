@@ -386,3 +386,28 @@ def test_langid_eval_matrix_consistency(spark):
         .collect()
     }
     assert pred == direct
+
+
+def test_stats_collect_matches_direct_aggregates(spark):
+    """Each profiled column's row in the long-format stats pass must equal
+    a direct per-column aggregation (the ANALYZE numbers are real)."""
+    from paraslice_spark.functions.canon import cents
+    from paraslice_spark.sources.io import load_tables
+
+    li = load_tables(spark, SF_SMALL)["lineitem"]
+    got = {r["col"]: r for r in QUERIES["stats_collect_lineitem"](spark, SF_SMALL).collect()}
+    assert set(got) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_partkey", "l_suppkey"
+    }
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(cents("l_quantity")).alias("ndv_q"),
+        F.min(cents("l_quantity")).alias("min_q"),
+        F.sum(cents("l_extendedprice")).alias("sum_p"),
+        F.countDistinct("l_partkey").alias("ndv_pk"),
+    ).collect()[0]
+    q = got["l_quantity"]
+    assert (q["n"], q["ndv"], q["min_v"]) == (direct["n"], direct["ndv_q"], direct["min_q"])
+    assert got["l_extendedprice"]["sum_v"] == direct["sum_p"]
+    assert got["l_partkey"]["ndv"] == direct["ndv_pk"]
+    assert all(r["n_null"] == 0 for r in got.values())
