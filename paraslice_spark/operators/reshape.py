@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from paraslice_spark.functions.canon import (
     SPLIT_LABEL_SQL,
     cents,
+    md5_u32,
+    md5_u32_sql,
     micros_units,
     rev_cents,
     split_label,
@@ -229,7 +231,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_temperature",
-    oracle="""
+    oracle=f"""
     WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
     t AS (SELECT SUM(n) AS total FROM c),
     r AS (SELECT lang,
@@ -241,8 +243,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM r)
     SELECT d.doc_id, d.lang
     FROM documents d JOIN th USING (lang)
-    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UINTEGER
-          < th.thresh
+    WHERE {md5_u32_sql("d.doc_id")} < th.thresh
     """,
 )
 def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,12 +269,9 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("thresh", F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long"))
         .select("lang", "thresh")
     )
-    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
     return (
         d.join(F.broadcast(rates), "lang")
-        .where(u32 < F.col("thresh"))
+        .where(md5_u32("doc_id") < F.col("thresh"))
         .select("doc_id", "lang")
     )
 
