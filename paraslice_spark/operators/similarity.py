@@ -2964,3 +2964,81 @@ def embedding_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         err_sum.alias("err_sum"),
         rnd(err_sum.cast("double") / 8128000000.0, 9).alias("mean_abs_err"),
     )
+
+
+def knn_kcore_decomposition(
+    spark: SparkSession, sf_dir: str, max_k: int = 16
+) -> DataFrame:
+    """K-CORE DECOMPOSITION of the undirected kNN graph — iterative peel
+    (Matula & Beck '83 in DataFrame form): for k = 2, 3, ... repeatedly
+    delete nodes with degree < k until a fixpoint; a node's core number
+    is the largest k whose fixpoint retains it.  The density member of
+    the graph family (pagerank = centrality, LPA = partitioning,
+    triangles = cohesion, k-core = engagement shells — data-pruning
+    pipelines keep the dense core of a similarity graph).
+
+    Scale shape: the peel round is one groupBy(degree) + one semi-join
+    — id-only shuffles on the memoized checkpointed edge list; each
+    inner fixpoint converges when the node count stops falling (a
+    single scalar to the driver — the dedup_groups checksum idiom), and
+    lineage stays flat by re-rooting the surviving edge set on a
+    localCheckpoint per k (the bpe_train_merges loop idiom, superseded
+    rounds freed).  Test-only: core numbers are loop-internal (a DuckDB
+    twin would re-implement the peel); invariants in
+    tests/test_graph_kcore.py."""
+    knn = _knn_graph_cached(spark, sf_dir)
+    fwd = knn.select(F.col("vec_id").alias("s"), F.col("neighbor_id").alias("t"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    core = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "core", F.lit(1)
+    )
+    prev_edges = edges
+    for k in range(2, max_k + 1):
+        # inner fixpoint: peel degree-<k nodes until stable
+        cur = prev_edges
+        n_prev = None
+        while True:
+            deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+            keep = deg.where(F.col("d") >= k).select("s")
+            n = keep.count()
+            if n == 0:
+                cur = None
+                break
+            if n_prev is not None and n == n_prev:
+                break
+            n_prev = n
+            nxt = (
+                cur.join(keep, "s", "left_semi")
+                .join(keep.select(F.col("s").alias("t")), "t", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            if cur is not prev_edges:
+                _free_local_checkpoint(cur)
+            cur = nxt
+        if cur is None:
+            break
+        survivors = cur.select("s").distinct()
+        core = (
+            core.join(
+                survivors.select(F.col("s").alias("node")).withColumn(
+                    "in_core", F.lit(True)
+                ),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.when(F.col("in_core"), F.lit(k)).otherwise(F.col("core")).alias(
+                    "core"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if prev_edges is not edges:
+            _free_local_checkpoint(prev_edges)
+        prev_edges = cur
+    return core

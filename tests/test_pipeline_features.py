@@ -411,3 +411,46 @@ def test_stats_collect_matches_direct_aggregates(spark):
     assert got["l_extendedprice"]["sum_v"] == direct["sum_p"]
     assert got["l_partkey"]["ndv"] == direct["ndv_pk"]
     assert all(r["n_null"] == 0 for r in got.values())
+
+
+def test_hist_selection_matches_numpy_nearest_rank(spark):
+    """The shared hist_selection_frame/hist_at_rank machinery must select
+    EXACTLY the nearest-rank order statistic for arbitrary multisets —
+    one Spark job over 40 seeded random groups (duplicates, skew, and
+    single-value groups included), checked against a direct sort."""
+    import random
+
+    from paraslice_spark.operators.aggregates import (
+        hist_at_rank,
+        hist_selection_frame,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    groups: dict[str, list] = {}
+    for g in range(40):
+        key = f"g{g}"
+        n = rng.choice([1, 2, 3, 7, 50, 500])
+        vals = [
+            rng.randrange(0, rng.choice([2, 10, 10_000_000])) for _ in range(n)
+        ]
+        groups[key] = sorted(vals)
+        rows += [(key, v) for v in vals]
+    df = spark.createDataFrame(rows, "k string, v long").repartition(8)
+    hist = df.groupBy("k", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    r = hist_selection_frame(hist, "k", "v")
+    got = {
+        row["k"]: (row["p50"], row["p90"])
+        for row in r.groupBy("k")
+        .agg(
+            hist_at_rank("v", "(n + 1) div 2").alias("p50"),
+            hist_at_rank("v", "(9 * n + 9) div 10").alias("p90"),
+        )
+        .collect()
+    }
+    for key, vals in groups.items():
+        n = len(vals)
+        assert got[key] == (
+            vals[(n + 1) // 2 - 1],
+            vals[(9 * n + 9) // 10 - 1],
+        ), key
