@@ -1085,3 +1085,203 @@ def agg_kmv_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("event_type")
     )
+
+
+# --- exact rank statistics ---------------------------------------------------
+
+
+@query(
+    "lineitem_mannwhitney_u",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(ROUND(l_quantity) AS BIGINT) AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    byv AS (SELECT v, SUM(g1) AS c1, SUM(1 - g1) AS c2 FROM q GROUP BY v),
+    r AS (
+      SELECT v, c1, c2,
+             COALESCE(SUM(c1 + c2) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum
+      FROM byv
+    ),
+    s AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(c1 * (2 * cum + c1 + c2 + 1)) AS BIGINT) AS two_r1,
+             CAST(SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
+                  AS BIGINT) AS tie_term
+      FROM r
+    )
+    SELECT n1, n2,
+           CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS two_u1, tie_term,
+           ROUND(CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                 / CAST(n1 * n2 AS DOUBLE), 6) AS cles,
+           ROUND((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                  - CAST(n1 * n2 AS DOUBLE) / 2.0)
+                 / sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+                        * (CAST(n1 + n2 + 1 AS DOUBLE)
+                           - CAST(tie_term AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE)
+                                * CAST(n1 + n2 - 1 AS DOUBLE)))), 6) AS z
+    FROM s
+    """,
+)
+def lineitem_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U — the nonparametric two-sample location test,
+    computed EXACTLY from the tie-count histogram (returned vs shipped-ok
+    line quantities): ranks never touch a row.  Group by value gives
+    (c1, c2) tie counts; with cum = items strictly below v, the rank-sum
+    identity Σ 2·avg_rank = c1·(2·cum + t + 1) per tie group (t = c1+c2)
+    makes 2R₁ — and therefore 2U₁ = 2R₁ − 2·n1(n1+1)/2 — exact int64.
+    The tie-corrected normal approximation's z and the common-language
+    effect size U/(n1·n2) are each ONE structured double expression over
+    those exact integers (house one-division rule; corr/covar precedent
+    says rnd(6) is engine-stable).
+
+    Scale shape: one shuffle (groupBy value) collapses the fact table to
+    the VALUE VOCABULARY (50 distinct quantities), so the running-count
+    window is over 50 rows — bounded by cardinality, not data; the same
+    histogram-not-rows idiom as hist_selection_frame.  Overflow audit:
+    2R₁ ≤ 2·max(c1)·N stays < 2⁶³ past 10⁸ rows; tie_term's t³ is the
+    first to overflow (~10⁸ rows per tie group) — at that scale swap the
+    tie_term column to DECIMAL(38,0)/HUGEINT (cusum precedent)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    q = li.where(F.col("l_returnflag").isin("R", "N")).select(
+        F.round(F.col("l_quantity")).cast("long").alias("v"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("g1"),
+    )
+    byv = q.groupBy("v").agg(
+        F.sum("g1").alias("c1"), F.sum(F.lit(1) - F.col("g1")).alias("c2")
+    )
+    # the window runs over the 50-row value vocabulary, not the fact table
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = byv.withColumn(
+        "cum", F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0))
+    )
+    t = F.col("c1") + F.col("c2")
+    s = r.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cum") + t + 1)).alias("two_r1"),
+        F.sum(t * t * t - t).alias("tie_term"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    two_u1 = F.col("two_r1") - n1 * (n1 + 1)
+    u1d = two_u1.cast("double") / 2.0
+    nn = (n1 * n2).cast("double")
+    var = nn / 12.0 * (
+        (n1 + n2 + 1).cast("double")
+        - F.col("tie_term").cast("double")
+        / ((n1 + n2).cast("double") * (n1 + n2 - 1).cast("double"))
+    )
+    return s.select(
+        n1,
+        n2,
+        two_u1.cast("long").alias("two_u1"),
+        "tie_term",
+        rnd(u1d / nn, 6).alias("cles"),
+        rnd((u1d - nn / 2.0) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+@query(
+    "orders_ks_price_shift",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    byv AS (SELECT v, SUM(g1) AS c1, SUM(1 - g1) AS c2 FROM q GROUP BY v),
+    c AS (SELECT v, SUM(c1) OVER (ORDER BY v) AS r1,
+                 SUM(c2) OVER (ORDER BY v) AS r2
+          FROM byv),
+    t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2 FROM byv)
+    SELECT n1, n2,
+           CAST(ABS(r1 * n2 - r2 * n1) AS BIGINT) AS d_num,
+           ROUND(CAST(ABS(r1 * n2 - r2 * n1) AS DOUBLE)
+                 / CAST(n1 * n2 AS DOUBLE), 6) AS ks_d,
+           v AS ks_at_cents,
+           CAST(r1 AS BIGINT) AS ecdf1_cnt, CAST(r2 AS BIGINT) AS ecdf2_cnt
+    FROM c, t
+    ORDER BY ABS(r1 * n2 - r2 * n1) DESC, v LIMIT 1
+    """,
+)
+def orders_ks_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV distance between the order-value
+    distributions of urgent vs low-priority orders — EXACT via integer
+    cross-multiplication: at every pooled distinct price (int64 cents),
+    D's numerator |R₁·n2 − R₂·n1| is an exact int64, the sup is an exact
+    argmax (min-price tiebreak → the LIMIT 1 boundary is tie-free), and
+    ks_d is ONE IEEE division of two exact integers → ROUND(,6) is
+    engine-stable.  Output also pins the ECDF step counts at the argmax.
+
+    Scale shape: full-cardinality values (prices are ~all distinct), so
+    the running counts use the house TWO-LEVEL PREFIX SCAN instead of one
+    unpartitioned window (the customer_revenue_deciles re-plan lesson):
+    level 1 — per-$10k-bucket inclusive cumsums, windows partitioned by
+    bucket; level 2 — exclusive bucket offsets, a window over the ~55-row
+    bucket summary, broadcast back.  One value-shuffle + one tiny
+    broadcast; the argmax is TakeOrderedAndProject (LIMIT 1), never a
+    global sort."""
+    o = load_tables(spark, sf_dir)["orders"]
+    q = o.where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
+        cents("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("g1"),
+    )
+    byv = q.groupBy("v").agg(
+        F.sum("g1").alias("c1"), F.sum(F.lit(1) - F.col("g1")).alias("c2")
+    ).withColumn("bkt", F.expr("v div 1000000"))
+    w_in = Window.partitionBy("bkt").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = byv.select(
+        "v",
+        "bkt",
+        F.sum("c1").over(w_in).alias("p1"),
+        F.sum("c2").over(w_in).alias("p2"),
+    )
+    # bucket offsets: a window over the ~55-row bucket summary table
+    bsum = byv.groupBy("bkt").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bsum.select(
+        "bkt",
+        F.coalesce(F.sum("b1").over(w_b), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("b2").over(w_b), F.lit(0)).alias("o2"),
+    )
+    tot = byv.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    c = (
+        cum.join(F.broadcast(boff), "bkt")
+        .select(
+            "v",
+            (F.col("p1") + F.col("o1")).alias("r1"),
+            (F.col("p2") + F.col("o2")).alias("r2"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    d = F.abs(F.col("r1") * F.col("n2") - F.col("r2") * F.col("n1"))
+    return (
+        c.select(
+            "n1",
+            "n2",
+            d.cast("long").alias("d_num"),
+            rnd(
+                d.cast("double") / (F.col("n1") * F.col("n2")).cast("double"), 6
+            ).alias("ks_d"),
+            F.col("v").alias("ks_at_cents"),
+            F.col("r1").alias("ecdf1_cnt"),
+            F.col("r2").alias("ecdf2_cnt"),
+        )
+        .orderBy(F.desc("d_num"), "ks_at_cents")
+        .limit(1)
+    )

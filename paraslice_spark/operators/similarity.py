@@ -3042,3 +3042,175 @@ def knn_kcore_decomposition(
             _free_local_checkpoint(prev_edges)
         prev_edges = cur
     return core
+
+
+# --- co-purchase k-core peel trace -----------------------------------------
+
+_KCORE_KS = (2, 3, 4)  # peel thresholds declared in the trace
+_KCORE_MIN_SUPPORT = 2  # co-order count for a part pair to be an edge
+
+
+def _kcore_recursive_cte(k: int) -> str:
+    """One per-k recursive CTE for the synchronous-peel oracle.
+
+    The recursive term re-derives the surviving node set from the working
+    table (the previous round's rows) and emits it ONLY when it strictly
+    shrank — at a fixpoint the emitted row set is empty and the recursion
+    terminates, so ``aliveK`` holds exactly the strictly-shrinking round
+    snapshots including the fixpoint itself (verified against a from-
+    scratch Python peel on multi-round path graphs and on the
+    empties-to-zero case)."""
+    return f"""
+    alive{k}(r, node) AS (
+        SELECT 0 AS r, s AS node FROM kedges GROUP BY s
+      UNION ALL
+        SELECT r + 1 AS r, node FROM (
+          SELECT MAX(w.r) OVER () AS r, d.node,
+                 COUNT(*) OVER () AS n_surv,
+                 (SELECT COUNT(*) FROM alive{k}) AS n_prev
+          FROM (
+            SELECT e.s AS node, COUNT(*) AS deg
+            FROM kedges e
+            JOIN alive{k} w1 ON e.s = w1.node
+            JOIN alive{k} w2 ON e.t = w2.node
+            GROUP BY e.s
+            HAVING COUNT(*) >= {k}
+          ) d, (SELECT DISTINCT r FROM alive{k}) w
+        ) WHERE n_surv < n_prev
+    )"""
+
+
+_KCORE_TRACE_ORACLE = f"""
+    WITH RECURSIVE
+    o AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pp AS MATERIALIZED (
+      SELECT a.l_partkey AS s, b.l_partkey AS t
+      FROM o a JOIN o b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SUPPORT}
+    ),
+    kedges AS MATERIALIZED (
+      SELECT s, t FROM pp UNION ALL SELECT t, s FROM pp
+    ),
+    {','.join(_kcore_recursive_cte(k) for k in _KCORE_KS)},
+    tr AS (
+      {' UNION ALL '.join(
+          f"SELECT {k} AS k, r, node FROM alive{k}" for k in _KCORE_KS)}
+    ),
+    al AS (SELECT k, r, COUNT(*) AS n_alive FROM tr GROUP BY 1, 2),
+    ec AS (
+      SELECT a1.k, a1.r, COUNT(*) AS n_dir
+      FROM tr a1
+      JOIN kedges e ON e.s = a1.node
+      JOIN tr a2 ON a2.k = a1.k AND a2.r = a1.r AND a2.node = e.t
+      GROUP BY 1, 2
+    )
+    SELECT CAST(al.k AS INT) AS k, CAST(al.r AS INT) AS round,
+           CAST(al.n_alive AS BIGINT) AS n_alive,
+           CAST(COALESCE(ec.n_dir, 0) // 2 AS BIGINT) AS n_edges
+    FROM al LEFT JOIN ec ON ec.k = al.k AND ec.r = al.r
+    ORDER BY k, round
+    """
+
+
+@query("graph_copurchase_kcore_trace", oracle=_KCORE_TRACE_ORACLE)
+def graph_copurchase_kcore_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE PEEL TRACE of the co-purchase graph — the iterative graph
+    algorithm declared with a FULL hash oracle: parts are nodes, an edge
+    means two parts co-occur in >= _KCORE_MIN_SUPPORT distinct orders (the
+    market_basket_pairs substrate), and for each k in _KCORE_KS the
+    synchronous peel (remove every node of degree < k, repeat) is run to
+    its fixpoint.  The declared output is the DECAY CURVE — one row per
+    (k, round) while the alive set strictly shrinks: surviving node and
+    edge counts.  The trace is the useful analytics artifact (how fast the
+    graph's casual fringe evaporates vs its dense core) and, unlike a
+    membership set, it is non-vacuous at every SF even where a core
+    empties or the whole graph survives round 0.
+
+    The DuckDB twin runs the SAME synchronous peel as one recursive CTE
+    per k: the complement of the usual trick — the recursive term re-peels
+    the working table and emits only strict shrinks, so it terminates at
+    the fixpoint instead of looping on it.  kedges is MATERIALIZED because
+    anything referenced from a recursive term re-executes PER ITERATION
+    when inlined (house trap, CLAUDE.md).
+
+    Scale shape: the pair build fans out only within order baskets
+    (Σ|basket|², baskets <= 7 lines — linear in orders); the symmetric
+    edge list is checkpointed once and every peel round is one
+    groupBy(k, s) degree count plus two id-only semi-joins on it.  All
+    three k-peels advance in ONE tagged state table per round (k is a
+    state column), so the driver loop runs max-rounds-over-k times, not
+    sum; per round only O(|ks|) convergence scalars reach the driver —
+    the dedup_groups checksum idiom — and each round re-roots lineage on
+    an eager localCheckpoint with the superseded round's blocks freed
+    (the bpe_train_merges idiom).  At 100 TB the state is the (already
+    aggregated, support-thresholded) pair graph, orders of magnitude
+    smaller than the fact table, and rounds are O(log n) in practice."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    o = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
+    a = o.select("l_orderkey", F.col("l_partkey").alias("s"))
+    b = o.select("l_orderkey", F.col("l_partkey").alias("t"))
+    p = (
+        a.join(b, "l_orderkey")
+        .where(F.col("s") < F.col("t"))
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= _KCORE_MIN_SUPPORT)
+        .select("s", "t")
+    )
+    edges = p.unionByName(p.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    state = (
+        edges.withColumn(
+            "k", F.explode(F.array(*[F.lit(k) for k in _KCORE_KS]))
+        )
+        .select("k", "s", "t")
+        .localCheckpoint(eager=True)
+    )
+    # round-0 snapshot: every k starts from the full node/edge set
+    row0 = state.groupBy("k").agg(
+        F.countDistinct("s").alias("n_alive"),
+        F.count(F.lit(1)).alias("n_dir"),
+    ).collect()
+    trace: list[tuple[int, int, int, int]] = []
+    prev_alive: dict[int, int] = {}
+    for rw in row0:
+        trace.append((int(rw["k"]), 0, int(rw["n_alive"]), int(rw["n_dir"]) // 2))
+        prev_alive[int(rw["k"])] = int(rw["n_alive"])
+    r = 0
+    while prev_alive:
+        r += 1
+        deg = state.groupBy("k", "s").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= F.col("k")).select("k", "s")
+        alive_now = {
+            int(rw["k"]): int(rw["n"])
+            for rw in keep.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # a k continues only while its alive set strictly shrank and is
+        # nonempty — mirrors the oracle's emit-on-shrink recursion exactly
+        live_ks = [
+            k for k, n_prev in prev_alive.items()
+            if 0 < alive_now.get(k, 0) < n_prev
+        ]
+        if not live_ks:
+            _free_local_checkpoint(state)
+            break
+        nxt = (
+            state.where(F.col("k").isin(live_ks))
+            .join(keep, ["k", "s"], "left_semi")
+            .join(keep.select("k", F.col("s").alias("t")), ["k", "t"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        _free_local_checkpoint(state)
+        state = nxt
+        n_dir = {
+            int(rw["k"]): int(rw["n"])
+            for rw in state.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        prev_alive = {}
+        for k in live_ks:
+            trace.append((k, r, alive_now[k], n_dir.get(k, 0) // 2))
+            prev_alive[k] = alive_now[k]
+    out = spark.createDataFrame(
+        trace, "k int, round int, n_alive long, n_edges long"
+    )
+    return out.repartition(1).sortWithinPartitions("k", "round")
