@@ -3214,3 +3214,89 @@ def graph_copurchase_kcore_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         trace, "k int, round int, n_alive long, n_edges long"
     )
     return out.repartition(1).sortWithinPartitions("k", "round")
+
+
+# --- duplicate-group representative selection --------------------------------
+
+
+def _keep_best_oracle() -> str:
+    """Composed from dedup_groups' REGISTERED oracle plus the shared
+    WORDS_SQL quality metric (single source of truth: a change to the
+    component rule or the tokenizer flows into this audit automatically)."""
+    from paraslice_spark.operators.text import WORDS_SQL
+    from paraslice_spark.registry import ORACLES
+
+    return f"""
+    WITH g AS MATERIALIZED (
+      -- MATERIALIZED: the recursive reachability closure inside would
+      -- otherwise re-run per downstream reference (house trap)
+      SELECT doc_id, rep_id FROM ({ORACLES["dedup_groups"]})
+      WHERE group_size >= 2
+    ),
+    w AS (SELECT doc_id, len({WORDS_SQL}) AS words FROM documents),
+    ranked AS (
+      SELECT g.rep_id, g.doc_id, w.words,
+             row_number() OVER (PARTITION BY g.rep_id
+                                ORDER BY w.words DESC, g.doc_id) AS rn
+      FROM g JOIN w USING (doc_id)
+    )
+    SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+             AS keep_doc_id,
+           CAST(MAX(CASE WHEN rn = 1 THEN words END) AS BIGINT)
+             AS keep_words,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rn > 1 THEN words ELSE 0 END) AS BIGINT)
+             AS words_dropped
+    FROM ranked GROUP BY rep_id ORDER BY rep_id
+    """
+
+
+@query("dedup_keep_best", oracle=_keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATE-GROUP RESOLUTION — the step after detection that an
+    actual training-data pipeline ships: within every near-dup component
+    (the dedup_groups J >= 0.6 clusters), KEEP the highest-quality member
+    (max word count, min doc_id tiebreak) and account for what was
+    dropped: docs removed and words saved per group.  The words_dropped
+    column is the number dataset curators report ("dedup removed X% of
+    tokens").
+
+    Scale shape: components come from the memoized min-label fixpoint
+    (_components_cached — ids only), the quality metric joins on doc_id
+    (one shuffle, text never moves), and the representative pick is a
+    per-group window whose partitions are dup-cluster-sized (bounded by
+    the largest near-dup cluster, not the corpus).  Oracle composed from
+    the registered dedup_groups closure + shared WORDS_SQL."""
+    from paraslice_spark.operators.text import doc_words
+
+    labels = _components_cached(
+        spark, sf_dir, "all",
+        lambda: _min_label_components(
+            _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+        ),
+    )
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", F.size(doc_words()).cast("long").alias("words")
+    )
+    # every labeled node sits in a >= 2 component by construction (labels
+    # exist only for edge-participating docs) — the oracle's size filter
+    j = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("rep_id")).join(
+        d, "doc_id"
+    )
+    w = Window.partitionBy("rep_id").orderBy(F.desc("words"), "doc_id")
+    r = j.withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy("rep_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("words"))).alias("keep_words"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+            F.sum(F.when(F.col("rn") > 1, F.col("words")).otherwise(F.lit(0))).alias(
+                "words_dropped"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("rep_id")
+    )
