@@ -19,6 +19,7 @@ from paraslice_spark.functions.canon import (
     md5_u32_sql,
     micros_units,
     rev_cents,
+    rnd,
     split_label,
 )
 from paraslice_spark.registry import query
@@ -2777,4 +2778,96 @@ def watermark_late_counts(ev: DataFrame) -> DataFrame:
     return wm.groupBy("hr").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count(F.when(late, F.lit(1))).alias("n_late"),
+    )
+
+
+@query(
+    "events_autocorr_minutes",
+    oracle="""
+    WITH c AS (SELECT epoch_ns(ts) // 60000000000 AS m, COUNT(*) AS x
+               FROM events GROUP BY 1),
+    bounds AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM c),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS m FROM bounds),
+    b AS MATERIALIZED (
+      -- 4 references below; inlined, DuckDB recomputes the spine join per
+      -- reference (measured 28 s -> 0.05 s at sf0.01)
+      SELECT s.m, COALESCE(c.x, 0) AS x FROM spine s LEFT JOIN c USING (m)),
+    t AS (SELECT CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+          FROM b),
+    ks AS (SELECT unnest(range(1, 6)) AS k),
+    p AS (SELECT k.k, a.x AS x0, bb.x AS xl
+          FROM b a JOIN ks k ON true JOIN b bb ON bb.m = a.m - k.k),
+    num AS (SELECT k,
+                   CAST(SUM((t.n * x0 - t.s) * (t.n * xl - t.s)) AS BIGINT)
+                     AS num
+            FROM p, t GROUP BY k),
+    den AS (SELECT CAST(SUM((t.n * x - t.s) * (t.n * x - t.s)) AS BIGINT)
+              AS den
+            FROM b, t)
+    SELECT CAST(num.k AS INT) AS k, t.n AS n_minutes, num.num, den.den,
+           ROUND(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) AS acf
+    FROM num, den, t ORDER BY k
+    """,
+)
+def events_autocorr_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-k AUTOCORRELATION (k = 1..5) of the per-minute event-count
+    series — the seasonality/burstiness fingerprint next to
+    events_seasonality_profile (which averages by clock position) and
+    events_cusum_changepoint (level shifts): does traffic this minute
+    predict the next?
+
+    EXACT in the cusum n-scaled form: with S = Σx and n = spanned minutes,
+    num_k = Σ (n·x_t − S)(n·x_{t+k} − S) and den = Σ (n·x_t − S)² are
+    exact int64 (gap minutes MUST be zero-filled or lags misalign — the
+    spine is generated, never shuffled), and acf = num/den is ONE IEEE
+    division → ROUND(,6).  Overflow audit: n·max(x) ≲ S ⇒ terms ≤ S²·n ≈
+    4·10¹⁶ at sf0.1 and ~4·10¹⁸ at 100× — past that widen to per-hour
+    buckets or DECIMAL; DuckDB's HUGEINT sums are the canary.
+
+    Plan: one hash agg to the minute series (bounded by the time span,
+    never the row count), the series localCheckpointed once for its three
+    consumers (stats, current, lagged — no common-subplan sharing in
+    Catalyst otherwise), lags as ONE exploded shift-join on minute ids
+    (shuffle on m, k a payload column — 5 lags cost one join, not five),
+    moment scalars broadcast."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cnt = ev.groupBy(F.expr("ts_ns div 60000000000").alias("m")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    bounds = cnt.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("m"))
+    b = (
+        spine.join(cnt, "m", "left")
+        .select("m", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    t = b.agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    lag = b.withColumn(
+        "k", F.explode(F.array(*[F.lit(k) for k in range(1, 6)]))
+    ).select((F.col("m") + F.col("k")).alias("m"), "k", F.col("x").alias("xl"))
+    dev0 = F.col("n") * F.col("x") - F.col("s")
+    devl = F.col("n") * F.col("xl") - F.col("s")
+    num = (
+        b.join(lag, "m")
+        .crossJoin(F.broadcast(t))
+        .groupBy("k")
+        .agg(F.sum(dev0 * devl).alias("num"))
+    )
+    den = (
+        b.crossJoin(F.broadcast(t))
+        .agg(F.sum(dev0 * dev0).alias("den"), F.max("n").alias("n_minutes"))
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_minutes",
+            "num",
+            "den",
+            rnd(F.col("num").cast("double") / F.col("den").cast("double"), 6).alias(
+                "acf"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("k")
     )
