@@ -1237,9 +1237,16 @@ def orders_ks_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("g1"),
     )
-    byv = q.groupBy("v").agg(
-        F.sum("g1").alias("c1"), F.sum(F.lit(1) - F.col("g1")).alias("c2")
-    ).withColumn("bkt", F.expr("v div 1000000"))
+    # byv feeds two consumers (the in-bucket windows and the bucket
+    # summary) that share no common subplan in Catalyst — materialize the
+    # distinct-value histogram once, scan the fact table once (the
+    # market_basket_pairs localCheckpoint idiom)
+    byv = (
+        q.groupBy("v")
+        .agg(F.sum("g1").alias("c1"), F.sum(F.lit(1) - F.col("g1")).alias("c2"))
+        .withColumn("bkt", F.expr("v div 1000000"))
+        .localCheckpoint(eager=False)
+    )
     w_in = Window.partitionBy("bkt").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1249,7 +1256,8 @@ def orders_ks_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").over(w_in).alias("p1"),
         F.sum("c2").over(w_in).alias("p2"),
     )
-    # bucket offsets: a window over the ~55-row bucket summary table
+    # bucket offsets: a window over the ~55-row bucket summary table,
+    # which also carries the grand totals (no third pass over byv)
     bsum = byv.groupBy("bkt").agg(
         F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
     )
@@ -1259,7 +1267,7 @@ def orders_ks_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("b1").over(w_b), F.lit(0)).alias("o1"),
         F.coalesce(F.sum("b2").over(w_b), F.lit(0)).alias("o2"),
     )
-    tot = byv.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    tot = bsum.agg(F.sum("b1").alias("n1"), F.sum("b2").alias("n2"))
     c = (
         cum.join(F.broadcast(boff), "bkt")
         .select(

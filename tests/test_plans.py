@@ -605,3 +605,52 @@ def test_watermark_audit_prefix_scan_decomposition(spark):
     unpart = [ln for ln in wins
               if not re.search(r"\], \[b[12]#\d+L?\], \[", ln)]
     assert len(unpart) == 1 and "m2" in unpart[0], p
+
+
+def test_ks_two_level_prefix_scan(spark):
+    """orders_ks_price_shift claims the two-level prefix scan: the
+    in-bucket cumsum windows are PARTITIONED by bkt; the only
+    unpartitioned window runs on the ~55-row bucket summary (above an
+    Aggregate keyed by bkt); the argmax is TakeOrderedAndProject, never
+    a global Sort+Limit."""
+    p = plan(QUERIES["orders_ks_price_shift"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in p, p
+    # the value histogram is checkpointed once — no repeated fact scans
+    assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert len(wins) == 2, p
+    # partitioned Window nodes print partition+order lists ("], [" twice)
+    part = [ln for ln in wins if ln.count("], [") == 2]
+    assert len(part) == 1 and "windowspecdefinition(bkt" in part[0], p
+    # the unpartitioned one cumulates bucket totals (b1/b2), not values
+    unpart = [ln for ln in wins if ln.count("], [") == 1]
+    assert len(unpart) == 1 and "sum(b1" in unpart[0], p
+    assert "BroadcastExchange" in p, p
+
+
+def test_mannwhitney_window_on_value_vocabulary(spark):
+    """lineitem_mannwhitney_u claims ranks-never-touch-a-row: the
+    returnflag predicate is pushed to the scan, the corpus is scanned
+    once, and the single (unpartitioned, vocabulary-sized) running-count
+    window consumes the post-aggregate tie histogram — no row_number, no
+    raw fact columns in the window."""
+    p = plan(QUERIES["lineitem_mannwhitney_u"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 1, p
+    assert "PushedFilters: [In(l_returnflag" in p, p
+    assert "row_number" not in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    # ordered by the post-aggregate value column, never a raw fact column
+    assert len(wins) == 1 and "windowspecdefinition(v#" in wins[0], p
+    assert "l_quantity" not in wins[0], p
+
+
+def test_autocorr_shift_join_no_windows(spark):
+    """events_autocorr_minutes claims the exploded shift-JOIN lag plan:
+    no Window node anywhere (lags come from a minute-id equi-join, so
+    the series never funnels through one task), moment scalars broadcast,
+    and the 5 lags ride one Generate explode, not five joins."""
+    p = plan(QUERIES["events_autocorr_minutes"](spark, SF_SMALL))
+    assert "Window [" not in p, p
+    assert "BroadcastExchange" in p, p
+    assert p.count("Generate explode") >= 1, p
+    assert p.count("SortMergeJoin") <= 1, p
