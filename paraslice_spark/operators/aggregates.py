@@ -1293,3 +1293,124 @@ def orders_ks_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("d_num"), "ks_at_cents")
         .limit(1)
     )
+
+
+def _rank2_map(byv: DataFrame, width: int) -> DataFrame:
+    """(v, t) tie histogram -> (v, r2) where r2 = 2·(average pooled rank)
+    = 2·cum_before + t + 1 — exact int64, no per-row ranking.  Running
+    counts use the two-level prefix scan (in-bucket exclusive cumsum
+    partitioned by v div width, exclusive bucket offsets over the tiny
+    bucket summary, broadcast back) so full-cardinality value domains
+    never funnel through one task."""
+    b = byv.withColumn("bkt", F.expr(f"v div {width}"))
+    w_in = Window.partitionBy("bkt").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = b.select(
+        "v", "bkt", "t", F.coalesce(F.sum("t").over(w_in), F.lit(0)).alias("ci")
+    )
+    bsum = b.groupBy("bkt").agg(F.sum("t").alias("bt"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bsum.select(
+        "bkt", F.coalesce(F.sum("bt").over(w_b), F.lit(0)).alias("off")
+    )
+    return cum.join(F.broadcast(boff), "bkt").select(
+        "v",
+        (2 * (F.col("ci") + F.col("off")) + F.col("t") + 1).alias("r2"),
+    )
+
+
+@query(
+    "lineitem_spearman_qty_price",
+    oracle="""
+    WITH rows_ AS MATERIALIZED (
+      SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    rx AS (SELECT v, 2 * COALESCE(SUM(t) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + t + 1 AS r2
+           FROM (SELECT x AS v, COUNT(*) AS t FROM rows_ GROUP BY 1)),
+    ry AS (SELECT v, 2 * COALESCE(SUM(t) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + t + 1 AS r2
+           FROM (SELECT y AS v, COUNT(*) AS t FROM rows_ GROUP BY 1)),
+    j AS (SELECT rx.r2 AS a, ry.r2 AS b
+          FROM rows_ JOIN rx ON rx.v = rows_.x JOIN ry ON ry.v = rows_.y),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(a) AS BIGINT) AS sx, CAST(SUM(b) AS BIGINT) AS sy,
+                 CAST(SUM(a * a) AS BIGINT) AS sxx,
+                 CAST(SUM(b * b) AS BIGINT) AS syy,
+                 CAST(SUM(a * b) AS BIGINT) AS sxy
+          FROM j)
+    SELECT n, sx, sy, sxx, syy, sxy,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS rho
+    FROM m
+    """,
+)
+def lineitem_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION between line quantity and extended price
+    — the tie-aware monotonic-association statistic next to
+    agg_stats_bivariate's Pearson family.  EXACT rank moments: each
+    variable's doubled average rank r2 = 2·cum_before + t + 1 is int64
+    (the Mann-Whitney tie-histogram identity), rows get (r2x, r2y) by
+    joining back on value, and the five Σ moments are exact int64
+    (Σ(2r)² ≤ 4n³ ≈ 8.6·10¹⁷ at sf0.1 — DuckDB HUGEINT sums + CAST are
+    the overflow canary; past ~10⁶ rows widen to DECIMAL).  rho is one
+    structured double expression over those exact integers, identical on
+    both engines → ROUND(,6) (corr/covar precedent; the >2⁵³ moments
+    convert long→double identically on both sides).
+
+    Scale shape: per-variable rank maps via the two-level prefix scan
+    (_rank2_map — quantity's 50-value vocabulary and price's near-full
+    cardinality run the same plan, partitioned windows + broadcast
+    offsets), rank assignment is two value-keyed equi-joins (ids/values
+    only, one shuffle each), and the moments collapse in a single
+    partial+final agg.
+
+    Fixture note: the synthetic corpus draws quantity and price
+    INDEPENDENTLY (measured rho ≈ 0.001-0.003 at every SF; all
+    cross-column corrs ≈ 0) — the near-zero rho is the correct value,
+    and the verification strength lives in the six exact rank moments,
+    not the headline statistic (the dedup_embedding_cosine
+    documented-fixture-property precedent)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    rows_ = li.select(
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        cents("l_extendedprice").alias("y"),
+    ).localCheckpoint(eager=False)
+    rx = _rank2_map(
+        rows_.groupBy(F.col("x").alias("v")).agg(F.count(F.lit(1)).alias("t")),
+        8,
+    )
+    ry = _rank2_map(
+        rows_.groupBy(F.col("y").alias("v")).agg(F.count(F.lit(1)).alias("t")),
+        1000000,
+    )
+    j = (
+        rows_.join(rx.withColumnRenamed("v", "x").withColumnRenamed("r2", "a"), "x")
+        .join(ry.withColumnRenamed("v", "y").withColumnRenamed("r2", "b"), "y")
+    )
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("sx"),
+        F.sum("b").alias("sy"),
+        F.sum(F.col("a") * F.col("a")).alias("sxx"),
+        F.sum(F.col("b") * F.col("b")).alias("syy"),
+        F.sum(F.col("a") * F.col("b")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    den = F.sqrt(
+        (nd * F.col("sxx").cast("double") - sxd * sxd)
+        * (nd * F.col("syy").cast("double") - syd * syd)
+    )
+    return m.select("n", "sx", "sy", "sxx", "syy", "sxy", rnd(num / den, 6).alias("rho"))
