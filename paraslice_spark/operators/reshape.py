@@ -2781,17 +2781,53 @@ def watermark_late_counts(ev: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "events_autocorr_minutes",
-    oracle="""
-    WITH c AS (SELECT epoch_ns(ts) // 60000000000 AS m, COUNT(*) AS x
-               FROM events GROUP BY 1),
+def _count_series_sql(ns_per_bucket: int) -> str:
+    """Single-source SQL twin of :func:`count_series` (shared by
+    events_autocorr_minutes at minute grain and events_runs_test at hour
+    grain).  MATERIALIZED is load-bearing: consumers reference b several
+    times and DuckDB recomputes an inlined spine join per reference
+    (measured 28 s -> 0.05 s at sf0.01)."""
+    return f"""
+    c AS (SELECT epoch_ns(ts) // {ns_per_bucket} AS m, COUNT(*) AS x
+          FROM events GROUP BY 1),
     bounds AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM c),
     spine AS (SELECT unnest(generate_series(lo, hi)) AS m FROM bounds),
     b AS MATERIALIZED (
-      -- 4 references below; inlined, DuckDB recomputes the spine join per
-      -- reference (measured 28 s -> 0.05 s at sf0.01)
-      SELECT s.m, COALESCE(c.x, 0) AS x FROM spine s LEFT JOIN c USING (m)),
+      SELECT s.m, COALESCE(c.x, 0) AS x FROM spine s LEFT JOIN c USING (m))
+"""
+
+
+_MINUTE_NS = 60_000_000_000
+_HOUR_NS = 3_600_000_000_000
+_MINUTE_SERIES_SQL = _count_series_sql(_MINUTE_NS)
+
+
+def count_series(
+    spark: SparkSession, sf_dir: str, ns_per_bucket: int = _MINUTE_NS
+) -> DataFrame:
+    """Gapfilled per-time-bucket event-count series (m, x) — zero-filled
+    between the observed bounds (gap buckets MUST exist or lagged /
+    sequential statistics misalign).  The spine is generated, never
+    shuffled; the result is localCheckpointed (non-eager) because every
+    consumer fans it into several subplans that share nothing in
+    Catalyst."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cnt = ev.groupBy(F.expr(f"ts_ns div {ns_per_bucket}").alias("m")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    bounds = cnt.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("m"))
+    return (
+        spine.join(cnt, "m", "left")
+        .select("m", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+
+
+@query(
+    "events_autocorr_minutes",
+    oracle=f"""
+    WITH {_MINUTE_SERIES_SQL},
     t AS (SELECT CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
           FROM b),
     ks AS (SELECT unnest(range(1, 6)) AS k),
@@ -2830,17 +2866,7 @@ def events_autocorr_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst otherwise), lags as ONE exploded shift-join on minute ids
     (shuffle on m, k a payload column — 5 lags cost one join, not five),
     moment scalars broadcast."""
-    ev = load_tables(spark, sf_dir)["events"]
-    cnt = ev.groupBy(F.expr("ts_ns div 60000000000").alias("m")).agg(
-        F.count(F.lit(1)).alias("x")
-    )
-    bounds = cnt.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
-    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("m"))
-    b = (
-        spine.join(cnt, "m", "left")
-        .select("m", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
-        .localCheckpoint(eager=False)
-    )
+    b = count_series(spark, sf_dir)
     t = b.agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
     lag = b.withColumn(
         "k", F.explode(F.array(*[F.lit(k) for k in range(1, 6)]))
@@ -2870,4 +2896,126 @@ def events_autocorr_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1)
         .sortWithinPartitions("k")
+    )
+
+
+@query(
+    "events_runs_test",
+    oracle=f"""
+    WITH {_count_series_sql(_HOUR_NS)},
+    h AS (SELECT x AS v, COUNT(*) AS cnt FROM b GROUP BY 1),
+    f AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum,
+                 SUM(cnt) OVER () AS n
+          FROM h),
+    md AS (SELECT v AS med FROM f
+           WHERE cum >= (n + 1) // 2 ORDER BY v LIMIT 1),
+    s AS (SELECT m, CASE WHEN x > med THEN 1 ELSE 0 END AS sgn
+          FROM b, md WHERE x != med),
+    q AS (SELECT sgn, LAG(sgn) OVER (ORDER BY m) AS prev FROM s),
+    t AS (SELECT CAST(SUM(sgn) AS BIGINT) AS n1,
+                 CAST(COUNT(*) - SUM(sgn) AS BIGINT) AS n2,
+                 CAST(1 + COUNT(CASE WHEN sgn != prev THEN 1 END) AS BIGINT)
+                   AS runs
+          FROM q)
+    SELECT md.med, t.n1, t.n2, t.runs,
+           ROUND((CAST(t.runs AS DOUBLE)
+                  - (CAST(2 * t.n1 * t.n2 AS DOUBLE)
+                     / CAST(t.n1 + t.n2 AS DOUBLE) + 1.0))
+                 / sqrt((CAST(2 * t.n1 * t.n2 AS DOUBLE)
+                         / CAST(t.n1 + t.n2 AS DOUBLE))
+                        * (CAST(2 * t.n1 * t.n2 AS DOUBLE)
+                           / CAST(t.n1 + t.n2 AS DOUBLE) - 1.0)
+                        / CAST(t.n1 + t.n2 - 1 AS DOUBLE)), 6) AS z
+    FROM t, md
+    """,
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ RUNS TEST on the HOURLY traffic series — is the
+    above/below-median sign sequence random, or does load cluster?
+    (Hour grain, not minute: the minute series is mostly zeros at small
+    SFs, its median is 0 and every survivor sits on one side — the test
+    degenerates.  Hourly counts straddle their median at every SF.)  The
+    randomness member of the nonparametric suite (Mann-Whitney location,
+    KS distribution, Spearman association, runs randomness).
+
+    Exact ingredients: the median is the (n+1) div 2 order statistic
+    selected from the COUNT HISTOGRAM of series values (hist_selection
+    machinery — the value domain is tiny, no row sort); minutes equal to
+    the median are dropped (standard treatment); the run count is
+    1 + #(adjacent sign flips) over the surviving sequence.  med, n1, n2,
+    runs are exact int64; z is one structured double expression over them
+    (mu = 2·n1·n2/N + 1, var = (mu−1)(mu−2)/(N−1)) → ROUND(,6).
+
+    Scale shape: the sign sequence's positional index comes from the
+    two-level prefix scan (in-bucket row_number partitioned by day —
+    24 hours per bucket — exclusive day offsets over the ~30-row day
+    summary, broadcast back),
+    and adjacency is a seq+1 self-equi-join — the series never funnels
+    through one task.  The DuckDB twin uses a plain LAG window, an
+    intentionally different formulation of the same adjacency."""
+    from paraslice_spark.operators.aggregates import (
+        hist_at_rank,
+        hist_selection_frame,
+    )
+
+    b = count_series(spark, sf_dir, _HOUR_NS)
+    hist = (
+        b.groupBy(F.col("x").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("g", F.lit(1))
+    )
+    med = (
+        hist_selection_frame(hist, "g", "v")
+        .groupBy("g")
+        .agg(hist_at_rank("v", "(n + 1) div 2").alias("med"))
+        .select("med")
+    )
+    s = (
+        b.crossJoin(F.broadcast(med))
+        .where(F.col("x") != F.col("med"))
+        .select(
+            "m", "med", (F.col("x") > F.col("med")).cast("long").alias("sgn")
+        )
+        .withColumn("bkt", F.expr("m div 24"))
+    )
+    w_in = Window.partitionBy("bkt").orderBy("m")
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = (
+        s.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .select("bkt", F.coalesce(F.sum("bn").over(w_b), F.lit(0)).alias("off"))
+    )
+    seqd = (
+        s.join(F.broadcast(boff), "bkt")
+        .select(
+            "med",
+            "sgn",
+            (F.row_number().over(w_in) + F.col("off")).alias("seq"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    nxt = seqd.select((F.col("seq") - 1).alias("seq"), F.col("sgn").alias("sgn_next"))
+    flips = seqd.join(nxt, "seq").agg(
+        F.sum((F.col("sgn") != F.col("sgn_next")).cast("long")).alias("nflip")
+    )
+    t = seqd.groupBy("med").agg(
+        F.sum("sgn").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("sgn")).alias("n2"),
+    )
+    out = t.crossJoin(F.broadcast(flips)).select(
+        "med", "n1", "n2", (F.lit(1) + F.col("nflip")).alias("runs")
+    )
+    n1d = F.col("n1").cast("double")
+    twon = (2 * F.col("n1") * F.col("n2")).cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    mu = twon / nd + 1.0
+    var = (twon / nd) * (twon / nd - 1.0) / (F.col("n1") + F.col("n2") - 1).cast(
+        "double"
+    )
+    return out.select(
+        "med",
+        "n1",
+        "n2",
+        "runs",
+        rnd((F.col("runs").cast("double") - mu) / F.sqrt(var), 6).alias("z"),
     )
