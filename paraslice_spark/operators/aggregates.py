@@ -1196,7 +1196,10 @@ def lineitem_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
       FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
     ),
-    byv AS (SELECT v, SUM(g1) AS c1, SUM(1 - g1) AS c2 FROM q GROUP BY v),
+    byv AS MATERIALIZED (
+      -- referenced by c AND t: inlined, DuckDB re-aggregates orders per
+      -- reference (house trap; mirrors the Spark side's localCheckpoint)
+      SELECT v, SUM(g1) AS c1, SUM(1 - g1) AS c2 FROM q GROUP BY v),
     c AS (SELECT v, SUM(c1) OVER (ORDER BY v) AS r1,
                  SUM(c2) OVER (ORDER BY v) AS r2
           FROM byv),

@@ -2788,8 +2788,11 @@ def _count_series_sql(ns_per_bucket: int) -> str:
     times and DuckDB recomputes an inlined spine join per reference
     (measured 28 s -> 0.05 s at sf0.01)."""
     return f"""
-    c AS (SELECT epoch_ns(ts) // {ns_per_bucket} AS m, COUNT(*) AS x
-          FROM events GROUP BY 1),
+    c AS MATERIALIZED (
+      -- referenced by bounds AND b: inlined, DuckDB re-aggregates the
+      -- events fact table per reference (house trap)
+      SELECT epoch_ns(ts) // {ns_per_bucket} AS m, COUNT(*) AS x
+      FROM events GROUP BY 1),
     bounds AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM c),
     spine AS (SELECT unnest(generate_series(lo, hi)) AS m FROM bounds),
     b AS MATERIALIZED (
@@ -2998,14 +3001,25 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips = seqd.join(nxt, "seq").agg(
         F.sum((F.col("sgn") != F.col("sgn_next")).cast("long")).alias("nflip")
     )
-    t = seqd.groupBy("med").agg(
+    # GLOBAL aggregate, not groupBy(med): with zero surviving hours the
+    # oracle's aggregate still emits one row (runs = 1, n1/n2 NULL); a
+    # groupBy over the empty survivor table would emit none, and with a
+    # single survivor the empty seq-join must yield runs = 1, not NULL —
+    # both degenerate shapes mirror the oracle exactly (review finding)
+    t = seqd.agg(
         F.sum("sgn").alias("n1"),
         (F.count(F.lit(1)) - F.sum("sgn")).alias("n2"),
     )
-    out = t.crossJoin(F.broadcast(flips)).select(
-        "med", "n1", "n2", (F.lit(1) + F.col("nflip")).alias("runs")
+    out = (
+        t.crossJoin(F.broadcast(flips))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "med",
+            "n1",
+            "n2",
+            (F.lit(1) + F.coalesce(F.col("nflip"), F.lit(0))).alias("runs"),
+        )
     )
-    n1d = F.col("n1").cast("double")
     twon = (2 * F.col("n1") * F.col("n2")).cast("double")
     nd = (F.col("n1") + F.col("n2")).cast("double")
     mu = twon / nd + 1.0

@@ -3177,39 +3177,50 @@ def graph_copurchase_kcore_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         trace.append((int(rw["k"]), 0, int(rw["n_alive"]), int(rw["n_dir"]) // 2))
         prev_alive[int(rw["k"])] = int(rw["n_alive"])
     r = 0
-    while prev_alive:
-        r += 1
-        deg = state.groupBy("k", "s").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.where(F.col("d") >= F.col("k")).select("k", "s")
-        alive_now = {
-            int(rw["k"]): int(rw["n"])
-            for rw in keep.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        # a k continues only while its alive set strictly shrank and is
-        # nonempty — mirrors the oracle's emit-on-shrink recursion exactly
-        live_ks = [
-            k for k, n_prev in prev_alive.items()
-            if 0 < alive_now.get(k, 0) < n_prev
-        ]
-        if not live_ks:
+    # try/finally: the current round's eager checkpoint must be released on
+    # EVERY exit — empty-edge graphs never enter the loop, and a mid-loop
+    # failure must not strand blocks (review finding)
+    try:
+        while prev_alive:
+            r += 1
+            deg = state.groupBy("k", "s").agg(F.count(F.lit(1)).alias("d"))
+            keep = deg.where(F.col("d") >= F.col("k")).select("k", "s")
+            alive_now = {
+                int(rw["k"]): int(rw["n"])
+                for rw in keep.groupBy("k")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            # a k continues only while its alive set strictly shrank and is
+            # nonempty — mirrors the oracle's emit-on-shrink recursion
+            live_ks = [
+                k for k, n_prev in prev_alive.items()
+                if 0 < alive_now.get(k, 0) < n_prev
+            ]
+            if not live_ks:
+                break
+            nxt = (
+                state.where(F.col("k").isin(live_ks))
+                .join(keep, ["k", "s"], "left_semi")
+                .join(
+                    keep.select("k", F.col("s").alias("t")), ["k", "t"], "left_semi"
+                )
+                .localCheckpoint(eager=True)
+            )
             _free_local_checkpoint(state)
-            break
-        nxt = (
-            state.where(F.col("k").isin(live_ks))
-            .join(keep, ["k", "s"], "left_semi")
-            .join(keep.select("k", F.col("s").alias("t")), ["k", "t"], "left_semi")
-            .localCheckpoint(eager=True)
-        )
+            state = nxt
+            n_dir = {
+                int(rw["k"]): int(rw["n"])
+                for rw in state.groupBy("k")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            prev_alive = {}
+            for k in live_ks:
+                trace.append((k, r, alive_now[k], n_dir.get(k, 0) // 2))
+                prev_alive[k] = alive_now[k]
+    finally:
         _free_local_checkpoint(state)
-        state = nxt
-        n_dir = {
-            int(rw["k"]): int(rw["n"])
-            for rw in state.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        prev_alive = {}
-        for k in live_ks:
-            trace.append((k, r, alive_now[k], n_dir.get(k, 0) // 2))
-            prev_alive[k] = alive_now[k]
     out = spark.createDataFrame(
         trace, "k int, round int, n_alive long, n_edges long"
     )
