@@ -3033,3 +3033,104 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "runs",
         rnd((F.col("runs").cast("double") - mu) / F.sqrt(var), 6).alias("z"),
     )
+
+
+@query(
+    "orders_backlog_profile",
+    oracle="""
+    WITH iv AS MATERIALIZED (
+      -- referenced by starts/closes/bounds: inlined, DuckDB re-runs the
+      -- order-close aggregation per reference (house trap)
+      SELECT CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS sd,
+             MAX(CAST(l.l_shipdate AS DATE) - DATE '1970-01-01') + 1 AS ed
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    st AS (SELECT sd AS d, COUNT(*) AS ns FROM iv GROUP BY 1),
+    cl AS (SELECT ed AS d, COUNT(*) AS nc FROM iv GROUP BY 1),
+    bounds AS (SELECT MIN(sd) AS lo, MAX(ed) AS hi FROM iv),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS d FROM bounds),
+    dd AS MATERIALIZED (
+      SELECT s.d,
+             SUM(COALESCE(st.ns, 0)) OVER (ORDER BY s.d)
+               - SUM(COALESCE(cl.nc, 0)) OVER (ORDER BY s.d) AS backlog
+      FROM spine s LEFT JOIN st USING (d) LEFT JOIN cl USING (d))
+    SELECT CAST(year(DATE '1970-01-01' + CAST(d AS INT)) * 12
+                + month(DATE '1970-01-01' + CAST(d AS INT)) AS BIGINT) AS ym,
+           CAST(COUNT(*) AS BIGINT) AS days,
+           CAST(MAX(backlog) AS BIGINT) AS max_backlog,
+           ROUND(CAST(SUM(backlog) AS DOUBLE) / COUNT(*), 6) AS avg_backlog,
+           CAST(MAX_BY(backlog, d) AS BIGINT) AS eom_backlog
+    FROM dd GROUP BY 1 ORDER BY ym
+    """,
+)
+def orders_backlog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPEN-ORDER BACKLOG curve — how many orders were in flight each day
+    (placed but not yet fully shipped), rolled up per calendar month: the
+    operations-analytics WIP profile, the business-table sibling of
+    events_session_concurrency's interval counting.  An order is open on
+    day d iff o_orderdate <= d < (last l_shipdate + 1); orders with no
+    line items never open (inner join — 257 such orders exist at sf0.01,
+    stated so the rule is explicit).
+
+    Exact: backlog(d) = cumulative(starts) − cumulative(closes), int64;
+    per month the max, the day-count, the exact month-end level
+    (MAX_BY over unique day ids — tie-free), and one display division
+    for the average.  Integer epoch-day arithmetic on NTZ timestamps via
+    datediff against the epoch (timezone-independent — the ship_latency
+    NTZ pattern).
+
+    Scale shape: the fact table collapses to per-order intervals (one
+    shuffle on orderkey), then to two date histograms; the daily spine is
+    CALENDAR-BOUNDED (~2500 rows for the 7-year fixture — the cusum
+    time-axis discipline), so the ±1 prefix scan is one window over
+    generated day rows, never order rows, and the monthly rollup is a
+    vocabulary-sized hash agg."""
+    t = load_tables(spark, sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = (
+        t["orders"]
+        .select("o_orderkey", "o_orderdate")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_shipdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("last_ship"))
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).cast("long").alias("sd"),
+            (F.datediff(F.col("last_ship"), epoch) + 1).cast("long").alias("ed"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    st = iv.groupBy(F.col("sd").alias("d")).agg(F.count(F.lit(1)).alias("ns"))
+    cl = iv.groupBy(F.col("ed").alias("d")).agg(F.count(F.lit(1)).alias("nc"))
+    bounds = iv.agg(F.min("sd").alias("lo"), F.max("ed").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dd = (
+        spine.join(st, "d", "left")
+        .join(cl, "d", "left")
+        .select(
+            "d",
+            (
+                F.sum(F.coalesce("ns", F.lit(0))).over(w)
+                - F.sum(F.coalesce("nc", F.lit(0))).over(w)
+            ).alias("backlog"),
+        )
+    )
+    day_date = F.expr("date_add(DATE '1970-01-01', cast(d as int))")
+    return (
+        dd.groupBy(
+            (F.year(day_date) * 12 + F.month(day_date)).cast("long").alias("ym")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("days"),
+            F.max("backlog").alias("max_backlog"),
+            rnd(F.sum("backlog").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_backlog"
+            ),
+            F.max_by("backlog", "d").alias("eom_backlog"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("ym")
+    )
