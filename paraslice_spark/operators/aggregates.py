@@ -1417,3 +1417,80 @@ def lineitem_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (nd * F.col("syy").cast("double") - syd * syd)
     )
     return m.select("n", "sx", "sy", "sxx", "syy", "sxy", rnd(num / den, 6).alias("rho"))
+
+
+#: Benford first-digit probabilities log10(1+1/d), rounded to 8 decimals —
+#: the SAME literals feed the Spark expression and the SQL oracle, so the
+#: expected-count arithmetic is identical double math on both engines.
+_BENFORD_P = {
+    1: 0.30103, 2: 0.17609126, 3: 0.12493874, 4: 0.09691001,
+    5: 0.07918125, 6: 0.06694679, 7: 0.05799195, 8: 0.05115252,
+    9: 0.04575749,
+}
+
+
+def _benford_case_sql() -> str:
+    return (
+        "CASE digit "
+        + " ".join(f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items())
+        + " END"
+    )
+
+
+@query(
+    "orders_benford_audit",
+    oracle=f"""
+    WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders),
+    d AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+                 COUNT(*) AS n
+          FROM v GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS freq,
+           {_benford_case_sql()} AS benford_p,
+           ROUND((CAST(n AS DOUBLE) - total * ({_benford_case_sql()}))
+                 * (CAST(n AS DOUBLE) - total * ({_benford_case_sql()}))
+                 / (total * ({_benford_case_sql()})), 6) AS chi2_contrib
+    FROM d, t ORDER BY digit
+    """,
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD FIRST-DIGIT AUDIT of order values — the classic
+    fabricated-data / fraud screen: does the leading digit of
+    o_totalprice follow log10(1+1/d)?  Leading digit extracted from the
+    DECIMAL STRING of exact int64 cents (×100 never changes the leading
+    digit; no float log10 whose libm could differ across engines), counts
+    exact, and the per-digit chi-square contribution computed from the
+    SAME 8-decimal literal probability table on both engines (shared
+    _BENFORD_P constants) → ROUND(,6) engine-stable.
+
+    Scale shape: one map-side projection + a 9-bucket hash agg; the
+    grand total broadcasts back onto the digit table.  (Fixture note:
+    the synthetic prices are roughly uniform in value, so the audit
+    correctly REJECTS Benford here — the point is the exact pipeline.)"""
+    o = load_tables(spark, sf_dir)["orders"]
+    d = (
+        o.select(cents("o_totalprice").alias("c"))
+        .select(F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = d.agg(F.sum("n").alias("total"))
+    bp = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_P.items() for x in kv]
+    )[F.col("digit")]
+    nd = F.col("n").cast("double")
+    exp = F.col("total") * bp
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            rnd(nd / F.col("total"), 6).alias("freq"),
+            bp.alias("benford_p"),
+            rnd((nd - exp) * (nd - exp) / exp, 6).alias("chi2_contrib"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("digit")
+    )
