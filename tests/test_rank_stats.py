@@ -144,3 +144,35 @@ def test_keep_best_consistent_with_groups(spark):
         assert rw["words_dropped"] == sum(
             words[d] for d in members if d != best
         )
+
+
+def test_rank2_map_matches_naive_on_random_multisets(spark):
+    """_rank2_map (shared by Spearman and structurally by Mann-Whitney)
+    must reproduce 2·(1-based average pooled rank) for every distinct
+    value of an arbitrary multiset, at several bucket widths including
+    degenerate ones (everything in one bucket / one value per bucket)."""
+    import random
+
+    from paraslice_spark.operators.aggregates import _rank2_map
+
+    rng = random.Random(20260815)
+    vals = [rng.randrange(0, 40) for _ in range(500)] + [7] * 30 + [39] * 11
+    pooled = sorted(vals)
+    naive: dict[int, int] = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        naive[pooled[i]] = (i + 1) + j  # 2·avg of ranks i+1..j
+        i = j
+    import pandas as pd
+
+    hist = pd.Series(vals).value_counts().rename_axis("v").reset_index(name="t")
+    byv = spark.createDataFrame(hist[["v", "t"]].astype("int64"))
+    for width in (1, 4, 1000):
+        got = {
+            rw["v"]: rw["r2"]
+            for rw in _rank2_map(byv, width).collect()
+        }
+        assert got == naive, f"width={width}"
