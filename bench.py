@@ -119,8 +119,8 @@ def main() -> None:
             ],
             "ngram_jaccard_pair_table": [
                 "dedup_edit_distance", "dedup_group_size_histogram",
-                "dedup_groups", "dedup_groups_star", "dedup_method_agreement",
-                "dedup_ngram_jaccard",
+                "dedup_groups", "dedup_groups_star", "dedup_keep_best",
+                "dedup_method_agreement", "dedup_ngram_jaccard",
             ],
             "simhash_table": [
                 "dedup_method_agreement", "dedup_simhash_bands",
