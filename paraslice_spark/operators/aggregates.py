@@ -1475,6 +1475,9 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
+        # 9 rows feeding two consumers (digit table + grand total) — one
+        # fact scan, not two
+        .localCheckpoint(eager=False)
     )
     t = d.agg(F.sum("n").alias("total"))
     bp = F.create_map(

@@ -654,3 +654,27 @@ def test_autocorr_shift_join_no_windows(spark):
     assert "BroadcastExchange" in p, p
     assert p.count("Generate explode") >= 1, p
     assert p.count("SortMergeJoin") <= 1, p
+
+
+def test_backlog_windows_on_calendar_spine(spark):
+    """orders_backlog_profile claims the calendar-bounded prefix scan: the
+    per-order interval table is checkpointed once (no repeated fact
+    scans), and the single running-sum window consumes generated day
+    rows — post-aggregate counts, never order rows."""
+    p = plan(QUERIES["orders_backlog_profile"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
+    assert "row_number" not in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert len(wins) == 1 and "windowspecdefinition(d#" in wins[0], p
+    assert "o_orderkey" not in wins[0], p
+    assert "Generate explode(sequence" in p, p
+
+
+def test_benford_is_one_scan_digit_agg(spark):
+    """orders_benford_audit claims one corpus scan collapsing to the
+    9-digit histogram, the grand total broadcast back, no windows."""
+    p = plan(QUERIES["orders_benford_audit"](spark, SF_SMALL))
+    # the checkpointed 9-row digit histogram feeds both consumers
+    assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
+    assert "Window [" not in p, p
+    assert "BroadcastExchange" in p, p
