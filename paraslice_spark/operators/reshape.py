@@ -3134,3 +3134,171 @@ def orders_backlog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("ym")
     )
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH v AS (
+      SELECT epoch_ns(ts) // 3600000000000 AS hour,
+             CAST(round(value * 1000000) AS BIGINT) AS mv,
+             epoch_ns(ts) AS tsn, event_id
+      FROM events),
+    r AS (
+      SELECT hour, mv,
+             row_number() OVER (PARTITION BY hour
+                                ORDER BY tsn, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY hour) AS n
+      FROM v)
+    SELECT hour, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = 1 THEN mv END) AS BIGINT) AS open_mic,
+           CAST(MAX(mv) AS BIGINT) AS high_mic,
+           CAST(MIN(mv) AS BIGINT) AS low_mic,
+           CAST(MAX(CASE WHEN rn = n THEN mv END) AS BIGINT) AS close_mic,
+           CAST(SUM(mv) AS BIGINT) AS vol_mic
+    FROM r GROUP BY hour ORDER BY hour
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOURLY OHLC BARS over the event value stream — the financial
+    candlestick aggregation (open / high / low / close / volume per
+    hour): first and last are POSITIONAL aggregates, which hash-oracle
+    only because the ordering is total — rows are ranked by
+    (ts_ns, event_id), so duplicate timestamps (possible at µs grain)
+    cannot flip the open/close pick.  All values are exact micro-unit
+    int64; no float leaves the plan.
+
+    Scale shape: one window pass partitioned by hour (partitions bounded
+    by the busiest hour, shuffle keyed on the bar id), then a hash agg —
+    the conditional rn=1/rn=n selection is the hist_at_rank SUM-selection
+    idiom.  At stream time the same bar is the classic tumbling-window
+    aggregate (stream_tumbling_counts's shape with positional extrema)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = ev.select(
+        F.expr("ts_ns div 3600000000000").alias("hour"),
+        micros_units("value").alias("mv"),
+        "ts_ns",
+        "event_id",
+    )
+    w = Window.partitionBy("hour").orderBy("ts_ns", "event_id")
+    wp = Window.partitionBy("hour")
+    r = v.select(
+        "hour",
+        "mv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return (
+        r.groupBy("hour")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.when(F.col("rn") == 1, F.col("mv"))).alias("open_mic"),
+            F.max("mv").alias("high_mic"),
+            F.min("mv").alias("low_mic"),
+            F.max(F.when(F.col("rn") == F.col("n"), F.col("mv"))).alias(
+                "close_mic"
+            ),
+            F.sum("mv").alias("vol_mic"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("hour")
+    )
+
+
+@query(
+    "customer_reorder_gaps",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d,
+             o_orderkey
+      FROM orders),
+    g AS (
+      SELECT o_custkey,
+             d - LAG(d) OVER (PARTITION BY o_custkey
+                              ORDER BY d, o_orderkey) AS gap
+      FROM o),
+    h AS (
+      SELECT c.c_mktsegment AS segment, g.gap, COUNT(*) AS cnt
+      FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+      WHERE g.gap IS NOT NULL
+      GROUP BY 1, 2),
+    f AS (
+      SELECT segment, gap, cnt,
+             SUM(cnt) OVER (PARTITION BY segment ORDER BY gap) AS cum,
+             SUM(cnt) OVER (PARTITION BY segment) AS n,
+             SUM(gap * cnt) OVER (PARTITION BY segment) AS wsum
+      FROM h)
+    SELECT segment, CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(SUM(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+                         THEN gap END) AS BIGINT) AS p50_days,
+           CAST(SUM(CASE WHEN cum - cnt < (9 * n + 9) // 10
+                          AND (9 * n + 9) // 10 <= cum
+                         THEN gap END) AS BIGINT) AS p90_days,
+           CAST(MAX(gap) AS BIGINT) AS max_days,
+           ROUND(CAST(MAX(wsum) AS DOUBLE) / MAX(n), 6) AS avg_days
+    FROM f GROUP BY segment ORDER BY segment
+    """,
+)
+def customer_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORDER-INTERVAL PROFILE per market segment — how long between a
+    customer's consecutive orders: the purchase-cadence statistic retail
+    cohort models start from (sibling of events_interarrival_profile on
+    the business table).  Gaps are exact epoch-day differences over a
+    (date, orderkey)-ordered per-customer LAG — same-day repeat orders
+    produce deterministic 0-day gaps regardless of tie order, because
+    consecutive differences of a sorted multiset don't depend on how
+    equal keys are arranged.  p50/p90 are exact nearest-rank order
+    statistics selected from the per-segment GAP HISTOGRAM
+    (hist_selection_frame machinery — no row sort), max exact, avg one
+    display division.
+
+    Scale shape: one shuffle on customer for the lag window
+    (high-cardinality partitioning), customer dim broadcast for the
+    segment label, then the histogram collapse — selection windows run
+    over distinct gap values per segment, bounded by the gap-value
+    vocabulary, never order rows."""
+    from paraslice_spark.operators.aggregates import (
+        hist_at_rank,
+        hist_selection_frame,
+    )
+
+    t = load_tables(spark, sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    o = t["orders"].select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).cast("long").alias("d"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = o.select(
+        "o_custkey", (F.col("d") - F.lag("d").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    h = (
+        g.join(
+            F.broadcast(
+                t["customer"].select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_mktsegment").alias("segment"),
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("segment", F.col("gap").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    f = hist_selection_frame(h, "segment", "v").withColumn(
+        "wsum", F.sum(F.col("v") * F.col("cnt")).over(Window.partitionBy("segment"))
+    )
+    return (
+        f.groupBy("segment")
+        .agg(
+            F.max("n").alias("n_gaps"),
+            hist_at_rank("v", "(n + 1) div 2").alias("p50_days"),
+            hist_at_rank("v", "(9 * n + 9) div 10").alias("p90_days"),
+            F.max("v").alias("max_days"),
+            rnd(F.max("wsum").cast("double") / F.max("n"), 6).alias("avg_days"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("segment")
+    )
