@@ -3302,3 +3302,82 @@ def customer_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("segment")
     )
+
+
+@query(
+    "events_value_drift_psi",
+    oracle="""
+    WITH v AS MATERIALIZED (
+      SELECT CAST(round(value * 1000000) AS BIGINT) // 2000000 AS bin,
+             epoch_ns(ts) AS tsn
+      FROM events),
+    b AS (SELECT (MIN(tsn) + MAX(tsn)) // 2 AS mid FROM v),
+    h AS MATERIALIZED (
+      SELECT bin,
+             COUNT(CASE WHEN tsn <= mid THEN 1 END) AS n_first,
+             COUNT(CASE WHEN tsn > mid THEN 1 END) AS n_second
+      FROM v, b GROUP BY bin),
+    t AS (SELECT CAST(SUM(n_first) AS BIGINT) AS t1,
+                 CAST(SUM(n_second) AS BIGINT) AS t2,
+                 CAST(COUNT(*) AS BIGINT) AS nb
+          FROM h)
+    SELECT bin, CAST(n_first AS BIGINT) AS n_first,
+           CAST(n_second AS BIGINT) AS n_second,
+           ROUND((CAST(n_first + 1 AS DOUBLE) / CAST(t1 + nb AS DOUBLE)
+                  - CAST(n_second + 1 AS DOUBLE) / CAST(t2 + nb AS DOUBLE))
+                 * ln((CAST(n_first + 1 AS DOUBLE) / CAST(t1 + nb AS DOUBLE))
+                      / (CAST(n_second + 1 AS DOUBLE)
+                         / CAST(t2 + nb AS DOUBLE))), 6) AS psi_contrib
+    FROM h, t ORDER BY bin
+    """,
+)
+def events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX — the standard ML-monitoring drift
+    score: did the event-value distribution shift between the first and
+    second half of the observation window?  Declared per BIN (exact
+    first/second-half counts + the Laplace-smoothed PSI contribution
+    (p−q)·ln(p/q)) so the verification rides exact integers; the total
+    PSI is the consumer's one-line sum.  Smoothing (+1 per bin over
+    total+n_bins) keeps empty-side bins finite and deterministic; ln is
+    engine-stable in a ROUND(,6) single expression (tfidf precedent).
+
+    Scale shape: fixed-width value bins (micro-units div 2e6 — no
+    quantile pass), the time midpoint from one min/max agg broadcast
+    back, then a single conditional hash agg to the bin histogram —
+    everything after the scan is vocabulary-sized."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = ev.select(micros_units("value").alias("mv"), "ts_ns").select(
+        F.expr("mv div 2000000").alias("bin"), "ts_ns"
+    ).localCheckpoint(eager=False)
+    b = v.agg(F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("mid"))
+    h = (
+        v.crossJoin(F.broadcast(b))
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("ts_ns") <= F.col("mid"), 1)).alias("n_first"),
+            F.count(F.when(F.col("ts_ns") > F.col("mid"), 1)).alias("n_second"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    t = h.agg(
+        F.sum("n_first").alias("t1"),
+        F.sum("n_second").alias("t2"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    p = (F.col("n_first") + 1).cast("double") / (F.col("t1") + F.col("nb")).cast(
+        "double"
+    )
+    q = (F.col("n_second") + 1).cast("double") / (F.col("t2") + F.col("nb")).cast(
+        "double"
+    )
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n_first",
+            "n_second",
+            rnd((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bin")
+    )
