@@ -678,3 +678,36 @@ def test_benford_is_one_scan_digit_agg(spark):
     assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
     assert "Window [" not in p, p
     assert "BroadcastExchange" in p, p
+
+
+def test_ohlc_windows_partition_by_hour(spark):
+    """events_ohlc_hourly: one corpus scan; both window functions
+    (positional rank + bar size) partition by the bar id, never run
+    globally."""
+    p = plan(QUERIES["events_ohlc_hourly"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 1, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wins and all("windowspecdefinition(hour" in ln for ln in wins), p
+
+
+def test_reorder_gaps_lag_partitions_by_customer(spark):
+    """customer_reorder_gaps: the lag window partitions by customer
+    (high-cardinality key), the customer dim broadcasts, and the
+    selection windows run on the per-segment gap histogram."""
+    p = plan(QUERIES["customer_reorder_gaps"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    lag = [ln for ln in wins if "lag(" in ln]
+    assert len(lag) == 1 and "o_custkey" in lag[0], p
+    assert all("segment" in ln for ln in wins if "lag(" not in ln), p
+    assert "row_number" not in p, p
+
+
+def test_psi_is_binned_conditional_agg(spark):
+    """events_value_drift_psi: the checkpointed bin projection feeds the
+    midpoint agg and the histogram (one fact scan), no windows, scalars
+    broadcast."""
+    p = plan(QUERIES["events_value_drift_psi"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
+    assert "Window [" not in p, p
+    assert "BroadcastExchange" in p, p
