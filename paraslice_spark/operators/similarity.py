@@ -3311,3 +3311,105 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("rep_id")
     )
+
+
+def _dedup_dataset_oracle() -> str:
+    """Composed from the registered dedup_groups closure, the shared
+    keep-best ranking rule, WORDS_SQL, and SPLIT_LABEL_SQL — the full
+    curation pipeline verified from four single-source fragments."""
+    from paraslice_spark.functions.canon import SPLIT_LABEL_SQL
+    from paraslice_spark.operators.text import WORDS_SQL
+    from paraslice_spark.registry import ORACLES
+
+    return f"""
+    WITH g AS MATERIALIZED (
+      SELECT doc_id, rep_id FROM ({ORACLES["dedup_groups"]})
+      WHERE group_size >= 2
+    ),
+    w AS (SELECT doc_id, len({WORDS_SQL}) AS words FROM documents),
+    ranked AS (
+      SELECT g.doc_id,
+             row_number() OVER (PARTITION BY g.rep_id
+                                ORDER BY w.words DESC, g.doc_id) AS rn
+      FROM g JOIN w USING (doc_id)
+    ),
+    dropped AS (SELECT doc_id FROM ranked WHERE rn > 1),
+    base AS (
+      -- single unambiguous doc_id column for the shared split fragment
+      SELECT d.doc_id AS doc_id, w.words,
+             dr.doc_id IS NOT NULL AS dr
+      FROM documents d
+      JOIN w ON w.doc_id = d.doc_id
+      LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+    )
+    SELECT {SPLIT_LABEL_SQL} AS split,
+           CAST(COUNT(CASE WHEN NOT dr THEN 1 END) AS BIGINT)
+             AS n_docs_kept,
+           CAST(COUNT(CASE WHEN dr THEN 1 END) AS BIGINT) AS n_docs_dropped,
+           CAST(SUM(CASE WHEN NOT dr THEN words ELSE 0 END) AS BIGINT)
+             AS words_kept,
+           CAST(SUM(CASE WHEN dr THEN words ELSE 0 END) AS BIGINT)
+             AS words_dropped
+    FROM base
+    GROUP BY 1 ORDER BY split
+    """
+
+
+@query("pipeline_dedup_dataset", oracle=_dedup_dataset_oracle())
+def pipeline_dedup_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CURATION CAPSTONE — dedup-resolve, split, account: drop every
+    near-dup group member except the keep-best representative
+    (dedup_keep_best's rule), assign the deterministic train/val/test
+    split, and report per-split kept/dropped doc and word totals — the
+    dataset card a pipeline publishes after dedup.  The whole query is
+    COMPOSED from single-source fragments (dedup_groups closure,
+    keep-best ranking, WORDS_SQL tokenizer, SPLIT_LABEL_SQL), so a
+    change to any rule flows into this audit automatically.
+
+    Scale shape: components ride the memoized label fixpoint (ids only);
+    the dropped set is dup-graph-sized, broadcast onto the corpus-wide
+    split scan; words come from the same map-side projection as the
+    split label — one corpus scan, one broadcast, one 3-row hash agg."""
+    from paraslice_spark.functions.canon import split_label
+    from paraslice_spark.operators.text import doc_words
+
+    labels = _components_cached(
+        spark, sf_dir, "all",
+        lambda: _min_label_components(
+            _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+        ),
+    )
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", F.size(doc_words()).cast("long").alias("words")
+    )
+    j = labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("rep_id")
+    ).join(d, "doc_id")
+    w = Window.partitionBy("rep_id").orderBy(F.desc("words"), "doc_id")
+    dropped = (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("doc_id")
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        d.join(F.broadcast(dropped), "doc_id", "left")
+        .select(
+            split_label().alias("split"),
+            "words",
+            F.coalesce("is_dropped", F.lit(False)).alias("dr"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.when(~F.col("dr"), 1)).alias("n_docs_kept"),
+            F.count(F.when(F.col("dr"), 1)).alias("n_docs_dropped"),
+            F.sum(F.when(~F.col("dr"), F.col("words")).otherwise(F.lit(0))).alias(
+                "words_kept"
+            ),
+            F.sum(F.when(F.col("dr"), F.col("words")).otherwise(F.lit(0))).alias(
+                "words_dropped"
+            ),
+        )
+        .repartition(1)
+        .sortWithinPartitions("split")
+    )
