@@ -3230,15 +3230,16 @@ def graph_copurchase_kcore_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- duplicate-group representative selection --------------------------------
 
 
-def _keep_best_oracle() -> str:
-    """Composed from dedup_groups' REGISTERED oracle plus the shared
-    WORDS_SQL quality metric (single source of truth: a change to the
-    component rule or the tokenizer flows into this audit automatically)."""
+def _keep_best_ranked_sql() -> str:
+    """Shared CTE block (g / w / ranked): near-dup components joined to
+    the WORDS_SQL quality metric and ranked by the keep-best rule
+    (max words, min doc_id) — the single source for dedup_keep_best's
+    and pipeline_dedup_dataset's oracles."""
     from paraslice_spark.operators.text import WORDS_SQL
     from paraslice_spark.registry import ORACLES
 
     return f"""
-    WITH g AS MATERIALIZED (
+    g AS MATERIALIZED (
       -- MATERIALIZED: the recursive reachability closure inside would
       -- otherwise re-run per downstream reference (house trap)
       SELECT doc_id, rep_id FROM ({ORACLES["dedup_groups"]})
@@ -3250,7 +3251,15 @@ def _keep_best_oracle() -> str:
              row_number() OVER (PARTITION BY g.rep_id
                                 ORDER BY w.words DESC, g.doc_id) AS rn
       FROM g JOIN w USING (doc_id)
-    )
+    )"""
+
+
+def _keep_best_oracle() -> str:
+    """Composed from the shared keep-best ranking block (single source of
+    truth: a change to the component rule, the tokenizer, or the ranking
+    flows into this audit automatically)."""
+    return f"""
+    WITH {_keep_best_ranked_sql()}
     SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
              AS keep_doc_id,
@@ -3261,6 +3270,27 @@ def _keep_best_oracle() -> str:
              AS words_dropped
     FROM ranked GROUP BY rep_id ORDER BY rep_id
     """
+
+
+def _keep_best_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_keep_best_ranked_sql`: (rep_id, doc_id,
+    words, rn) over the memoized near-dup components."""
+    from paraslice_spark.operators.text import doc_words
+
+    labels = _components_cached(
+        spark, sf_dir, "all",
+        lambda: _min_label_components(
+            _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+        ),
+    )
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", F.size(doc_words()).cast("long").alias("words")
+    )
+    j = labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("rep_id")
+    ).join(d, "doc_id")
+    w = Window.partitionBy("rep_id").orderBy(F.desc("words"), "doc_id")
+    return j.withColumn("rn", F.row_number().over(w))
 
 
 @query("dedup_keep_best", oracle=_keep_best_oracle())
@@ -3278,25 +3308,10 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one shuffle, text never moves), and the representative pick is a
     per-group window whose partitions are dup-cluster-sized (bounded by
     the largest near-dup cluster, not the corpus).  Oracle composed from
-    the registered dedup_groups closure + shared WORDS_SQL."""
-    from paraslice_spark.operators.text import doc_words
-
-    labels = _components_cached(
-        spark, sf_dir, "all",
-        lambda: _min_label_components(
-            _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
-        ),
-    )
-    d = load_tables(spark, sf_dir)["documents"].select(
-        "doc_id", F.size(doc_words()).cast("long").alias("words")
-    )
+    the shared keep-best ranking block."""
     # every labeled node sits in a >= 2 component by construction (labels
     # exist only for edge-participating docs) — the oracle's size filter
-    j = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("rep_id")).join(
-        d, "doc_id"
-    )
-    w = Window.partitionBy("rep_id").orderBy(F.desc("words"), "doc_id")
-    r = j.withColumn("rn", F.row_number().over(w))
+    r = _keep_best_ranked(spark, sf_dir)
     return (
         r.groupBy("rep_id")
         .agg(
@@ -3318,21 +3333,9 @@ def _dedup_dataset_oracle() -> str:
     keep-best ranking rule, WORDS_SQL, and SPLIT_LABEL_SQL — the full
     curation pipeline verified from four single-source fragments."""
     from paraslice_spark.functions.canon import SPLIT_LABEL_SQL
-    from paraslice_spark.operators.text import WORDS_SQL
-    from paraslice_spark.registry import ORACLES
 
     return f"""
-    WITH g AS MATERIALIZED (
-      SELECT doc_id, rep_id FROM ({ORACLES["dedup_groups"]})
-      WHERE group_size >= 2
-    ),
-    w AS (SELECT doc_id, len({WORDS_SQL}) AS words FROM documents),
-    ranked AS (
-      SELECT g.doc_id,
-             row_number() OVER (PARTITION BY g.rep_id
-                                ORDER BY w.words DESC, g.doc_id) AS rn
-      FROM g JOIN w USING (doc_id)
-    ),
+    WITH {_keep_best_ranked_sql()},
     dropped AS (SELECT doc_id FROM ranked WHERE rn > 1),
     base AS (
       -- single unambiguous doc_id column for the shared split fragment
@@ -3373,21 +3376,11 @@ def pipeline_dedup_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paraslice_spark.functions.canon import split_label
     from paraslice_spark.operators.text import doc_words
 
-    labels = _components_cached(
-        spark, sf_dir, "all",
-        lambda: _min_label_components(
-            _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
-        ),
-    )
     d = load_tables(spark, sf_dir)["documents"].select(
         "doc_id", F.size(doc_words()).cast("long").alias("words")
     )
-    j = labels.select(
-        F.col("node").alias("doc_id"), F.col("lbl").alias("rep_id")
-    ).join(d, "doc_id")
-    w = Window.partitionBy("rep_id").orderBy(F.desc("words"), "doc_id")
     dropped = (
-        j.withColumn("rn", F.row_number().over(w))
+        _keep_best_ranked(spark, sf_dir)
         .where(F.col("rn") > 1)
         .select("doc_id")
         .withColumn("is_dropped", F.lit(True))
