@@ -32,10 +32,11 @@ from paraslice_spark.registry import ORACLES, QUERIES
 # customer_revenue_deciles, whose plan was
 # REWRITTEN this round (two-level ranking replacing the unpartitioned
 # ntile) and therefore needs a fresh hash verdict on the new plan —
-# plus the 13 SECOND-continuation additions (kcore_trace, mannwhitney,
+# plus the 14 SECOND-continuation additions (kcore_trace, mannwhitney,
 # ks_price_shift, spearman, runs_test, autocorr_minutes, keep_best,
 # backlog_profile, benford_audit, ohlc_hourly, reorder_gaps,
-# value_drift_psi, dedup_dataset); 43 names, leaving ~7 of the r4
+# value_drift_psi, dedup_dataset, haar_energy); 44 names, leaving
+# ~6 of the r4
 # tail in the ~50 sample.  Tier 1: the
 # r4-graded names — the oldest standing verdicts (~10 of them fit the
 # ~50 sample next to tier 0; the rest spill into the r5 tier's turn

@@ -3381,3 +3381,108 @@ def events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("bin")
     )
+
+
+_HAAR_N = 1024  # zero-padded series length (fixture spans 720 hours)
+
+
+@query(
+    "events_haar_energy",
+    oracle=f"""
+    WITH RECURSIVE
+    c AS MATERIALIZED (
+      SELECT epoch_ns(ts) // 3600000000000 AS m, COUNT(*) AS x
+      FROM events GROUP BY 1),
+    bounds AS (SELECT MIN(m) AS lo FROM c),
+    spine AS (SELECT unnest(generate_series(0, {_HAAR_N - 1})) AS i),
+    base AS MATERIALIZED (
+      SELECT s.i, COALESCE(c.x, 0) AS v
+      FROM spine s
+      LEFT JOIN (SELECT m - lo AS i, x FROM c, bounds) c USING (i)),
+    lv(lvl, i, s) AS (
+        SELECT 0, i, v FROM base
+      UNION ALL
+        SELECT a.lvl + 1, a.i // 2, a.s + b.s
+        FROM lv a JOIN lv b ON b.i = a.i + 1 AND a.i % 2 = 0
+        WHERE a.lvl < 10
+    ),
+    en AS (
+      SELECT a.lvl + 1 AS level,
+             COUNT(*) AS n_coeffs,
+             SUM((a.s - b.s) * (a.s - b.s)) AS energy
+      FROM lv a JOIN lv b ON b.lvl = a.lvl AND b.i = a.i + 1
+      WHERE a.i % 2 = 0
+      GROUP BY 1),
+    dc AS (SELECT 0 AS level, 1 AS n_coeffs, s * s AS energy
+           FROM lv WHERE lvl = 10)
+    SELECT CAST(level AS INT) AS level, CAST(n_coeffs AS BIGINT) AS n_coeffs,
+           CAST(energy AS BIGINT) AS energy
+    FROM (SELECT * FROM en UNION ALL SELECT * FROM dc)
+    ORDER BY level
+    """,
+)
+def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAAR WAVELET ENERGY SPECTRUM of the hourly traffic series — the
+    multi-resolution analysis operator: unnormalized Haar detail
+    coefficients d_l(i) = s_(l-1)(2i) − s_(l-1)(2i+1) over the
+    zero-padded 1024-point series, one row per level with the exact
+    integer energy Σd² (level 1 = hour-to-hour roughness, level 10 =
+    half-window imbalance, level 0 = the DC term squared).  Which time
+    scale carries the variation is THE burstiness fingerprint — the
+    frequency-domain sibling of events_autocorr_minutes.  Everything is
+    int64 (unnormalized transform: sums and differences of counts), so
+    the full spectrum hash-oracles; consumers normalize by 2^l.
+
+    Spark plan: log2(N) = 10 driver-bounded levels, each one tiny
+    groupBy(i div 2) with the pair difference folded into the same
+    aggregate (sign-flagged sum) — shuffles shrink 512 -> 1 rows;
+    per-level energies union into an 11-row result.  DuckDB twin: a
+    recursive CTE carrying only the smooth coefficients (pairwise-join
+    recursion — the kcore multi-reference pattern), details derived
+    post-hoc from adjacent pairs per level.  Fixture span is 720 hours
+    < N = 1024 (assert-guarded); a longer-spanning deployment raises
+    _HAAR_N to the next power of two."""
+    b = count_series(spark, sf_dir, _HOUR_NS)
+    lo = b.agg(F.min("m").alias("lo"))
+    idx = (
+        b.crossJoin(F.broadcast(lo))
+        .select((F.col("m") - F.col("lo")).alias("i"), F.col("x").alias("s"))
+    )
+    n_obs = idx.count()
+    if n_obs > _HAAR_N:  # fixture contract: 30-day span
+        raise ValueError(f"series length {n_obs} exceeds _HAAR_N={_HAAR_N}")
+    spine = spark.range(_HAAR_N).select(F.col("id").alias("i"))
+    cur = (
+        spine.join(idx, "i", "left")
+        .select("i", F.coalesce("s", F.lit(0)).cast("long").alias("s"))
+    )
+    rows = []
+    for lvl in range(1, 11):
+        nxt = (
+            cur.groupBy(F.expr("i div 2").alias("i"))
+            .agg(
+                F.sum("s").alias("s"),
+                F.sum(
+                    F.when(F.col("i") % 2 == 0, F.col("s")).otherwise(-F.col("s"))
+                ).alias("d"),
+            )
+        )
+        rows.append(
+            nxt.agg(
+                F.lit(lvl).cast("int").alias("level"),
+                F.count(F.lit(1)).alias("n_coeffs"),
+                F.sum(F.col("d") * F.col("d")).alias("energy"),
+            )
+        )
+        cur = nxt.select("i", "s")
+    rows.append(
+        cur.agg(
+            F.lit(0).cast("int").alias("level"),
+            F.lit(1).cast("long").alias("n_coeffs"),
+            F.sum(F.col("s") * F.col("s")).alias("energy"),
+        )
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.repartition(1).sortWithinPartitions("level")

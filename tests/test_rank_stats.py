@@ -176,3 +176,27 @@ def test_rank2_map_matches_naive_on_random_multisets(spark):
             for rw in _rank2_map(byv, width).collect()
         }
         assert got == naive, f"width={width}"
+
+
+def test_haar_energy_satisfies_exact_parseval(spark):
+    """Unnormalized Haar obeys the EXACT integer Parseval identity
+    2^10 · Σx² = Σ_l E_l · 2^(10−l) + DC² — a full-transform consistency
+    check no single-level bug can survive."""
+    import duckdb
+
+    rows = {r["level"]: r for r in
+            QUERIES["events_haar_energy"](spark, SF_SMALL).collect()}
+    con = duckdb.connect()
+    sum_sq = con.execute(
+        f"""SELECT SUM(x * x) FROM (
+              SELECT COUNT(*) AS x FROM '{SF_SMALL}/events.parquet'
+              GROUP BY epoch_ns(ts) // 3600000000000)"""
+    ).fetchone()[0]
+    lhs = (2**10) * int(sum_sq)
+    rhs = rows[0]["energy"] + sum(
+        rows[lvl]["energy"] * 2 ** (10 - lvl) for lvl in range(1, 11)
+    )
+    assert lhs == rhs
+    assert rows[0]["energy"] > 0 and any(
+        rows[lvl]["energy"] > 0 for lvl in range(1, 11)
+    )
