@@ -121,6 +121,7 @@ def main() -> None:
                 "dedup_edit_distance", "dedup_group_size_histogram",
                 "dedup_groups", "dedup_groups_star", "dedup_keep_best",
                 "dedup_method_agreement", "dedup_ngram_jaccard",
+                "pipeline_dedup_dataset",
             ],
             "simhash_table": [
                 "dedup_method_agreement", "dedup_simhash_bands",

@@ -1448,10 +1448,16 @@ def _benford_case_sql() -> str:
     t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d)
     SELECT digit, CAST(n AS BIGINT) AS n,
            ROUND(CAST(n AS DOUBLE) / total, 6) AS freq,
-           {_benford_case_sql()} AS benford_p,
-           ROUND((CAST(n AS DOUBLE) - total * ({_benford_case_sql()}))
-                 * (CAST(n AS DOUBLE) - total * ({_benford_case_sql()}))
-                 / (total * ({_benford_case_sql()})), 6) AS chi2_contrib
+           CAST({_benford_case_sql()} AS DOUBLE) AS benford_p,
+           ROUND((CAST(n AS DOUBLE)
+                  - CAST(total AS DOUBLE)
+                    * CAST({_benford_case_sql()} AS DOUBLE))
+                 * (CAST(n AS DOUBLE)
+                    - CAST(total AS DOUBLE)
+                      * CAST({_benford_case_sql()} AS DOUBLE))
+                 / (CAST(total AS DOUBLE)
+                    * CAST({_benford_case_sql()} AS DOUBLE)), 6)
+             AS chi2_contrib
     FROM d, t ORDER BY digit
     """,
 )
@@ -1484,7 +1490,7 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lit(x) for kv in _BENFORD_P.items() for x in kv]
     )[F.col("digit")]
     nd = F.col("n").cast("double")
-    exp = F.col("total") * bp
+    exp = F.col("total").cast("double") * bp
     return (
         d.crossJoin(F.broadcast(t))
         .select(

@@ -3443,14 +3443,25 @@ def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     < N = 1024 (assert-guarded); a longer-spanning deployment raises
     _HAAR_N to the next power of two."""
     b = count_series(spark, sf_dir, _HOUR_NS)
-    lo = b.agg(F.min("m").alias("lo"))
-    idx = (
-        b.crossJoin(F.broadcast(lo))
-        .select((F.col("m") - F.col("lo")).alias("i"), F.col("x").alias("s"))
+    # lazy span guard: assert_true rides the broadcast bounds row, so a
+    # series longer than _HAAR_N fails AT EXECUTION instead of being
+    # silently truncated by the spine join — and constructing the frame
+    # stays side-effect-free (no eager count; review finding)
+    bounds = b.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+    guard = bounds.select(
+        "lo",
+        F.assert_true(
+            (F.col("hi") - F.col("lo")) < F.lit(_HAAR_N),
+            F.lit(f"hour span exceeds _HAAR_N={_HAAR_N}"),
+        ).alias("_g"),
     )
-    n_obs = idx.count()
-    if n_obs > _HAAR_N:  # fixture contract: 30-day span
-        raise ValueError(f"series length {n_obs} exceeds _HAAR_N={_HAAR_N}")
+    idx = b.crossJoin(F.broadcast(guard)).select(
+        # folding the (always-null) guard into i keeps the assertion in
+        # the plan — a plain dropped column would be pruned
+        (F.col("m") - F.col("lo") + F.coalesce(F.col("_g").cast("long"), F.lit(0)))
+        .alias("i"),
+        F.col("x").alias("s"),
+    )
     spine = spark.range(_HAAR_N).select(F.col("id").alias("i"))
     cur = (
         spine.join(idx, "i", "left")

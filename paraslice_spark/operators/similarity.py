@@ -3245,7 +3245,10 @@ def _keep_best_ranked_sql() -> str:
       SELECT doc_id, rep_id FROM ({ORACLES["dedup_groups"]})
       WHERE group_size >= 2
     ),
-    w AS (SELECT doc_id, len({WORDS_SQL}) AS words FROM documents),
+    w AS MATERIALIZED (
+      -- pipeline_dedup_dataset references w twice (ranked + base);
+      -- inlined, DuckDB re-tokenizes the corpus per reference
+      SELECT doc_id, len({WORDS_SQL}) AS words FROM documents),
     ranked AS (
       SELECT g.rep_id, g.doc_id, w.words,
              row_number() OVER (PARTITION BY g.rep_id
@@ -3272,20 +3275,30 @@ def _keep_best_oracle() -> str:
     """
 
 
-def _keep_best_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of :func:`_keep_best_ranked_sql`: (rep_id, doc_id,
-    words, rn) over the memoized near-dup components."""
+def _doc_words_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, words) via the shared tokenizer — Spark twin of the w CTE."""
     from paraslice_spark.operators.text import doc_words
 
+    return load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", F.size(doc_words()).cast("long").alias("words")
+    )
+
+
+def _keep_best_ranked(
+    spark: SparkSession, sf_dir: str, d: DataFrame | None = None
+) -> DataFrame:
+    """Spark twin of :func:`_keep_best_ranked_sql`: (rep_id, doc_id,
+    words, rn) over the memoized near-dup components.  Pass a prepared
+    (checkpointed) words frame via ``d`` when the caller also consumes
+    it, so the corpus is tokenized once."""
     labels = _components_cached(
         spark, sf_dir, "all",
         lambda: _min_label_components(
             _ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
         ),
     )
-    d = load_tables(spark, sf_dir)["documents"].select(
-        "doc_id", F.size(doc_words()).cast("long").alias("words")
-    )
+    if d is None:
+        d = _doc_words_frame(spark, sf_dir)
     j = labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("rep_id")
     ).join(d, "doc_id")
@@ -3374,13 +3387,12 @@ def pipeline_dedup_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     split scan; words come from the same map-side projection as the
     split label — one corpus scan, one broadcast, one 3-row hash agg."""
     from paraslice_spark.functions.canon import split_label
-    from paraslice_spark.operators.text import doc_words
 
-    d = load_tables(spark, sf_dir)["documents"].select(
-        "doc_id", F.size(doc_words()).cast("long").alias("words")
-    )
+    # tokenize once: the words frame feeds BOTH the ranking and the
+    # split accounting (no common subplan in Catalyst otherwise)
+    d = _doc_words_frame(spark, sf_dir).localCheckpoint(eager=False)
     dropped = (
-        _keep_best_ranked(spark, sf_dir)
+        _keep_best_ranked(spark, sf_dir, d)
         .where(F.col("rn") > 1)
         .select("doc_id")
         .withColumn("is_dropped", F.lit(True))
