@@ -100,3 +100,129 @@ def test_ks_oracle_on_random_tables(seed):
         seed,
         got,
     )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_spearman_oracle_on_random_tables(seed):
+    rng = random.Random(200 + seed)
+    n = rng.randrange(10, 300)
+    vmax = rng.choice([4, 30])
+    rows = [
+        (float(rng.randrange(1, vmax + 1)),
+         rng.randrange(1, vmax * 7 + 1) / 100.0)
+        for _ in range(n)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem(l_quantity DOUBLE, l_extendedprice DOUBLE)"
+    )
+    con.executemany("INSERT INTO lineitem VALUES (?, ?)", rows)
+    got = con.execute(ORACLES["lineitem_spearman_qty_price"]).fetchone()
+
+    def rank2(vals):
+        pooled = sorted(vals)
+        r, i = {}, 0
+        while i < len(pooled):
+            j = i
+            while j < len(pooled) and pooled[j] == pooled[i]:
+                j += 1
+            r[pooled[i]] = (i + 1) + j
+            i = j
+        return [r[v] for v in vals]
+
+    xs = [round(q) for q, _ in rows]
+    ys = [round(p * 100) for _, p in rows]
+    a, b = rank2(xs), rank2(ys)
+    sx, sy = sum(a), sum(b)
+    sxx = sum(v * v for v in a)
+    syy = sum(v * v for v in b)
+    sxy = sum(u * v for u, v in zip(a, b))
+    assert got[:6] == (n, sx, sy, sxx, syy, sxy), (seed, got)
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    if den > 0:
+        rho = (n * sxy - sx * sy) / math.sqrt(den)
+        assert abs(got[6] - rho) < 2e-6, (seed, got)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_backlog_oracle_on_random_intervals(seed):
+    rng = random.Random(300 + seed)
+    import datetime
+
+    n_orders = rng.randrange(5, 60)
+    base = datetime.datetime(1995, 1, 1)
+    orders, lines = [], []
+    for ok in range(n_orders):
+        od = base + datetime.timedelta(days=rng.randrange(0, 200))
+        orders.append((ok, od))
+        for _ in range(rng.randrange(0, 4)):  # some orders have NO lines
+            lines.append(
+                (ok, od + datetime.timedelta(days=rng.randrange(0, 90)))
+            )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders(o_orderkey BIGINT, o_orderdate TIMESTAMP)")
+    con.execute("CREATE TABLE lineitem(l_orderkey BIGINT, l_shipdate TIMESTAMP)")
+    con.executemany("INSERT INTO orders VALUES (?, ?)", orders)
+    if not lines:
+        lines = [(orders[0][0], orders[0][1])]
+    con.executemany("INSERT INTO lineitem VALUES (?, ?)", lines)
+    got = {
+        r[0]: (r[1], r[2], r[4])
+        for r in con.execute(ORACLES["orders_backlog_profile"]).fetchall()
+    }
+    # naive daily sweep
+    last_ship = {}
+    for ok, sd in lines:
+        last_ship[ok] = max(last_ship.get(ok, sd), sd)
+    ivs = [
+        ((od - base).days, (last_ship[ok] - base).days + 1)
+        for ok, od in orders
+        if ok in last_ship
+    ]
+    off = (base - datetime.datetime(1970, 1, 1)).days
+    lo = min(s for s, _ in ivs)
+    hi = max(e for _, e in ivs)
+    monthly = collections.defaultdict(list)
+    for d in range(lo, hi + 1):
+        bl = sum(1 for s, e in ivs if s <= d < e)
+        dt = base + datetime.timedelta(days=d - 0)
+        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(days=d + off)
+        monthly[dt.year * 12 + dt.month].append((d + off, bl))
+    exp = {
+        ym: (len(v), max(b for _, b in v), max(v)[1])
+        for ym, v in monthly.items()
+    }
+    assert got == exp, (seed, got, exp)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_autocorr_oracle_on_random_series(seed):
+    rng = random.Random(400 + seed)
+    import datetime
+
+    n_ev = rng.randrange(10, 300)
+    base = datetime.datetime(2024, 1, 1)
+    evs = [
+        base + datetime.timedelta(minutes=rng.randrange(0, 500),
+                                  seconds=rng.randrange(0, 60))
+        for _ in range(n_ev)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(ts TIMESTAMP)")
+    con.executemany("INSERT INTO events VALUES (?)", [(t,) for t in evs])
+    got = {r[0]: (r[1], r[2], r[3]) for r in
+           con.execute(ORACLES["events_autocorr_minutes"]).fetchall()}
+    mins = collections.Counter(
+        int((t - datetime.datetime(1970, 1, 1)).total_seconds() // 60)
+        for t in evs
+    )
+    lo, hi = min(mins), max(mins)
+    x = [mins.get(m, 0) for m in range(lo, hi + 1)]
+    n, s = len(x), sum(x)
+    den = sum((n * v - s) ** 2 for v in x)
+    for k in range(1, 6):
+        num = sum(
+            (n * x[t] - s) * (n * x[t + k] - s) for t in range(len(x) - k)
+        )
+        if k in got:
+            assert got[k] == (n, num, den), (seed, k, got.get(k))
