@@ -2372,8 +2372,12 @@ def customer_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     EXACT-INTEGER FORMULA: with per-nation ranks i (ascending spend,
     custkey tie-break), G = (2*sum(i*x_i) - (n+1)*sum(x_i)) /
-    (n*sum(x_i)) — numerator and denominator are exact int64 cents
-    sums, ONE IEEE division at the end, ROUND(,6) engine-stable.
+    (n*sum(x_i)) — the numerator is an exact int64 cents expression,
+    ONE IEEE division at the end, ROUND(,6) engine-stable; the
+    denominator n*s1 is formed as double*int64 (one factor pre-cast —
+    the supplier_hhi_by_type dodge): exact under 2^53 at the
+    documented scales, and it cannot silently wrap in non-ANSI Spark
+    where a raw int64 product could.
     i*x_i stays < 2^63 to ~4e8 customers per nation at 1e7-cent spends
     (DuckDB HUGEINT is the overflow canary; beyond that, rescale cents
     to dollars first).
@@ -2416,7 +2420,7 @@ def customer_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (2 * F.col("s2") - (F.col("n_customers") + 1) * F.col("s1"))
             .cast("double")
-            / (F.col("n_customers") * F.col("s1")),
+            / (F.col("n_customers").cast("double") * F.col("s1")),
             6,
         ).alias("gini"),
     )
@@ -2764,9 +2768,7 @@ def watermark_late_counts(ev: DataFrame) -> DataFrame:
         .join(F.broadcast(l2_off), "b2")
         .select(
             "b1",
-            F.greatest(
-                F.coalesce("off1", F.lit(None)), F.coalesce("off2", F.lit(None))
-            ).alias("off"),
+            F.greatest(F.col("off1"), F.col("off2")).alias("off"),
         )
     )
     wm = (

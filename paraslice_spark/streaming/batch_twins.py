@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from paraslice_spark.functions.canon import md5_u32_sql, micros_units
+from paraslice_spark.operators.aggregates import _CMS_AB, _CMS_P, _CMS_W
 from paraslice_spark.registry import query
 from paraslice_spark.sources.io import load_tables
 
@@ -225,9 +226,6 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-
-
-from paraslice_spark.operators.aggregates import _CMS_AB, _CMS_P, _CMS_W
 
 
 @query(
