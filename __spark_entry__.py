@@ -19,34 +19,20 @@ import paraslice_spark.operators  # noqa: F401  (registers all queries)
 from paraslice_spark.registry import ORACLES, QUERIES
 
 # The driver grades the FIRST ~50 queries of this dict per round, so order
-# encodes grading priority.  Round-8 re-tier (VERDICT r7 next-round #1):
-# the cumulative post-regeneration sweep COMPLETED in r7 (every declared
-# name holds a driver verdict from r4-r7), so rotation is now freshness
-# maintenance.  Tier 0 (no tuple): the r8 additions — 10 from the first
-# session + 19 from the continuation session (doc_chunks,
-# hashed_features, doc_keywords, dataset_mix, cms_selfjoin_size,
-# stream_countmin_cells, session_concurrency, gini_by_nation,
-# cosine_histogram, int8_quant_audit, funnel_latency, hhi_by_type,
-# ship_latency, phash_groups, length_buckets, kmv_distinct,
-# watermark_late_audit, langid_eval, stats_collect) — plus
-# customer_revenue_deciles, whose plan was
-# REWRITTEN this round (two-level ranking replacing the unpartitioned
-# ntile) and therefore needs a fresh hash verdict on the new plan —
-# plus the 14 SECOND-continuation additions (kcore_trace, mannwhitney,
-# ks_price_shift, spearman, runs_test, autocorr_minutes, keep_best,
-# backlog_profile, benford_audit, ohlc_hourly, reorder_gaps,
-# value_drift_psi, dedup_dataset, haar_energy); 44 names, leaving
-# ~6 of the r4
-# tail in the ~50 sample.  Tier 1: the
-# r4-graded names — the oldest standing verdicts (~10 of them fit the
-# ~50 sample next to tier 0; the rest spill into the r5 tier's turn
-# next round).  Tiers 2-4: r5-, r6-,
-# r7-graded names in verdict-age order (r7 includes last round's 48
-# tier-0/T1/T2 names plus tensor_slices and dedup_minhash_pairs).
+# encodes grading priority.  Round-9 re-tier (VERDICT r8 next-round #1):
+# every declared name holds a post-regeneration driver verdict (the r4-r8
+# union covers 241/241 with no standing failure), so rotation remains
+# freshness maintenance.  Tier 0 (no tuple): the r9 additions — they lead
+# the sample.  Tier 1: the r4-graded tail (44 names — the oldest standing
+# verdicts; r08 already refreshed the first 6, which drop to tier 5).
+# Tiers 2-4: r5-, r6-, r7-graded names in verdict-age order.  Tier 5: the
+# 50 names CORRECTNESS_r08 graded (the freshest verdicts — last in line).
+# Budget check: tier 0 (r9 adds) + the 44-name tier 1 fill the ~50 sample
+# (a few tail names spill to the r5 tier's turn if r9 adds exceed ~6),
+# so CORRECTNESS_r09 should grade every r9 addition plus the whole r4
+# tail, keeping the second full freshness cycle on track through r10-r12.
 _T1_R4_GRADED: tuple[str, ...] = (
-    "agg_money_split_sum", "agg_salted_skew", "agg_hll_sketch_merge",
-    "agg_stats_bivariate", "q5_local_supplier_volume",
-    "multimodal_resize_meta", "multimodal_frame_sample", "events_sessionize",
+    "multimodal_frame_sample", "events_sessionize",
     "sample_temperature", "scalar_variant_pack", "similarity_ivfpq_ann",
     "dedup_groups", "pipeline_curriculum", "text_token_stats",
     "text_unigram_logprob", "window_ranking", "window_topn_per_group",
@@ -129,6 +115,30 @@ _T4_R7_GRADED: tuple[str, ...] = (
     # … and the two same-round spillovers.
     "tensor_slices", "dedup_minhash_pairs",
 )
+_T5_R8_GRADED: tuple[str, ...] = (
+    # the 50 names CORRECTNESS_r08 graded: the 44 r8 additions + the first 6 of the old r4 tier
+    "agg_cms_selfjoin_size", "agg_kmv_distinct_error",
+    "lineitem_mannwhitney_u", "orders_ks_price_shift",
+    "lineitem_spearman_qty_price", "orders_benford_audit",
+    "stream_countmin_cells", "multimodal_phash_groups",
+    "stats_collect_lineitem", "pipeline_token_budget", "customer_ltv_cohorts",
+    "customer_revenue_deciles", "events_cusum_changepoint",
+    "events_session_concurrency", "customer_gini_by_nation",
+    "events_funnel_latency", "supplier_hhi_by_type", "orders_ship_latency",
+    "events_watermark_late_audit", "events_autocorr_minutes",
+    "events_runs_test", "orders_backlog_profile", "events_ohlc_hourly",
+    "customer_reorder_gaps", "events_value_drift_psi", "events_haar_energy",
+    "similarity_ann_recall", "dedup_method_agreement",
+    "embedding_label_centroid_sim", "graph_lpa_communities",
+    "embedding_cosine_histogram", "embedding_int8_quant_audit",
+    "graph_copurchase_kcore_trace", "pipeline_quality_filter",
+    "pipeline_pack_chunk_reader", "pipeline_pack_append_audit",
+    "pipeline_doc_chunks", "text_hashed_features", "text_doc_keywords",
+    "pipeline_dataset_mix", "pipeline_length_buckets", "text_langid_eval",
+    "dedup_keep_best", "pipeline_dedup_dataset", "agg_money_split_sum",
+    "agg_salted_skew", "agg_hll_sketch_merge", "agg_stats_bivariate",
+    "q5_local_supplier_volume", "multimodal_resize_meta",
+)
 
 
 def _rotated(d: dict) -> dict:
@@ -140,6 +150,7 @@ def _rotated(d: dict) -> dict:
             _T2_R5_GRADED,
             _T3_R6_GRADED,
             _T4_R7_GRADED,
+            _T5_R8_GRADED,
         ),
         start=1,
     ):

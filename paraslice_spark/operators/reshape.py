@@ -2725,16 +2725,20 @@ def events_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix_max − ts is negative), so n_late is structurally 0 here at
     ANY delay — the declared contract's signal is the per-hour arrival
     histogram plus the measured "ordered corpus loses nothing" fact.
-    The late-detection machinery itself is exercised by the
-    planted-disorder test (tests/test_pipeline_features.py) against a
-    pure-Python replay — the phash planted-perturbation pattern."""
+    The NON-vacuous declared twin is events_watermark_late_replay
+    (deterministic md5-permuted arrival, n_late > 0 at every SF), which
+    hash-oracles the eviction rule itself; the planted-disorder test
+    (tests/test_pipeline_features.py) additionally pins both arrival
+    orders to a pure-Python streaming replay."""
     return watermark_late_counts(load_tables(spark, sf_dir)["events"])
 
 
 def watermark_late_counts(ev: DataFrame) -> DataFrame:
     """Core three-level prefix-scan + eviction-rule audit over any
-    (event_id, ts_ns) frame — split out so tests can feed PLANTED
-    disordered arrivals (the corpus itself arrives in order)."""
+    (event_id, ts_ns) frame, arrival order = event_id — split out so
+    tests can feed PLANTED disordered arrivals (the corpus itself
+    arrives in order; events_watermark_late_replay is the declared
+    disordered-arrival surface)."""
     hr = F.expr("ts_ns div 3600000000000")
     e = ev.select(
         "event_id",
@@ -2744,9 +2748,22 @@ def watermark_late_counts(ev: DataFrame) -> DataFrame:
         F.expr(f"event_id div {_WM_C}").alias("b1"),
         F.expr(f"event_id div {_WM_C} div {_WM_C}").alias("b2"),
     )
+    return _wm_late_core(e, ["event_id"])
+
+
+def _wm_late_core(e: DataFrame, order_cols: list) -> DataFrame:
+    """Shared three-level distributed strict-prefix-max + eviction rule.
+
+    ``e`` must carry (ts_ns, hr, hr_end, b1, b2) plus the arrival-order
+    columns.  CONTRACT: (b1, b2) are pure functions of the order key,
+    monotone non-decreasing in it (so order-key ties never straddle a
+    bucket and per-bucket maxima compose into the global strict prefix
+    by max-associativity), and b2 groups b1.  Level sizes: the in-bucket
+    window is PARTITIONED BY b1, L1 by b2, and only the L2 summary
+    (one row per b2) takes an unpartitioned window."""
     w_in = (
         Window.partitionBy("b1")
-        .orderBy("event_id")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     # L1: one row per id-bucket (max ts + its L2 group)
@@ -2781,6 +2798,68 @@ def watermark_late_counts(ev: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count(F.when(late, F.lit(1))).alias("n_late"),
     )
+
+
+@query(
+    "events_watermark_late_replay",
+    oracle=f"""
+    WITH e AS (
+      SELECT {md5_u32_sql('event_id')} AS h, event_id,
+             epoch_ns(ts) AS ts_ns,
+             (epoch_ns(ts) // 3600000000000) AS hr,
+             (epoch_ns(ts) // 3600000000000 + 1) * 3600000000000 AS hr_end
+      FROM events),
+    wm AS (
+      SELECT hr, hr_end,
+             MAX(ts_ns) OVER (ORDER BY h, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prefix_max
+      FROM e)
+    SELECT hr, CAST(COUNT(*) AS BIGINT) AS n_events,
+           COUNT(CASE WHEN prefix_max - {WM_DELAY_NS} >= hr_end
+                      THEN 1 END) AS n_late
+    FROM wm GROUP BY hr
+    """,
+)
+def events_watermark_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DATA REPLAY (the NON-vacuous ST4 twin) — the same
+    eviction-rule audit as events_watermark_late_audit, but arrival
+    order is a DETERMINISTIC PLANTED-DISORDER permutation of the
+    stream: events arrive in (md5_u32(event_id), event_id) order — the
+    sample_temperature hash idiom applied to arrival.  The fixture's
+    natural arrival is exactly event-time-ordered, so the audit's
+    n_late is structurally 0 at every delay (the documented vacuity);
+    under the md5 permutation the watermark races to near-max event
+    time within the first few arrivals, so every hour window except
+    the stream's tail loses real events — n_late > 0 at every SF, and
+    the per-hour keep/drop split depends on the permutation's fine
+    structure.  This makes Spark's eviction rule ITSELF hash-oracled:
+    a broken strict-prefix scan, a >= vs > slip, or an off-by-one in
+    the delay all flip concrete cells.
+
+    Scale shape IMPROVES on the dense-id audit: buckets come from the
+    hash's own uniform high bits (b1 = h div 2^16 → ≤65536 balanced
+    buckets regardless of n; b2 = b1 div 2^8 → ≤256 groups), so every
+    window but the ≤256-row L2 summary is partitioned, and in-bucket
+    tasks hold ~n/65536 rows at any corpus size.  b1 is monotone in h
+    and a pure function of it, so h-ties never straddle buckets and
+    the three-level decomposition stays exact (the _wm_late_core
+    contract).  DuckDB twin: one window over the same permutation."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hr = F.expr("ts_ns div 3600000000000")
+    h = md5_u32("event_id")
+    e = ev.select(
+        h.alias("h"),
+        "event_id",
+        "ts_ns",
+        hr.alias("hr"),
+        ((hr + 1) * 3_600_000_000_000).alias("hr_end"),
+    ).select(
+        "*",
+        F.expr(f"h div {_WM_C}").alias("b1"),
+        F.expr(f"h div {_WM_C} div 256").alias("b2"),
+    )
+    return _wm_late_core(e, ["h", "event_id"])
 
 
 def _count_series_sql(ns_per_bucket: int) -> str:

@@ -358,6 +358,50 @@ def test_watermark_audit_on_planted_disorder(spark):
     assert sum(v[1] for v in expect.values()) > 0  # disorder really bites
 
 
+def test_watermark_replay_matches_python_eviction(spark):
+    """The DECLARED planted-disorder surface (events_watermark_late_replay)
+    must reproduce a pure-Python streaming replay of Spark's eviction rule
+    over the md5-permuted arrival order — hashlib is the third engine here
+    (independent of both Spark's and DuckDB's md5), so the permutation rule
+    itself is pinned, not just the two engines' agreement on it."""
+    from paraslice_spark.operators.reshape import WM_DELAY_NS
+    from paraslice_spark.sources.io import load_tables
+
+    got = {
+        r["hr"]: (r["n_events"], r["n_late"])
+        for r in QUERIES["events_watermark_late_replay"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    ev = [
+        (r["event_id"], r["ts_ns"])
+        for r in load_tables(spark, SF_SMALL)["events"]
+        .select("event_id", "ts_ns")
+        .collect()
+    ]
+    arrival = sorted(
+        ev,
+        key=lambda r: (
+            int(hashlib.md5(str(r[0]).encode()).hexdigest()[:8], 16),
+            r[0],
+        ),
+    )
+    expect: dict[int, list] = {}
+    prefix = None
+    n_late_total = 0
+    for _eid, ts in arrival:
+        hr = ts // 3_600_000_000_000
+        hr_end = (hr + 1) * 3_600_000_000_000
+        late = prefix is not None and prefix - WM_DELAY_NS >= hr_end
+        e = expect.setdefault(hr, [0, 0])
+        e[0] += 1
+        e[1] += int(late)
+        n_late_total += int(late)
+        prefix = ts if prefix is None else max(prefix, ts)
+    assert got == {h: tuple(v) for h, v in expect.items()}
+    assert n_late_total > 0  # the declared twin is NON-vacuous
+
+
 def test_langid_eval_matrix_consistency(spark):
     """Confusion-matrix bookkeeping: cells partition the corpus (total
     matches doc count), per-lang shares floor-sum to <= 1e6, and cell

@@ -607,6 +607,20 @@ def test_watermark_audit_prefix_scan_decomposition(spark):
     assert len(unpart) == 1 and "m2" in unpart[0], p
 
 
+def test_watermark_replay_prefix_scan_decomposition(spark):
+    """The planted-disorder twin keeps the same three-level shape with
+    hash-derived buckets: exactly one unpartitioned Window and it runs
+    on the <=256-row L2 summary (m2), never on raw event rows."""
+    import re
+
+    p = plan(QUERIES["events_watermark_late_replay"](spark, SF_SMALL))
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert len(wins) == 3, p
+    unpart = [ln for ln in wins
+              if not re.search(r"\], \[b[12]#\d+L?\], \[", ln)]
+    assert len(unpart) == 1 and "m2" in unpart[0], p
+
+
 def test_ks_two_level_prefix_scan(spark):
     """orders_ks_price_shift claims the two-level prefix scan: the
     in-bucket cumsum windows are PARTITIONED by bkt; the only
