@@ -1983,6 +1983,105 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_tukey_fences",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value*1000000) AS BIGINT) AS mv
+      FROM events),
+    r AS (
+      SELECT event_type, mv,
+             row_number() OVER (PARTITION BY event_type ORDER BY mv) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+    q AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN rk = (n + 3) // 4 THEN mv END) AS BIGINT)
+               AS q1m,
+             CAST(SUM(CASE WHEN rk = (3 * n + 3) // 4 THEN mv END)
+                  AS BIGINT) AS q3m
+      FROM r GROUP BY event_type)
+    SELECT q.event_type, q.n,
+           CAST(q1m AS DOUBLE) / 1000000.0 AS q1_value,
+           CAST(q3m AS DOUBLE) / 1000000.0 AS q3_value,
+           COUNT(CASE WHEN 2 * mv < 2 * q1m - 3 * (q3m - q1m) THEN 1 END)
+             AS n_low_outliers,
+           COUNT(CASE WHEN 2 * mv > 2 * q3m + 3 * (q3m - q1m) THEN 1 END)
+             AS n_high_outliers
+    FROM v JOIN q USING (event_type)
+    GROUP BY q.event_type, q.n, q1m, q3m
+    """,
+)
+def events_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY BOX-PLOT OUTLIER GATE per event_type — the third member of
+    the anomaly family next to z-score (moment-based) and MAD (robust
+    median): exact nearest-rank quartiles and the classic 1.5×IQR
+    fences, all in micro-unit int64.
+
+    EXACT-INTEGER FENCES: with q1/q3 as micro-unit integers, the cut
+    v < q1 − 1.5·IQR becomes 2·mv < 2·q1m − 3·(q3m − q1m) — doubling
+    clears the half, so no float enters until the two display
+    divisions (the anomaly_mad doubling trick applied to fences).
+
+    Scale shape: the same VALUE-HISTOGRAM SELECTION as anomaly_mad —
+    one map-combined hash agg to per-(type, mv) counts (a saturating
+    domain), quartiles selected by cumulative count over the per-type
+    distinct-value list and attached as WINDOW VALUES in place (no
+    grouped-agg join-back, so the histogram subtree runs ONCE), then
+    one groupBy that reads fence-crossing mass straight off the
+    histogram's cnt column.  No per-row sort anywhere."""
+    from paraslice_spark.operators.aggregates import hist_selection_frame
+
+    ev = load_tables(spark, sf_dir)["events"]
+    hist = (
+        ev.select("event_type", micros_units("value").alias("mv"))
+        .groupBy("event_type", "mv")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    f = hist_selection_frame(hist, "event_type", "mv")
+    wp = Window.partitionBy("event_type")
+    lo = F.col("cum") - F.col("cnt")
+    rk1 = F.expr("(n + 3) div 4")
+    rk3 = F.expr("(3 * n + 3) div 4")
+    g = f.select(
+        "*",
+        F.sum(F.when((lo < rk1) & (rk1 <= F.col("cum")), F.col("mv")))
+        .over(wp)
+        .alias("q1m"),
+        F.sum(F.when((lo < rk3) & (rk3 <= F.col("cum")), F.col("mv")))
+        .over(wp)
+        .alias("q3m"),
+    )
+    iqr = F.col("q3m") - F.col("q1m")
+    return g.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (F.max("q1m").cast("double") / 1000000.0).alias("q1_value"),
+        (F.max("q3m").cast("double") / 1000000.0).alias("q3_value"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    2 * F.col("mv") < 2 * F.col("q1m") - 3 * iqr,
+                    F.col("cnt"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_low_outliers"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    2 * F.col("mv") > 2 * F.col("q3m") + 3 * iqr,
+                    F.col("cnt"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_high_outliers"),
+    )
+
+
+@query(
     "events_seasonality_profile",
     oracle="""
     WITH base AS (
@@ -2423,6 +2522,109 @@ def customer_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_customers").cast("double") * F.col("s1")),
             6,
         ).alias("gini"),
+    )
+
+
+#: Fixed half-year boundary + absolute half-spend band cuts (cents) for
+#: customer_band_migration — thresholds sit at the measured per-half spend
+#: tertiles (~$212k / ~$410k at every SF; the pipeline_quality_filter
+#: measured-constant discipline), so all four bands are populated and the
+#: rule needs no rank/quantile pass at any scale.
+_MIG_SPLIT_DATE = "1995-07-01"
+_MIG_LOW_C = 20_000_000
+_MIG_HIGH_C = 40_000_000
+
+
+def _mig_band_sql(col: str) -> str:
+    """DuckDB band rule twin of :func:`_mig_band`."""
+    return (
+        f"CASE WHEN {col} = 0 THEN 'none' "
+        f"WHEN {col} < {_MIG_LOW_C} THEN 'low' "
+        f"WHEN {col} < {_MIG_HIGH_C} THEN 'mid' ELSE 'high' END"
+    )
+
+
+def _mig_band(col: str):
+    """Absolute-threshold spend band: none/low/mid/high on exact cents."""
+    c = F.col(col)
+    return (
+        F.when(c == 0, "none")
+        .when(c < _MIG_LOW_C, "low")
+        .when(c < _MIG_HIGH_C, "mid")
+        .otherwise("high")
+    )
+
+
+@query(
+    "customer_band_migration",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN o_orderdate < DATE '{_MIG_SPLIT_DATE}'
+                      THEN CAST(round(o_totalprice*100) AS BIGINT)
+                      ELSE 0 END) AS h1_c,
+             SUM(CASE WHEN o_orderdate >= DATE '{_MIG_SPLIT_DATE}'
+                      THEN CAST(round(o_totalprice*100) AS BIGINT)
+                      ELSE 0 END) AS h2_c
+      FROM orders GROUP BY 1),
+    b AS (
+      SELECT {_mig_band_sql('COALESCE(h1_c, 0)')} AS band_h1,
+             {_mig_band_sql('COALESCE(h2_c, 0)')} AS band_h2,
+             COALESCE(h1_c, 0) + COALESCE(h2_c, 0) AS tot_c
+      FROM customer LEFT JOIN s ON c_custkey = o_custkey)
+    SELECT band_h1, band_h2, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(tot_c) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+    FROM b GROUP BY band_h1, band_h2
+    """,
+)
+def customer_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT MIGRATION MATRIX — where customers move between spend
+    bands from the first half of the TPC-H date range to the second:
+    the churn/upgrade/downgrade rollup a retention team reads weekly
+    (band_h1='high' & band_h2='none' is churned whales; 'none'→any is
+    acquisition).  Bands are ABSOLUTE cents thresholds at the measured
+    per-half tertiles, so no per-half ranking pass exists anywhere —
+    the deciles lesson solved by rule rather than re-plan.
+
+    Scale shape: ONE conditional-sum pass collapses orders to
+    |customers| rows (both halves in the same map-combined agg — no
+    half×half self-join), one custkey-hashed LEFT join from the
+    customer spine (keeps never-ordered customers as the 'none'/'none'
+    cell), then a ≤16-row matrix agg.  All cents exact int64; the one
+    revenue display division happens after the final SUM (DuckDB's
+    HUGEINT re-sum is the overflow canary)."""
+    t = load_tables(spark, sf_dir)
+    split = F.lit(_MIG_SPLIT_DATE).cast("date")
+    s = t["orders"].groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.col("o_orderdate") < split, cents("o_totalprice"))
+            .otherwise(F.lit(0))
+        ).alias("h1_c"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= split, cents("o_totalprice"))
+            .otherwise(F.lit(0))
+        ).alias("h2_c"),
+    )
+    b = (
+        t["customer"]
+        .select("c_custkey")
+        .join(s, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            F.coalesce("h1_c", F.lit(0)).alias("h1_c"),
+            F.coalesce("h2_c", F.lit(0)).alias("h2_c"),
+        )
+    )
+    return (
+        b.select(
+            _mig_band("h1_c").alias("band_h1"),
+            _mig_band("h2_c").alias("band_h2"),
+            (F.col("h1_c") + F.col("h2_c")).alias("tot_c"),
+        )
+        .groupBy("band_h1", "band_h2")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("tot_c").cast("double") / 100.0).alias("revenue"),
+        )
     )
 
 
@@ -2905,6 +3107,57 @@ def count_series(
         spine.join(cnt, "m", "left")
         .select("m", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
         .localCheckpoint(eager=False)
+    )
+
+
+@query(
+    "events_overdispersion",
+    oracle=f"""
+    WITH {_MINUTE_SERIES_SQL},
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sk,
+             CAST(SUM(x * x) AS BIGINT) AS sk2
+      FROM b)
+    SELECT n AS n_minutes, sk AS n_events, sk2 AS sum_sq,
+           ROUND(CAST(n * sk2 - sk * sk AS DOUBLE)
+                 / CAST((n - 1) * sk AS DOUBLE), 6) AS dispersion
+    FROM t
+    """,
+)
+def events_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON OVERDISPERSION INDEX of the per-minute arrival counts —
+    the first diagnostic a capacity model runs: D = s²/x̄ over the
+    gap-filled minute series (D ≈ 1 for a Poisson process; D > 1 means
+    bursty arrivals, and every queueing estimate downstream must widen).
+    Complements events_runs_test (sequence randomness) and
+    events_autocorr_minutes (serial correlation) on the SAME shared
+    :func:`count_series` spine — three declared lenses, one series
+    definition that cannot drift.
+
+    EXACT-INTEGER FORM: D = (n·Σx² − (Σx)²) / ((n−1)·Σx) — one IEEE
+    division of two int64-exact products (numerator < 2^63 to ~1e5
+    events/minute over a 30-day span; DuckDB's HUGEINT arithmetic is
+    the overflow canary past that — rescale to per-second buckets
+    first).  Scale shape: the series is one map-combined agg over a
+    generated spine (n buckets is TIME-bounded, not corpus-bounded),
+    then a 1-row rollup; the declared output is a single row."""
+    b = count_series(spark, sf_dir)
+    t = b.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sk"),
+        F.sum(F.col("x") * F.col("x")).alias("sk2"),
+    )
+    n, sk, sk2 = F.col("n"), F.col("sk"), F.col("sk2")
+    return t.select(
+        n.alias("n_minutes"),
+        sk.alias("n_events"),
+        sk2.alias("sum_sq"),
+        F.round(
+            (n * sk2 - sk * sk).cast("double")
+            / ((n - 1) * sk).cast("double"),
+            6,
+        ).alias("dispersion"),
     )
 
 
