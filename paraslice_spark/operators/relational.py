@@ -8,7 +8,7 @@ row-groups and columns they need.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from paraslice_spark.functions.canon import cents
@@ -262,6 +262,17 @@ def audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.repartition(1).sortWithinPartitions("check_name")
 
 
+#: The 5 profiled lineitem columns in long format — the ONE stack shared
+#: by stats_collect_lineitem (scalar stats) and stats_histogram_lineitem
+#: (equi-width histograms) so the CBO pair profiles identical domains.
+_HIST_STACK = """stack(5,
+                 'l_quantity', CAST(round(l_quantity*100) AS BIGINT),
+                 'l_extendedprice', CAST(round(l_extendedprice*100) AS BIGINT),
+                 'l_discount', CAST(round(l_discount*100) AS BIGINT),
+                 'l_partkey', l_partkey,
+                 'l_suppkey', l_suppkey) AS (col, v)"""
+
+
 @query(
     "stats_collect_lineitem",
     oracle="""
@@ -304,14 +315,7 @@ def stats_collect_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_approx_distinct; this query IS the calibration source those
     sketches get compared against).  5 output rows."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    pairs = li.selectExpr(
-        """stack(5,
-                 'l_quantity', CAST(round(l_quantity*100) AS BIGINT),
-                 'l_extendedprice', CAST(round(l_extendedprice*100) AS BIGINT),
-                 'l_discount', CAST(round(l_discount*100) AS BIGINT),
-                 'l_partkey', l_partkey,
-                 'l_suppkey', l_suppkey) AS (col, v)"""
-    )
+    pairs = li.selectExpr(_HIST_STACK)
     return (
         pairs.groupBy("col")
         .agg(
@@ -324,4 +328,83 @@ def stats_collect_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1)
         .sortWithinPartitions("col")
+    )
+
+
+@query(
+    "stats_histogram_lineitem",
+    oracle="""
+    WITH s AS (
+      SELECT * FROM (
+        SELECT 'l_quantity' AS col,
+               CAST(round(l_quantity*100) AS BIGINT) AS v FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(round(l_extendedprice*100) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', CAST(round(l_discount*100) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', l_partkey FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey', l_suppkey FROM lineitem)),
+    h AS (
+      SELECT col, v, COUNT(*) AS cnt FROM s
+      WHERE v IS NOT NULL GROUP BY 1, 2),
+    f AS (
+      SELECT col, v, cnt,
+             MIN(v) OVER (PARTITION BY col) AS mn,
+             MAX(v) OVER (PARTITION BY col) AS mx
+      FROM h)
+    SELECT col,
+           CAST(LEAST(9, (v - mn) * 10 // (mx - mn + 1)) AS BIGINT) AS bin,
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           MIN(v) AS v_lo, MAX(v) AS v_hi
+    FROM f GROUP BY 1, 2
+    """,
+)
+def stats_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style EQUI-WIDTH COLUMN HISTOGRAMS — the selectivity
+    model next to stats_collect_lineitem's scalar stats (the CBO pair
+    behind `ANALYZE ... COMPUTE STATISTICS FOR COLUMNS`, which builds
+    exactly these equi-width buckets internally): 10 bins per profiled
+    column over the exact [min, max] cents/key domain, with each bin's
+    observed value range (v_lo/v_hi — so empty-tail bins are visible
+    as absent rows, and the planner's range estimates are checkable).
+
+    EXACT-INTEGER BINNING: bin = least(9, (v − min)·10 div
+    (max − min + 1)) — both operands provably non-negative (the house
+    integer-div contract), so Spark div and DuckDB // agree.
+
+    Scale shape: the 5× stack fans out map-side, then the raw table is
+    hash-aggregated ONCE into per-(col, v) counts (the saturating
+    micro-unit domain — the anomaly_mad discipline); the min/max
+    window runs over DISTINCT VALUES ONLY (≤ ~60k rows per column
+    partition at any corpus size, never raw rows), and the final
+    10-bin rollup is map-combined.  ≤ 50 output rows."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    h = (
+        li.selectExpr(_HIST_STACK)
+        .where(F.col("v").isNotNull())
+        .groupBy("col", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wp = Window.partitionBy("col")
+    f = h.select(
+        "*",
+        F.min("v").over(wp).alias("mn"),
+        F.max("v").over(wp).alias("mx"),
+    )
+    b = F.least(
+        F.lit(9),
+        F.expr("(v - mn) * 10 div (mx - mn + 1)"),
+    )
+    return (
+        f.select("col", b.alias("bin"), "v", "cnt")
+        .groupBy("col", "bin")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.min("v").alias("v_lo"),
+            F.max("v").alias("v_hi"),
+        )
     )

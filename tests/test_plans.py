@@ -725,3 +725,56 @@ def test_psi_is_binned_conditional_agg(spark):
     assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
     assert "Window [" not in p, p
     assert "BroadcastExchange" in p, p
+
+
+def test_tukey_fences_windows_run_on_histogram(spark):
+    """The fences query claims the anomaly_mad shape: quartiles selected
+    from the per-(type, value) count histogram as window values — no
+    row_number over raw events, one raw-table scan, every Window a
+    cumulative/selection SUM over histogram counts."""
+    p = plan(QUERIES["events_tukey_fences"](spark, SF_SMALL))
+    assert "row_number" not in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wins and all("sum(" in ln for ln in wins), p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_incremental_audit_has_no_window(spark):
+    """dedup_incremental_audit claims the rn=1 formulation collapsed into
+    per-fp conditional MINs: no Window node at all, one documents scan
+    (plus the 1-row cutoff scan), and the cutoff attaches by broadcast."""
+    p = plan(QUERIES["dedup_incremental_audit"](spark, SF_SMALL))
+    assert "Window [" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert p.count("Scan parquet") == 2, p
+
+
+def test_shard_manifest_single_pass(spark):
+    """The manifest is ONE map-combined groupBy: a single scan, a single
+    shuffle Exchange, no Window, no collect_list of per-doc digests."""
+    p = plan(QUERIES["pipeline_shard_manifest"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 1, p
+    assert "Window [" not in p and "collect_list" not in p, p
+    exch = [ln for ln in p.splitlines()
+            if "Exchange" in ln and "Broadcast" not in ln]
+    assert len(exch) == 1, p
+
+
+def test_band_migration_no_ranking(spark):
+    """Bands are absolute thresholds — no rank/ntile/Window pass anywhere
+    (the deciles lesson solved by rule), and orders collapse before the
+    customer-spine join."""
+    p = plan(QUERIES["customer_band_migration"](spark, SF_SMALL))
+    assert "Window [" not in p and "ntile" not in p, p
+    assert "row_number" not in p, p
+
+
+def test_stats_histogram_window_on_distinct_values(spark):
+    """stats_histogram_lineitem: the min/max window runs over the
+    per-(col, v) DISTINCT-value histogram (below an Aggregate), never raw
+    stacked rows, and the raw table is scanned once."""
+    p = plan(QUERIES["stats_histogram_lineitem"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 1, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert len(wins) == 1 and "min(" in wins[0] and "max(" in wins[0], p
+    assert "row_number" not in p, p
