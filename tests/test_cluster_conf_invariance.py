@@ -47,6 +47,9 @@ _REPRESENTATIVES = (
     "orders_ks_price_shift",         # two-level prefix scan + TakeOrdered
     "lineitem_spearman_qty_price",   # rank-map joins + exact moments
     "events_runs_test",              # hist median + seq-adjacency join
+    # r9 shapes:
+    "events_watermark_late_replay",  # 3-level prefix scan, hash buckets
+    "dedup_incremental_audit",       # broadcast cutoff + conditional mins
 )
 
 
