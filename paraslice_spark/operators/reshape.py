@@ -2954,7 +2954,20 @@ def watermark_late_counts(ev: DataFrame) -> DataFrame:
 
 
 def _wm_late_core(e: DataFrame, order_cols: list) -> DataFrame:
-    """Shared three-level distributed strict-prefix-max + eviction rule.
+    """Three-level strict-prefix-max + the 10-min eviction rule, grouped
+    per hour window — the shared engine of both declared ST4 audits."""
+    wm = _wm_prefix_frame(e, order_cols)
+    late = (F.col("prefix_max") - WM_DELAY_NS) >= F.col("hr_end")
+    return wm.groupBy("hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(late, F.lit(1))).alias("n_late"),
+    )
+
+
+def _wm_prefix_frame(e: DataFrame, order_cols: list) -> DataFrame:
+    """Shared three-level distributed strict-prefix-max: appends
+    ``prefix_max`` (max ts_ns strictly before each row in arrival order)
+    to ``e``.
 
     ``e`` must carry (ts_ns, hr, hr_end, b1, b2) plus the arrival-order
     columns.  CONTRACT: (b1, b2) are pure functions of the order key,
@@ -2990,15 +3003,10 @@ def _wm_late_core(e: DataFrame, order_cols: list) -> DataFrame:
             F.greatest(F.col("off1"), F.col("off2")).alias("off"),
         )
     )
-    wm = (
+    return (
         e.join(l1_off, "b1")
         .withColumn("inb", F.max("ts_ns").over(w_in))
         .withColumn("prefix_max", F.greatest("inb", "off"))
-    )
-    late = (F.col("prefix_max") - WM_DELAY_NS) >= F.col("hr_end")
-    return wm.groupBy("hr").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.count(F.when(late, F.lit(1))).alias("n_late"),
     )
 
 
@@ -3048,9 +3056,16 @@ def events_watermark_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     the three-level decomposition stays exact (the _wm_late_core
     contract).  DuckDB twin: one window over the same permutation."""
     ev = load_tables(spark, sf_dir)["events"]
+    return _wm_late_core(_replay_arrival_frame(ev), ["h", "event_id"])
+
+
+def _replay_arrival_frame(ev: DataFrame) -> DataFrame:
+    """The md5-permuted arrival frame shared by the late replay and the
+    delay sweep (single-source permutation + bucket rule — the two
+    declared surfaces cannot disagree on what "arrival order" means)."""
     hr = F.expr("ts_ns div 3600000000000")
     h = md5_u32("event_id")
-    e = ev.select(
+    return ev.select(
         h.alias("h"),
         "event_id",
         "ts_ns",
@@ -3061,7 +3076,71 @@ def events_watermark_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"h div {_WM_C}").alias("b1"),
         F.expr(f"h div {_WM_C} div 256").alias("b2"),
     )
-    return _wm_late_core(e, ["h", "event_id"])
+
+
+#: the candidate withWatermark delays the sweep prices (seconds)
+_WM_SWEEP_S = (60, 600, 3600, 21600, 86400)
+
+
+@query(
+    "events_watermark_delay_sweep",
+    oracle=f"""
+    WITH e AS (
+      SELECT {md5_u32_sql('event_id')} AS h, event_id,
+             epoch_ns(ts) AS ts_ns,
+             (epoch_ns(ts) // 3600000000000 + 1) * 3600000000000 AS hr_end
+      FROM events),
+    wm AS (
+      SELECT hr_end,
+             MAX(ts_ns) OVER (ORDER BY h, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prefix_max
+      FROM e),
+    d AS (SELECT CAST(unnest([{', '.join(str(d) for d in _WM_SWEEP_S)}])
+                      AS BIGINT) AS delay_s)
+    SELECT delay_s, CAST(COUNT(*) AS BIGINT) AS n_events,
+           COUNT(CASE WHEN prefix_max - delay_s * 1000000000 >= hr_end
+                      THEN 1 END) AS n_late,
+           CAST(COUNT(CASE WHEN prefix_max - delay_s * 1000000000 >= hr_end
+                           THEN 1 END) * 1000000 // COUNT(*) AS BIGINT)
+             AS loss_ppm
+    FROM wm, d GROUP BY delay_s
+    """,
+)
+def events_watermark_delay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK DELAY SWEEP — the calibration table the two audits
+    point at: under the SAME md5-permuted planted-disorder arrival as
+    events_watermark_late_replay (shared :func:`_replay_arrival_frame`
+    — one permutation definition), price the candidate ``withWatermark``
+    delays from 1 minute to 1 day: total events dropped and the loss
+    rate in ppm per delay.  This is the loss curve an operator reads
+    before committing state-store memory to a longer delay — the
+    MinHash/CMS/ANN-recall calibration discipline applied to streaming
+    eviction.
+
+    Scale shape: the three-level prefix scan runs ONCE (shared
+    :func:`_wm_prefix_frame`); all five delays are CONDITIONAL COUNTS
+    inside one map-combined global agg over the same frame (no
+    per-delay re-scan, no fanout join), then a 5-row stack computes
+    loss_ppm by integer division (operands non-negative; n_late·10⁶
+    stays int64-exact to ~9·10¹² late events).  The oracle prices the
+    delays off one window + a 5-row cross join."""
+    ev = load_tables(spark, sf_dir)["events"]
+    wm = _wm_prefix_frame(_replay_arrival_frame(ev), ["h", "event_id"])
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for d in _WM_SWEEP_S:
+        late = (F.col("prefix_max") - d * 1_000_000_000) >= F.col("hr_end")
+        aggs.append(F.count(F.when(late, F.lit(1))).alias(f"l{d}"))
+    t = wm.agg(*aggs)
+    pairs = ", ".join(f"CAST({d} AS BIGINT), l{d}" for d in _WM_SWEEP_S)
+    return t.selectExpr(
+        "n", f"stack({len(_WM_SWEEP_S)}, {pairs}) AS (delay_s, n_late)"
+    ).select(
+        "delay_s",
+        F.col("n").alias("n_events"),
+        "n_late",
+        F.expr("n_late * 1000000 div n").alias("loss_ppm"),
+    )
 
 
 def _count_series_sql(ns_per_bucket: int) -> str:

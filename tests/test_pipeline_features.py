@@ -498,3 +498,28 @@ def test_hist_selection_matches_numpy_nearest_rank(spark):
             vals[(n + 1) // 2 - 1],
             vals[(9 * n + 9) // 10 - 1],
         ), key
+
+
+def test_delay_sweep_consistent_and_monotone(spark):
+    """The sweep's 600 s row must equal the replay's per-hour n_late
+    summed (same permutation, same rule, WM_DELAY_NS = 600 s), and loss
+    must be monotone non-increasing in delay with exact ppm bookkeeping."""
+    rows = sorted(
+        (r["delay_s"], r)
+        for r in QUERIES["events_watermark_delay_sweep"](
+            spark, SF_SMALL
+        ).collect()
+    )
+    replay_late = sum(
+        r["n_late"]
+        for r in QUERIES["events_watermark_late_replay"](
+            spark, SF_SMALL
+        ).collect()
+    )
+    by_delay = {d: r for d, r in rows}
+    assert by_delay[600]["n_late"] == replay_late
+    lates = [r["n_late"] for _, r in rows]
+    assert lates == sorted(lates, reverse=True)  # longer delay loses less
+    for _, r in rows:
+        assert r["loss_ppm"] == r["n_late"] * 1_000_000 // r["n_events"]
+        assert 0 < r["n_late"] <= r["n_events"]  # non-vacuous at every delay

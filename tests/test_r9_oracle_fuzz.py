@@ -264,3 +264,50 @@ def test_watermark_replay_oracle_on_random_tables(seed):
         x[1] += int(late)
         prefix = ns if prefix is None else max(prefix, ns)
     assert got == {h: tuple(v) for h, v in expect.items()}, seed
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_delay_sweep_oracle_on_random_tables(seed):
+    from paraslice_spark.operators.reshape import _WM_SWEEP_S
+
+    rng = random.Random(12_000 + seed)
+    base_ns = 1_660_000_000_000_000_000
+    rows = []
+    used = set()
+    for _ in range(rng.randrange(50, 500)):
+        e = rng.randrange(1, 100_000)
+        if e in used:
+            continue
+        used.add(e)
+        rows.append(
+            (e, (base_ns + rng.randrange(0, 30) * 3_600_000_000_000
+                 + rng.randrange(0, 3_600_000_000_000)) // 1000)
+        )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(event_id BIGINT, ts TIMESTAMP)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, make_timestamp(?))", rows
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            ORACLES["events_watermark_delay_sweep"]
+        ).fetchall()
+    }
+    arrival = sorted(
+        rows,
+        key=lambda r: (
+            int(hashlib.md5(str(r[0]).encode()).hexdigest()[:8], 16),
+            r[0],
+        ),
+    )
+    for d in _WM_SWEEP_S:
+        prefix, n_late = None, 0
+        for _e, us in arrival:
+            ns = us * 1000
+            hr_end = (ns // 3_600_000_000_000 + 1) * 3_600_000_000_000
+            if prefix is not None and prefix - d * 1_000_000_000 >= hr_end:
+                n_late += 1
+            prefix = ns if prefix is None else max(prefix, ns)
+        n = len(arrival)
+        assert got[d] == (n, n_late, n_late * 1_000_000 // n), (seed, d)
