@@ -273,6 +273,33 @@ _HIST_STACK = """stack(5,
                  'l_suppkey', l_suppkey) AS (col, v)"""
 
 
+#: per-(session, sf) memo of the (col, v, cnt) histogram — the shared base
+#: of the CBO pair (the _knn_cache contract: eager localCheckpoint built on
+#: first use, reused by every later consumer in the session)
+_col_hist_cache: dict = {}
+
+
+def _lineitem_col_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized per-(col, value) COUNT HISTOGRAM of the 5 profiled
+    lineitem columns (NULLs kept as their own v row so null accounting
+    survives).  Both stats_collect_lineitem and stats_histogram_lineitem
+    are cheap rollups of this one saturating-domain frame (~60k distinct
+    values per column at any corpus size), so the expensive distinct
+    expansion runs ONCE per (session, sf)."""
+    from paraslice_spark.sources.io import _session_key
+
+    key = (_session_key(spark), sf_dir.rstrip("/"))
+    if key not in _col_hist_cache:
+        li = load_tables(spark, sf_dir)["lineitem"]
+        _col_hist_cache[key] = (
+            li.selectExpr(_HIST_STACK)
+            .groupBy("col", "v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+    return _col_hist_cache[key]
+
+
 @query(
     "stats_collect_lineitem",
     oracle="""
@@ -307,24 +334,26 @@ def stats_collect_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANALYZE writes catalog-internal state that can't be hash-compared).
 
     Money columns quantize to exact cents (canon rule) so min/max/sum
-    are int64-exact; key columns pass through.  The stack is a per-row
-    map (5× fanout over the 5 profiled columns), then one map-combined
-    agg per column; exact NDV costs the usual distinct expansion —
-    groups by (col, v) first under the hood — which is the honest price
-    of exact NDV (the sketch path for 100 TB is agg_kmv_distinct_error/
-    agg_approx_distinct; this query IS the calibration source those
-    sketches get compared against).  5 output rows."""
-    li = load_tables(spark, sf_dir)["lineitem"]
-    pairs = li.selectExpr(_HIST_STACK)
+    are int64-exact; key columns pass through.  Since r9 the query is a
+    5-row rollup of the SHARED :func:`_lineitem_col_hist` memo (one
+    (col, v, cnt) histogram per (session, sf) — NULLs kept as their own
+    v row, so n_null = the null row's count mass and sum_v = Σ v·cnt
+    stays exact): the distinct expansion that exact NDV costs runs ONCE
+    and also feeds stats_histogram_lineitem (the sketch path for 100 TB
+    is agg_kmv_distinct_error/agg_approx_distinct; this query IS the
+    calibration source those sketches get compared against)."""
+    h = _lineitem_col_hist(spark, sf_dir)
     return (
-        pairs.groupBy("col")
+        h.groupBy("col")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
-            F.countDistinct("v").alias("ndv"),
+            F.sum("cnt").alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0)
+            ).cast("long").alias("n_null"),
+            F.count(F.when(F.col("v").isNotNull(), 1)).alias("ndv"),
             F.min("v").alias("min_v"),
             F.max("v").alias("max_v"),
-            F.sum("v").alias("sum_v"),
+            F.sum(F.col("v") * F.col("cnt")).alias("sum_v"),
         )
         .repartition(1)
         .sortWithinPartitions("col")
@@ -376,19 +405,14 @@ def stats_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max − min + 1)) — both operands provably non-negative (the house
     integer-div contract), so Spark div and DuckDB // agree.
 
-    Scale shape: the 5× stack fans out map-side, then the raw table is
-    hash-aggregated ONCE into per-(col, v) counts (the saturating
-    micro-unit domain — the anomaly_mad discipline); the min/max
-    window runs over DISTINCT VALUES ONLY (≤ ~60k rows per column
-    partition at any corpus size, never raw rows), and the final
-    10-bin rollup is map-combined.  ≤ 50 output rows."""
-    li = load_tables(spark, sf_dir)["lineitem"]
-    h = (
-        li.selectExpr(_HIST_STACK)
-        .where(F.col("v").isNotNull())
-        .groupBy("col", "v")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    Scale shape: rides the SHARED :func:`_lineitem_col_hist` memo (the
+    5× stack fans out map-side and hash-aggregates ONCE per (session,
+    sf) into per-(col, v) counts — the saturating micro-unit domain,
+    the anomaly_mad discipline); the min/max window runs over DISTINCT
+    VALUES ONLY (≤ ~60k rows per column partition at any corpus size,
+    never raw rows), and the final 10-bin rollup is map-combined.
+    ≤ 50 output rows."""
+    h = _lineitem_col_hist(spark, sf_dir).where(F.col("v").isNotNull())
     wp = Window.partitionBy("col")
     f = h.select(
         "*",

@@ -3047,6 +3047,10 @@ def events_watermark_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broken strict-prefix scan, a >= vs > slip, or an off-by-one in
     the delay all flip concrete cells.
 
+    Since the delay sweep landed, both planted-disorder surfaces read
+    the prefix frame through the per-(session, sf)
+    :func:`_replay_wm_cached` memo — the scan below runs once.
+
     Scale shape IMPROVES on the dense-id audit: buckets come from the
     hash's own uniform high bits (b1 = h div 2^16 → ≤65536 balanced
     buckets regardless of n; b2 = b1 div 2^8 → ≤256 groups), so every
@@ -3055,8 +3059,33 @@ def events_watermark_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a pure function of it, so h-ties never straddle buckets and
     the three-level decomposition stays exact (the _wm_late_core
     contract).  DuckDB twin: one window over the same permutation."""
-    ev = load_tables(spark, sf_dir)["events"]
-    return _wm_late_core(_replay_arrival_frame(ev), ["h", "event_id"])
+    wm = _replay_wm_cached(spark, sf_dir)
+    late = (F.col("prefix_max") - WM_DELAY_NS) >= F.col("hr_end")
+    return wm.groupBy("hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(late, F.lit(1))).alias("n_late"),
+    )
+
+
+#: per-(session, sf) memo of the md5-permuted prefix frame — the shared
+#: base of the late replay and the delay sweep (the _knn_cache contract)
+_replay_wm_cache: dict = {}
+
+
+def _replay_wm_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (arrival frame + prefix_max) for the planted-disorder
+    surfaces: the three-level prefix scan runs ONCE per (session, sf)
+    and both declared consumers (per-hour replay, delay sweep) are
+    cheap rollups of it."""
+    from paraslice_spark.sources.io import _session_key
+
+    key = (_session_key(spark), sf_dir.rstrip("/"))
+    if key not in _replay_wm_cache:
+        ev = load_tables(spark, sf_dir)["events"]
+        _replay_wm_cache[key] = _wm_prefix_frame(
+            _replay_arrival_frame(ev), ["h", "event_id"]
+        ).localCheckpoint(eager=True)
+    return _replay_wm_cache[key]
 
 
 def _replay_arrival_frame(ev: DataFrame) -> DataFrame:
@@ -3118,15 +3147,15 @@ def events_watermark_delay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash/CMS/ANN-recall calibration discipline applied to streaming
     eviction.
 
-    Scale shape: the three-level prefix scan runs ONCE (shared
-    :func:`_wm_prefix_frame`); all five delays are CONDITIONAL COUNTS
+    Scale shape: the three-level prefix scan runs ONCE per (session,
+    sf) (the :func:`_replay_wm_cached` memo shared with the replay);
+    all five delays are CONDITIONAL COUNTS
     inside one map-combined global agg over the same frame (no
     per-delay re-scan, no fanout join), then a 5-row stack computes
     loss_ppm by integer division (operands non-negative; n_late·10⁶
     stays int64-exact to ~9·10¹² late events).  The oracle prices the
     delays off one window + a 5-row cross join."""
-    ev = load_tables(spark, sf_dir)["events"]
-    wm = _wm_prefix_frame(_replay_arrival_frame(ev), ["h", "event_id"])
+    wm = _replay_wm_cached(spark, sf_dir)
     aggs = [F.count(F.lit(1)).alias("n")]
     for d in _WM_SWEEP_S:
         late = (F.col("prefix_max") - d * 1_000_000_000) >= F.col("hr_end")

@@ -608,12 +608,22 @@ def test_watermark_audit_prefix_scan_decomposition(spark):
 
 
 def test_watermark_replay_prefix_scan_decomposition(spark):
-    """The planted-disorder twin keeps the same three-level shape with
+    """The planted-disorder base keeps the same three-level shape with
     hash-derived buckets: exactly one unpartitioned Window and it runs
-    on the <=256-row L2 summary (m2), never on raw event rows."""
+    on the <=256-row L2 summary (m2), never on raw event rows.  The
+    DECLARED consumers (replay, delay sweep) read this frame through
+    the per-(session, sf) memo, so the plan is asserted on the base
+    builder itself (the memoized-base precedent)."""
     import re
 
-    p = plan(QUERIES["events_watermark_late_replay"](spark, SF_SMALL))
+    from paraslice_spark.operators.reshape import (
+        _replay_arrival_frame,
+        _wm_prefix_frame,
+    )
+    from paraslice_spark.sources.io import load_tables
+
+    ev = load_tables(spark, SF_SMALL)["events"]
+    p = plan(_wm_prefix_frame(_replay_arrival_frame(ev), ["h", "event_id"]))
     wins = [ln for ln in p.splitlines() if "Window [" in ln]
     assert len(wins) == 3, p
     unpart = [ln for ln in wins
@@ -774,7 +784,9 @@ def test_stats_histogram_window_on_distinct_values(spark):
     per-(col, v) DISTINCT-value histogram (below an Aggregate), never raw
     stacked rows, and the raw table is scanned once."""
     p = plan(QUERIES["stats_histogram_lineitem"](spark, SF_SMALL))
-    assert p.count("Scan parquet") == 1, p
+    # the histogram base is the memoized localCheckpoint (no parquet
+    # re-scan — the PSI/memo precedent)
+    assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
     wins = [ln for ln in p.splitlines() if "Window [" in ln]
     assert len(wins) == 1 and "min(" in wins[0] and "max(" in wins[0], p
     assert "row_number" not in p, p
