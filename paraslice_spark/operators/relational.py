@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from paraslice_spark.functions.canon import cents
+from paraslice_spark.functions.canon import cents, md5_u32, md5_u32_sql
 from paraslice_spark.registry import query
 from paraslice_spark.sources.io import load_tables
 
@@ -273,6 +273,25 @@ _HIST_STACK = """stack(5,
                  'l_suppkey', l_suppkey) AS (col, v)"""
 
 
+#: SQL twin of :data:`_HIST_STACK` — the same 5-column long-format
+#: expansion as a DuckDB derived table, single-sourced so the three
+#: oracle consumers (stats_collect, stats_histogram, skew audit) cannot
+#: drift from each other or from the Spark stack.
+_HIST_STACK_SQL = """(
+        SELECT 'l_quantity' AS col,
+               CAST(round(l_quantity*100) AS BIGINT) AS v FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(round(l_extendedprice*100) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', CAST(round(l_discount*100) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', l_partkey FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey', l_suppkey FROM lineitem)"""
+
+
 #: per-(session, sf) memo of the (col, v, cnt) histogram — the shared base
 #: of the CBO pair (the _knn_cache contract: eager localCheckpoint built on
 #: first use, reused by every later consumer in the session)
@@ -302,21 +321,9 @@ def _lineitem_col_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_collect_lineitem",
-    oracle="""
+    oracle=f"""
     WITH s AS (
-      SELECT * FROM (
-        SELECT 'l_quantity' AS col,
-               CAST(round(l_quantity*100) AS BIGINT) AS v FROM lineitem
-        UNION ALL
-        SELECT 'l_extendedprice', CAST(round(l_extendedprice*100) AS BIGINT)
-        FROM lineitem
-        UNION ALL
-        SELECT 'l_discount', CAST(round(l_discount*100) AS BIGINT)
-        FROM lineitem
-        UNION ALL
-        SELECT 'l_partkey', l_partkey FROM lineitem
-        UNION ALL
-        SELECT 'l_suppkey', l_suppkey FROM lineitem))
+      SELECT * FROM {_HIST_STACK_SQL})
     SELECT col, CAST(COUNT(*) AS BIGINT) AS n,
            COUNT(*) - COUNT(v) AS n_null,
            CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
@@ -362,21 +369,9 @@ def stats_collect_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_histogram_lineitem",
-    oracle="""
+    oracle=f"""
     WITH s AS (
-      SELECT * FROM (
-        SELECT 'l_quantity' AS col,
-               CAST(round(l_quantity*100) AS BIGINT) AS v FROM lineitem
-        UNION ALL
-        SELECT 'l_extendedprice', CAST(round(l_extendedprice*100) AS BIGINT)
-        FROM lineitem
-        UNION ALL
-        SELECT 'l_discount', CAST(round(l_discount*100) AS BIGINT)
-        FROM lineitem
-        UNION ALL
-        SELECT 'l_partkey', l_partkey FROM lineitem
-        UNION ALL
-        SELECT 'l_suppkey', l_suppkey FROM lineitem)),
+      SELECT * FROM {_HIST_STACK_SQL}),
     h AS (
       SELECT col, v, COUNT(*) AS cnt FROM s
       WHERE v IS NOT NULL GROUP BY 1, 2),
@@ -431,4 +426,118 @@ def stats_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("v").alias("v_lo"),
             F.max("v").alias("v_hi"),
         )
+    )
+
+
+@query(
+    "stats_shuffle_skew_audit",
+    oracle=f"""
+    WITH s AS (
+      SELECT * FROM {_HIST_STACK_SQL}),
+    h AS MATERIALIZED (
+      SELECT col, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM s
+      WHERE v IS NOT NULL GROUP BY 1, 2
+      UNION ALL
+      SELECT 'o_custkey', o_custkey, CAST(COUNT(*) AS BIGINT)
+      FROM orders GROUP BY 1, 2),
+    pc AS (
+      SELECT col, CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS ndv,
+             CAST(MAX(cnt) AS BIGINT) AS top_cnt
+      FROM h GROUP BY 1),
+    bc AS (
+      SELECT col, {md5_u32_sql('v')} % 256 AS b,
+             CAST(SUM(cnt) AS BIGINT) AS bc
+      FROM h GROUP BY 1, 2),
+    f AS (
+      SELECT col, bc,
+             row_number() OVER (PARTITION BY col ORDER BY bc, b) AS rn,
+             COUNT(*) OVER (PARTITION BY col) AS nb
+      FROM bc),
+    g AS (
+      SELECT col, CAST(MAX(nb) AS BIGINT) AS buckets_used,
+             CAST(MAX(bc) AS BIGINT) AS max_bucket,
+             CAST(SUM(CASE WHEN rn = (nb + 1) // 2 THEN bc END) AS BIGINT)
+               AS med_bucket
+      FROM f GROUP BY 1)
+    SELECT pc.col, pc.n, pc.ndv,
+           pc.top_cnt * 1000000 // pc.n AS top_share_ppm,
+           g.buckets_used, g.max_bucket, g.med_bucket,
+           g.max_bucket * 1000 // g.med_bucket AS skew_x1000
+    FROM pc JOIN g USING (col) ORDER BY col
+    """,
+)
+def stats_shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-KEY SKEW DIAGNOSTIC — the planner-side audit that decides
+    whether a key needs salting (join_salted_skew / agg_salted) or AQE
+    skew handling before a 1000-executor shuffle: for each candidate
+    key column, hash every value into 256 reducer buckets (the house
+    md5-u32 base hash — exactly what a hash partitioner does) and
+    report the heavy-hitter share plus the max/median bucket-size ratio.
+    A healthy key shows skew_x1000 ≈ 1000 (max ≈ median); a low-NDV
+    column like l_discount (11 values into 256 buckets) shows its
+    emptiness through buckets_used, which is WHY it can't be a shuffle
+    key — the audit makes the rule measurable.
+
+    Audits the 5 profiled lineitem columns (riding the SHARED
+    :func:`_lineitem_col_hist` memo — zero extra fact-table scans when
+    the CBO pair already ran) plus orders.o_custkey (the classic q13
+    skew key), whose per-value counts are one extra map-combined agg.
+
+    EXACT INTEGERS throughout: bucket = md5_u32(v) % 256 (hash ≥ 0, so
+    Spark % and DuckDB % agree), bucket mass = Σ cnt, the median bucket
+    is a nearest-rank selection over ≤ 256 rows per column (row_number
+    windows on the 256-row bucket table, never raw rows), and both
+    ratios are integer divisions with provably non-negative operands
+    (top_cnt·10⁶ stays int64-exact to ~9·10¹² rows per value).
+    6 output rows."""
+    t = load_tables(spark, sf_dir)
+    h = (
+        _lineitem_col_hist(spark, sf_dir)
+        .where(F.col("v").isNotNull())
+        .select("col", "v", "cnt")
+        .unionByName(
+            t["orders"]
+            .groupBy(F.col("o_custkey").alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit("o_custkey").alias("col"), "v", "cnt")
+        )
+    )
+    pc = h.groupBy("col").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("ndv"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    bc = h.groupBy(
+        "col", (md5_u32(F.col("v")) % 256).alias("b")
+    ).agg(F.sum("cnt").alias("bc"))
+    f = bc.select(
+        "col",
+        "bc",
+        F.row_number()
+        .over(Window.partitionBy("col").orderBy("bc", "b"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("col")).alias("nb"),
+    )
+    g = f.groupBy("col").agg(
+        F.max("nb").cast("long").alias("buckets_used"),
+        F.max("bc").alias("max_bucket"),
+        F.sum(
+            F.when(F.col("rn") == F.expr("(nb + 1) div 2"), F.col("bc"))
+        ).alias("med_bucket"),
+    )
+    return (
+        pc.join(g, "col")
+        .select(
+            "col",
+            "n",
+            "ndv",
+            F.expr("top_cnt * 1000000 div n").alias("top_share_ppm"),
+            "buckets_used",
+            "max_bucket",
+            "med_bucket",
+            F.expr("max_bucket * 1000 div med_bucket").alias("skew_x1000"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("col")
     )

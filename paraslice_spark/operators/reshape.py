@@ -3939,3 +3939,211 @@ def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.repartition(1).sortWithinPartitions("level")
+
+
+@query(
+    "customer_pareto_skyline",
+    oracle="""
+    WITH pc AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS spend_c,
+             CAST(MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                  AS BIGINT) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1),
+    j AS (
+      SELECT c.c_mktsegment, c.c_custkey, pc.spend_c, pc.last_day,
+             pc.n_orders
+      FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey),
+    f AS (
+      SELECT *,
+             MAX(last_day) OVER (
+               PARTITION BY c_mktsegment ORDER BY spend_c
+               RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS m1,
+             MAX(last_day) OVER (
+               PARTITION BY c_mktsegment ORDER BY spend_c
+               RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m2
+      FROM j)
+    SELECT c_mktsegment, c_custkey,
+           CAST(spend_c AS DOUBLE) / 100.0 AS spend, last_day, n_orders
+    FROM f
+    WHERE NOT (COALESCE(m1 >= last_day, FALSE) OR m2 > last_day)
+    ORDER BY c_mktsegment, c_custkey
+    """,
+)
+def customer_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO FRONT (SKYLINE) of customers per market segment on
+    (total spend MAX, last-order recency MAX) — the dominance operator
+    itself, the one relational shape the rest of the BI family lacks:
+    a customer is on the front iff no same-segment customer both spent
+    at least as much AND ordered at least as recently (one strictly
+    better).  The account team's shortlist: every row is a distinct
+    best-tradeoff between value and freshness (companion to
+    customer_rfm_segments, which bins instead of dominating).
+
+    SORT-BASED SKYLINE, NO SELF-JOIN: with two criteria, dominance
+    collapses into two running-extreme RANGE-frame windows over the
+    spend ordering — m1 = max(last_day) among strictly-higher spenders
+    (RANGE 1 FOLLOWING → spend_c > mine, exact on integer cents),
+    m2 = the same over spend_c ≥ mine — and a row survives iff neither
+    m1 ≥ last_day nor m2 > last_day (equal (spend, recency) twins are
+    mutually non-dominating and both kept; deterministic in both
+    engines).  This is the textbook O(n log n) skyline; the quadratic
+    NOT EXISTS formulation is the shape to avoid at scale.
+
+    Scale shape: one map-combined orders agg to per-customer totals
+    (exact cents, epoch-day recency — the reorder_gaps date rule), a
+    key-to-key join to the customer dim for the segment, then windows
+    PARTITIONED by segment over per-customer rows (already 6000×
+    smaller than the fact table; the range sort is the skyline's
+    honest cost).  Output is the per-segment front only (~tens of
+    rows per segment at any SF)."""
+    t = load_tables(spark, sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    pc = t["orders"].groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("spend_c"),
+        F.max(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).cast("long")
+        ).alias("last_day"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    j = pc.join(
+        t["customer"].select("c_custkey", "c_mktsegment"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    base = Window.partitionBy("c_mktsegment").orderBy("spend_c")
+    m1 = (
+        F.max("last_day")
+        .over(base.rangeBetween(1, Window.unboundedFollowing))
+        .alias("m1")
+    )
+    m2 = (
+        F.max("last_day")
+        .over(base.rangeBetween(Window.currentRow, Window.unboundedFollowing))
+        .alias("m2")
+    )
+    f = j.select("c_mktsegment", "c_custkey", "spend_c", "last_day", "n_orders", m1, m2)
+    dominated = F.coalesce(
+        F.col("m1") >= F.col("last_day"), F.lit(False)
+    ) | (F.col("m2") > F.col("last_day"))
+    return (
+        f.where(~dominated)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            (F.col("spend_c").cast("double") / 100.0).alias("spend"),
+            "last_day",
+            "n_orders",
+        )
+        .repartition(1)
+        .sortWithinPartitions("c_mktsegment", "c_custkey")
+    )
+
+
+@query(
+    "events_theil_sen_trend",
+    oracle=f"""
+    WITH {_count_series_sql(_HOUR_NS)},
+    lo AS (SELECT MIN(m) AS lo FROM b),
+    bb AS MATERIALIZED (SELECT m - lo AS i, x FROM b, lo),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(i) AS BIGINT) AS sx,
+             CAST(SUM(i * i) AS BIGINT) AS sxx,
+             CAST(SUM(x) AS BIGINT) AS sy,
+             CAST(SUM(i * x) AS BIGINT) AS sxy
+      FROM bb),
+    p AS (
+      SELECT CAST(c.x - a.x AS DOUBLE) / CAST(c.i - a.i AS DOUBLE) AS slope
+      FROM bb a JOIN bb c ON c.i > a.i),
+    h AS (SELECT slope, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY 1),
+    f AS (
+      SELECT slope, cnt,
+             SUM(cnt) OVER (ORDER BY slope) AS cum,
+             SUM(cnt) OVER () AS np
+      FROM h)
+    SELECT (SELECT n FROM s) AS n_hours,
+           CAST(MAX(np) AS BIGINT) AS n_pairs,
+           ROUND(SUM(CASE WHEN cum - cnt < (np + 1) // 2
+                           AND (np + 1) // 2 <= cum THEN slope END), 6)
+             AS sen_slope,
+           (SELECT ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6) FROM s)
+             AS ols_slope
+    FROM f
+    """,
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL–SEN ROBUST TREND of the hourly event-count series — the
+    median of all pairwise slopes (y_j − y_i)/(j − i), the
+    outlier-resistant trend estimator (29% breakdown point) printed
+    NEXT TO the OLS slope from the same series: a capacity planner
+    reads the gap between the two as "how much of the fitted growth is
+    a handful of burst hours".  Third regression lens beside the corr/
+    regr aggregates (agg_stats_bivariate) and the changepoint scan
+    (events_cusum_changepoint), on the SAME :func:`count_series` spine
+    as the runs-test — one series definition, four lenses.
+
+    DETERMINISM: slopes are ONE IEEE division of two exact int64
+    deltas (identical doubles in both engines → identical group keys);
+    the median is an exact nearest-rank selection over the per-slope
+    COUNT HISTOGRAM (hist_selection_frame machinery, rank (n+1) div 2
+    — no interpolation, no float summation); the OLS slope is one IEEE
+    division of two exact int64 moment products (x centered to
+    0..H−1, so n·Sxy ≲ H³·max(x) — int64-safe to ~10⁶ hours at 10⁶
+    events/hour; DuckDB's HUGEINT sums are the canary).
+
+    Scale shape: the pair table is H(H−1)/2 rows where H is the HOUR
+    SPAN — time-bounded, corpus-independent (720 h ⇒ 259k pairs
+    whether the table is 60k rows or 100 TB; a multi-year span
+    rebuckets to days first).  The series itself is one map-combined
+    agg; the pair join and the histogram windows run on spine-sized
+    frames only.  1 output row."""
+    b = count_series(spark, sf_dir, _HOUR_NS)
+    lo = b.agg(F.min("m").alias("lo"))
+    bb = b.crossJoin(F.broadcast(lo)).select(
+        (F.col("m") - F.col("lo")).alias("i"), "x"
+    )
+    s = bb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("i").alias("sx"),
+        F.sum(F.col("i") * F.col("i")).alias("sxx"),
+        F.sum("x").alias("sy"),
+        F.sum(F.col("i") * F.col("x")).alias("sxy"),
+    )
+    a, c = bb.alias("a"), bb.alias("c")
+    slope = (F.col("c.x") - F.col("a.x")).cast("double") / (
+        F.col("c.i") - F.col("a.i")
+    ).cast("double")
+    hist = (
+        a.join(c, F.col("c.i") > F.col("a.i"))
+        .select(slope.alias("slope"))
+        .groupBy("slope")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("g", F.lit(1))
+    )
+    from paraslice_spark.operators.aggregates import (
+        hist_at_rank,
+        hist_selection_frame,
+    )
+
+    sen = (
+        hist_selection_frame(hist, "g", "slope")
+        .groupBy("g")
+        .agg(
+            hist_at_rank("slope", "(n + 1) div 2").alias("sen_raw"),
+            F.max("n").alias("n_pairs"),
+        )
+    )
+    n, sx, sxx, sy, sxy = (F.col(k) for k in ("n", "sx", "sxx", "sy", "sxy"))
+    return sen.crossJoin(F.broadcast(s)).select(
+        n.alias("n_hours"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round("sen_raw", 6).alias("sen_slope"),
+        F.round(
+            (n * sxy - sx * sy).cast("double")
+            / (n * sxx - sx * sx).cast("double"),
+            6,
+        ).alias("ols_slope"),
+    )

@@ -50,6 +50,10 @@ _REPRESENTATIVES = (
     # r9 shapes:
     "events_watermark_late_replay",  # 3-level prefix scan, hash buckets
     "dedup_incremental_audit",       # broadcast cutoff + conditional mins
+    # r9 late additions:
+    "customer_pareto_skyline",       # RANGE-frame dominance windows
+    "stats_shuffle_skew_audit",      # memoized histogram + union + ranking
+    "events_theil_sen_trend",        # pair join + histogram selection
 )
 
 
@@ -58,7 +62,7 @@ def _clear_memo_caches() -> None:
     under the FIRST conf regime, so the clustered run would replay frozen
     data instead of exercising its build stage under cluster confs —
     exactly the 'works under my confs' blind spot this pack guards."""
-    from paraslice_spark.operators import similarity
+    from paraslice_spark.operators import relational, reshape, similarity
 
     # release the dropped frames' executor blocks (ADVICE r7) — clearing the
     # dict alone leaves eager-checkpoint storage orphaned until Python GC
@@ -66,6 +70,8 @@ def _clear_memo_caches() -> None:
         similarity._simhash_cache,
         similarity._mh_base_cache,  # values are (shingles, signatures) tuples
         similarity._emb_base_cache,
+        relational._col_hist_cache,
+        reshape._replay_wm_cache,
     ):
         for v in cache.values():
             for df in v if isinstance(v, tuple) else (v,):
@@ -75,7 +81,11 @@ def _clear_memo_caches() -> None:
 
 #: queries whose pipeline rides a memoized localCheckpoint base — both
 #: runs must rebuild it under their own confs
-_MEMOIZED = {"dedup_simhash_bands"}
+_MEMOIZED = {
+    "dedup_simhash_bands",
+    "events_watermark_late_replay",
+    "stats_shuffle_skew_audit",
+}
 
 
 @pytest.mark.parametrize("name", _REPRESENTATIVES)

@@ -790,3 +790,46 @@ def test_stats_histogram_window_on_distinct_values(spark):
     wins = [ln for ln in p.splitlines() if "Window [" in ln]
     assert len(wins) == 1 and "min(" in wins[0] and "max(" in wins[0], p
     assert "row_number" not in p, p
+
+
+def test_pareto_skyline_single_window_no_self_join(spark):
+    """customer_pareto_skyline claims the sort-based skyline: the two
+    dominance extremes share ONE Window node partitioned by segment
+    (same spec → Catalyst fuses m1/m2), the customer dim broadcasts,
+    and there is NO quadratic self-join anywhere."""
+    p = plan(QUERIES["customer_pareto_skyline"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 2, p
+    assert "BroadcastExchange" in p and "SortMergeJoin" not in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert len(wins) == 1 and "c_mktsegment" in wins[0], p
+    assert "RangeFrame, 1, unboundedfollowing" in wins[0], p
+    assert "row_number" not in p, p
+
+
+def test_theil_sen_windows_on_slope_histogram(spark):
+    """events_theil_sen_trend claims the histogram-selection median:
+    both windows consume the per-slope COUNT table (post-aggregate cnt
+    column), never raw pair rows, and the whole query reads the
+    checkpointed hour series (no parquet re-scan); moment scalars
+    broadcast."""
+    p = plan(QUERIES["events_theil_sen_trend"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert len(wins) == 2, p
+    assert all("cnt#" in w for w in wins), p
+    assert "row_number" not in p, p
+    assert "BroadcastExchange" in p, p
+
+
+def test_skew_audit_rides_memo_windows_on_buckets(spark):
+    """stats_shuffle_skew_audit claims the shared-memo shape: the
+    lineitem histogram arrives via the per-session localCheckpoint
+    (Scan ExistingRDD — no lineitem parquet re-scan; the only parquet
+    read is orders for o_custkey), and the ranking windows run on the
+    ≤256-row per-column bucket table (bc), never on raw rows."""
+    p = plan(QUERIES["stats_shuffle_skew_audit"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 1 and "Scan ExistingRDD" in p, p
+    assert "orders" in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wins and all("col#" in w for w in wins), p
+    assert all("bc#" in w or "count(1)" in w for w in wins), p
