@@ -4147,3 +4147,104 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ols_slope"),
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) AS t, event_id,
+             CAST(round(value*1000000) AS BIGINT) AS mv
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+    w AS (
+      SELECT *,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_t
+      FROM e),
+    p AS (
+      SELECT CASE WHEN touch_t >= t - 604800000000000
+                  THEN touch_type ELSE 'none' END AS touch,
+             mv,
+             CASE WHEN touch_t >= t - 604800000000000
+                  THEN (t - touch_t) // 1000000000 END AS lat_s
+      FROM w WHERE event_type = 'purchase')
+    SELECT touch AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(mv) AS DOUBLE) / 1000000.0 AS total_value,
+           ROUND(CAST(SUM(lat_s) AS DOUBLE) / COUNT(lat_s), 6)
+             AS mean_latency_s
+    FROM p GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH MARKETING ATTRIBUTION — every purchase credited to the
+    user's most recent preceding view/click within a 7-day lookback
+    (or 'none'): the conversion-credit table the funnel family stops
+    short of (events_funnel counts who converts; this says which touch
+    gets paid), plus the touch→purchase latency profile per channel.
+
+    DETERMINISM: "most recent preceding" is a last_value(IGNORE NULLS)
+    scan over the TOTAL (ts_ns, event_id) per-user order (the ohlc
+    rule: µs ties cannot flip the pick because event_id breaks them,
+    and ROWS … 1 PRECEDING makes a same-timestamp touch with a smaller
+    event_id count as preceding in both engines identically); values
+    are exact micro-units, latency an exact non-negative integer
+    division to whole seconds, one IEEE division for the mean.
+
+    Scale shape: ONE events scan with the type filter pushed down, one
+    window pass PARTITIONED BY user (the sessionize shuffle — no self
+    join, no per-purchase lookback scan), then a 3-row map-combined
+    rollup.  The 7-day gate is a post-window comparison, so the state
+    carried per user is O(1) — exactly the streaming-eviction shape
+    events_watermark_late_audit prices."""
+    ev = load_tables(spark, sf_dir)["events"]
+    e = ev.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("ts_ns").alias("t"),
+        "event_id",
+        micros_units("value").alias("mv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_t = F.when(F.col("event_type") != "purchase", F.col("t"))
+    wd = e.select(
+        "*",
+        F.last(touch, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(touch_t, ignorenulls=True).over(w).alias("touch_t"),
+    )
+    in_window = F.col("touch_t") >= F.col("t") - F.lit(604_800_000_000_000)
+    p = wd.where(F.col("event_type") == "purchase").select(
+        F.when(in_window, F.col("touch_type")).otherwise("none").alias("touch"),
+        "mv",
+        F.when(in_window, F.expr("(t - touch_t) div 1000000000")).alias(
+            "lat_s"
+        ),
+    )
+    return (
+        p.groupBy(F.col("touch").alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.sum("mv").cast("double") / 1000000.0).alias("total_value"),
+            F.round(
+                F.sum("lat_s").cast("double") / F.count("lat_s"), 6
+            ).alias("mean_latency_s"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("touch_type")
+    )

@@ -3418,3 +3418,86 @@ def pipeline_dedup_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("split")
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT LEAST(vec_id, neighbor_id) AS u,
+                      GREATEST(vec_id, neighbor_id) AS v
+      FROM ({_KNN_ORACLE})
+    ),
+    adj AS (SELECT u AS node, v AS nbr FROM e
+            UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    p AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM adj a JOIN deg du ON du.node = a.node
+                 JOIN deg dv ON dv.node = a.nbr),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM p)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           m // 2 AS n_edges,
+           ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
+                 / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the undirected kNN graph — the Pearson
+    correlation of endpoint degrees over all directed edge stubs
+    (Newman 2002): do hubs link to hubs (r > 0, social-network-like)
+    or to leaves (r < 0, star-like)?  The one-number summary next to
+    graph_degree_distribution's full histogram, from the SAME memoized
+    edge table.
+
+    EXACT-INTEGER FORM: over the 2|E| directed stubs the x and y
+    marginals coincide, so r = (M·Σxy − (Σx)²) / (M·Σxx − (Σx)²) —
+    all four sums exact int64 (degrees ≤ n, stub terms ≤ M·d² ≈ 10¹⁰
+    at any realistic k), ONE IEEE division, ROUND(,6) — the same
+    n-scaled-moment discipline as the autocorr/overdispersion family.
+
+    Scale shape: canonical u<v edges from the memoized kNN graph
+    (built once per session+sf), degrees one map-combined agg, the
+    stub table joins the degree dim TWICE by node key (both
+    broadcast-able — |nodes| rows), then a 1-row rollup.  O(n·k) rows
+    end to end; nothing quadratic."""
+    knn = _knn_graph_cached(spark, sf_dir)
+    e = knn.select(
+        F.least("vec_id", "neighbor_id").alias("u"),
+        F.greatest("vec_id", "neighbor_id").alias("v"),
+    ).distinct()
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    p = (
+        adj.join(F.broadcast(deg), "node")
+        .select(F.col("d").alias("x"), "nbr")
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("nbr"), F.col("d").alias("y"))),
+            "nbr",
+        )
+    )
+    s = p.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    m, sx, sxx, sxy = (F.col(k) for k in ("m", "sx", "sxx", "sxy"))
+    return s.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        F.expr("m div 2").alias("n_edges"),
+        F.round(
+            (m * sxy - sx * sx).cast("double")
+            / (m * sxx - sx * sx).cast("double"),
+            6,
+        ).alias("assortativity"),
+    )

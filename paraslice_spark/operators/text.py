@@ -2024,3 +2024,93 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.expr("_num div _den").alias("row_share_ppm"),
     )
+
+
+@query(
+    "text_novelty_curve",
+    oracle=f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct({WORDS_SQL})) AS word
+      FROM documents),
+    b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+    f AS (SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY 1),
+    g AS (
+      SELECT (w.doc_id - b.mn) * 10 // (b.mx - b.mn + 1) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(CASE WHEN f.first_doc = w.doc_id THEN 1 END)
+                  AS BIGINT) AS n_new
+      FROM w JOIN f USING (word), b GROUP BY 1),
+    nd AS (
+      SELECT (doc_id - b.mn) * 10 // (b.mx - b.mn + 1) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents, b GROUP BY 1)
+    SELECT g.bucket, nd.n_docs, g.n_grams, g.n_new,
+           g.n_new * 1000000 // g.n_grams AS novelty_ppm
+    FROM g JOIN nd USING (bucket) ORDER BY bucket
+    """,
+)
+def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS NOVELTY CURVE — how fast the vocabulary saturates as the
+    corpus is ingested in doc_id order: per doc_id decile, the share of
+    (doc, distinct-word) observations whose word has never appeared in
+    any earlier document (first_doc = doc_id; earliest-ties credit the
+    owner, so doc-internal repeats never count).  The curation lens
+    text_vocab_growth plots cumulatively, restated as the DIVERSITY
+    DIAGNOSTIC a data buyer reads before paying for "more of the same":
+    a flat tail says new shards add volume, not vocabulary.
+
+    EXACT INTEGERS: deciles by the stats_histogram binning rule
+    ((doc_id − mn)·10 div (mx − mn + 1), operands non-negative),
+    novelty as ppm integer division; ties in first-occurrence are
+    resolved by MIN(doc_id) — total and engine-independent.
+
+    Scale shape: ONE tokenization pass to the distinct (doc, word)
+    frame, a vocabulary-bounded MIN agg, then the word→first_doc dim
+    BROADCASTS back onto the same frame (the tfidf df rule) and
+    everything collapses into a ≤10-row map-combined rollup; nothing
+    is ordered, nothing funnels through one task.  At 100 TB the
+    vocabulary saturates (Heaps' law) while the frame stays O(corpus
+    tokens) — the same economics as text_vocab_growth.
+
+    Fixture value (measured, documented like the sen = 0 trend and the
+    D ≈ 1 dispersion): the synthetic corpus's small closed vocabulary
+    saturates inside decile 0 (bucket 0 ppm ≈ 27k, buckets 1-9 exactly
+    0 at sf0.01) — a TRUE statement about this corpus, and exactly the
+    flat tail the diagnostic exists to flag; the random-table fuzz
+    (tests/test_r9b_oracle_fuzz.py) exercises the varying-novelty
+    regime the fixture can't."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = d.select(
+        "doc_id", F.explode(F.array_distinct(doc_words())).alias("word")
+    ).localCheckpoint(eager=False)
+    bounds = d.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+    first = w.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    bucket = F.expr("(doc_id - mn) * 10 div (mx - mn + 1)").alias("bucket")
+    g = (
+        w.join(F.broadcast(first), "word")
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1)
+            ).alias("n_new"),
+        )
+    )
+    nd = (
+        d.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        g.join(nd, "bucket")
+        .select(
+            "bucket",
+            "n_docs",
+            "n_grams",
+            "n_new",
+            F.expr("n_new * 1000000 div n_grams").alias("novelty_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bucket")
+    )

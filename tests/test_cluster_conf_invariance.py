@@ -54,6 +54,9 @@ _REPRESENTATIVES = (
     "customer_pareto_skyline",       # RANGE-frame dominance windows
     "stats_shuffle_skew_audit",      # memoized histogram + union + ranking
     "events_theil_sen_trend",        # pair join + histogram selection
+    "events_attribution_last_touch", # as-of carry window + pushed IN filter
+    "graph_degree_assortativity",    # memoized kNN + broadcast degree dim
+    "text_novelty_curve",            # checkpointed explode + broadcast dim
 )
 
 
@@ -70,6 +73,7 @@ def _clear_memo_caches() -> None:
         similarity._simhash_cache,
         similarity._mh_base_cache,  # values are (shingles, signatures) tuples
         similarity._emb_base_cache,
+        similarity._knn_cache,
         relational._col_hist_cache,
         reshape._replay_wm_cache,
     ):
@@ -85,6 +89,7 @@ _MEMOIZED = {
     "dedup_simhash_bands",
     "events_watermark_late_replay",
     "stats_shuffle_skew_audit",
+    "graph_degree_assortativity",
 }
 
 

@@ -833,3 +833,38 @@ def test_skew_audit_rides_memo_windows_on_buckets(spark):
     wins = [ln for ln in p.splitlines() if "Window [" in ln]
     assert wins and all("col#" in w for w in wins), p
     assert all("bc#" in w or "count(1)" in w for w in wins), p
+
+
+def test_attribution_one_scan_one_window_pass(spark):
+    """events_attribution_last_touch claims the as-of window shape: the
+    type filter is pushed to the events scan, BOTH carried-touch
+    columns fuse into ONE Window node partitioned by user (same spec),
+    and there is no self-join or per-purchase lookback scan."""
+    p = plan(QUERIES["events_attribution_last_touch"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 1, p
+    assert "In(event_type" in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert len(wins) == 1 and "user_id" in wins[0], p
+    assert "Join" not in p, p
+
+
+def test_assortativity_rides_knn_memo_broadcast_degrees(spark):
+    """graph_degree_assortativity claims the memoized-graph shape: no
+    parquet re-scan (edges come from the per-session kNN checkpoint),
+    the degree dim joins back by BROADCAST twice, no sort-merge join,
+    no windows — a pure O(n·k) agg pipeline."""
+    p = plan(QUERIES["graph_degree_assortativity"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
+    assert p.count("BroadcastExchange") >= 2, p
+    assert "SortMergeJoin" not in p and "Window [" not in p, p
+
+
+def test_novelty_curve_broadcasts_first_dim(spark):
+    """text_novelty_curve claims the tfidf-df shape: one tokenization
+    pass materialized (the word frame re-read as ExistingRDD, not
+    re-exploded), the word→first_doc dim broadcast back, and no
+    windows or sorts anywhere."""
+    p = plan(QUERIES["text_novelty_curve"](spark, SF_SMALL))
+    assert "Scan ExistingRDD" in p, p
+    assert "BroadcastExchange" in p and "SortMergeJoin" not in p, p
+    assert "Window [" not in p and "row_number" not in p, p

@@ -139,3 +139,106 @@ def test_theil_sen_matches_numpy_pair_sweep(spark):
     assert r["n_hours"] == n and r["n_pairs"] == npairs
     assert r["sen_slope"] == round(sen, 6)
     assert r["ols_slope"] == round(ols, 6)
+
+
+def test_attribution_matches_python_replay(spark):
+    rows = _fetch(
+        f"SELECT event_id, epoch_ns(ts), user_id, event_type, "
+        f"CAST(round(value*1000000) AS BIGINT) "
+        f"FROM '{SF_SMALL}/events.parquet' "
+        f"WHERE event_type IN ('view','click','purchase')"
+    )
+    by_user: dict[int, list] = {}
+    for eid, t, u, ty, mv in rows:
+        by_user.setdefault(u, []).append((t, eid, ty, mv))
+    acc: dict[str, list] = {}
+    for evs in by_user.values():
+        evs.sort()
+        last = None
+        for t, eid, ty, mv in evs:
+            if ty == "purchase":
+                if last is not None and last[0] >= t - 604_800_000_000_000:
+                    a = acc.setdefault(last[1], [0, 0, 0, 0])
+                    a[2] += (t - last[0]) // 1_000_000_000
+                    a[3] += 1
+                else:
+                    a = acc.setdefault("none", [0, 0, 0, 0])
+                a[0] += 1
+                a[1] += mv
+            else:
+                last = (t, ty)
+    got = {
+        r["touch_type"]: r
+        for r in QUERIES["events_attribution_last_touch"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(acc)
+    for k, (n, mv, lat, nlat) in acc.items():
+        assert got[k]["n_purchases"] == n
+        assert got[k]["total_value"] == mv / 1e6
+        assert got[k]["mean_latency_s"] == (
+            round(lat / nlat, 6) if nlat else None
+        )
+    # non-vacuous: both attributed channels and the none bucket exist
+    assert {"view", "click"} <= set(acc)
+
+
+def test_assortativity_matches_numpy_rebuild(spark):
+    """The kNN edge builder is already hash-validated through
+    similarity_knn_graph's own oracle; what needs a third derivation
+    here is the ASSORTATIVITY STATISTIC — recomputed as a plain
+    np.corrcoef over the directed stub degree pairs (scale-invariant,
+    so the sample/population split cancels) from the same edges."""
+    from tests.oracle_harness import duck_con
+    from paraslice_spark.registry import ORACLES
+
+    with duck_con(SF_SMALL) as con:
+        knn = con.sql(ORACLES["similarity_knn_graph"]).fetchall()
+    edges = {
+        (min(a, b), max(a, b)) for a, b, _ in knn
+    }
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs, ys = [], []
+    for u, v in edges:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    r_ref = float(np.corrcoef(xs, ys)[0, 1])
+    row = QUERIES["graph_degree_assortativity"](spark, SF_SMALL).collect()[0]
+    assert row["n_nodes"] == len(deg)
+    assert row["n_edges"] == len(edges)
+    assert abs(row["assortativity"] - r_ref) < 1e-6
+
+
+def test_novelty_curve_matches_python_and_declines(spark):
+    docs = dict(
+        _fetch(f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'")
+    )
+    mn, mx = min(docs), max(docs)
+    first: dict[str, int] = {}
+    for d in sorted(docs):
+        for w in set(docs[d].split(" ")):
+            first.setdefault(w, d)
+    agg: dict[int, list] = {}
+    for d, text in docs.items():
+        b = (d - mn) * 10 // (mx - mn + 1)
+        a = agg.setdefault(b, [0, 0, 0])
+        ws = set(text.split(" "))
+        a[0] += 1
+        a[1] += len(ws)
+        a[2] += sum(1 for w in ws if first[w] == d)
+    got = {
+        r["bucket"]: r
+        for r in QUERIES["text_novelty_curve"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(agg)
+    for b, (nd, ng, nn) in agg.items():
+        r = got[b]
+        assert (r["n_docs"], r["n_grams"], r["n_new"]) == (nd, ng, nn)
+        assert r["novelty_ppm"] == nn * 1_000_000 // ng
+    # vocabulary saturates: the first decile is the most novel
+    ppm = [got[b]["novelty_ppm"] for b in sorted(got)]
+    assert ppm[0] == max(ppm) and ppm[0] > ppm[-1]

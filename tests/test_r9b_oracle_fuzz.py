@@ -178,3 +178,105 @@ def test_theil_sen_oracle_on_random_tables(seed):
     ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert row[0] == n and row[1] == npairs, seed
     assert row[2] == round(sen, 6) and row[3] == round(ols, 6), seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_attribution_oracle_on_random_tables(seed):
+    rng = random.Random(10_000 + seed)
+    types = ["view", "click", "purchase", "error", "signup"]
+    base = datetime.datetime(2022, 6, 1)
+    rows = []
+    for eid in range(1, rng.randrange(30, 300)):
+        rows.append(
+            (
+                eid,
+                base
+                + datetime.timedelta(
+                    # coarse grid → deliberate same-timestamp ties
+                    minutes=rng.randrange(0, 20_000) * 60
+                ),
+                rng.randrange(1, 12),
+                rng.choice(types),
+                rng.randrange(0, 10_000_000) / 1e6,
+            )
+        )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?)", rows)
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(
+            ORACLES["events_attribution_last_touch"]
+        ).fetchall()
+    }
+    epoch = datetime.datetime(1970, 1, 1)
+
+    def ns(t):
+        return int((t - epoch) // datetime.timedelta(microseconds=1)) * 1000
+
+    by_user: dict[int, list] = {}
+    for eid, t, u, ty, v in rows:
+        if ty in ("view", "click", "purchase"):
+            by_user.setdefault(u, []).append((ns(t), eid, ty, round(v * 1e6)))
+    acc: dict[str, list] = {}
+    for evs in by_user.values():
+        evs.sort()
+        last = None  # (t, type) of most recent preceding touch
+        for t, eid, ty, mv in evs:
+            if ty == "purchase":
+                if last is not None and last[0] >= t - 604_800_000_000_000:
+                    a = acc.setdefault(last[1], [0, 0, 0, 0])
+                    a[2] += (t - last[0]) // 1_000_000_000
+                    a[3] += 1
+                else:
+                    a = acc.setdefault("none", [0, 0, 0, 0])
+                a[0] += 1
+                a[1] += mv
+            else:
+                last = (t, ty)
+    assert set(got) == set(acc), seed
+    for k, (n, mv, lat, nlat) in acc.items():
+        gn, gv, gl = got[k]
+        assert gn == n and gv == mv / 1e6, (seed, k)
+        assert gl == (round(lat / nlat, 6) if nlat else None), (seed, k)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_novelty_oracle_on_random_tables(seed):
+    rng = random.Random(11_000 + seed)
+    vocab = [f"w{i}" for i in range(rng.randrange(4, 40))]
+    docs = {}
+    for _ in range(rng.randrange(12, 120)):
+        d = rng.randrange(0, 500)
+        if d not in docs:
+            docs[d] = " ".join(
+                rng.choice(vocab) for _ in range(rng.randrange(1, 9))
+            )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", list(docs.items()))
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(ORACLES["text_novelty_curve"]).fetchall()
+    }
+    mn, mx = min(docs), max(docs)
+    first: dict[str, int] = {}
+    for d in sorted(docs):
+        for w in set(docs[d].split(" ")):
+            first.setdefault(w, d)
+    agg: dict[int, list] = {}
+    for d, text in docs.items():
+        b = (d - mn) * 10 // (mx - mn + 1)
+        a = agg.setdefault(b, [0, 0, 0])
+        a[0] += 1
+        ws = set(text.split(" "))
+        a[1] += len(ws)
+        a[2] += sum(1 for w in ws if first[w] == d)
+    expect = {
+        b: (nd, ng, nn, nn * 1_000_000 // ng)
+        for b, (nd, ng, nn) in agg.items()
+    }
+    assert got == expect, seed
