@@ -11,7 +11,7 @@ import pytest
 
 import paraslice_spark.operators  # noqa: F401
 from paraslice_spark.registry import ORACLES, QUERIES
-from paraslice_spark.sources.io import load_tables
+from paraslice_spark.sources.io import sql_views
 from tests.conftest import SF_SMALL
 
 #: oracle strings that are engine-portable ANSI (no list_*/epoch_ns/LATERAL)
@@ -27,7 +27,12 @@ PORTABLE = [
 
 @pytest.mark.parametrize("name", PORTABLE)
 def test_sql_text_entry_matches_dataframe_api(spark, name):
-    load_tables(spark, SF_SMALL)  # registers the views
+    # re-POINT the views, don't just load: load_tables registers views only
+    # on first load per (session, sf), so a preceding test that loaded a
+    # different sf leaves the global view names aimed at ITS data (caught
+    # as an order-dependent 10× mismatch when test_sketches' SF_MED load
+    # ran first)
+    sql_views(spark, SF_SMALL)
     via_sql = {tuple(r) for r in spark.sql(ORACLES[name]).collect()}
     via_api = {tuple(r) for r in QUERIES[name](spark, SF_SMALL).collect()}
     assert via_sql == via_api and via_api, (name, via_sql ^ via_api)

@@ -75,9 +75,9 @@ def test_polymorphic_udtf_schema_follows_literal_width(spark):
 def test_polymorphic_udtf_lateral_sql(spark):
     """Registered UDTF composes with LATERAL over a real table."""
     from paraslice_spark.functions.udfs import make_split_fixed_udtf
-    from paraslice_spark.sources.io import load_tables
+    from paraslice_spark.sources.io import sql_views
 
-    load_tables(spark, SF_SMALL)  # registers the documents view
+    sql_views(spark, SF_SMALL)  # re-POINTS the documents view (sf-swap safe)
     spark.udtf.register("split_fixed", make_split_fixed_udtf())
     rows = spark.sql(
         """SELECT d.doc_id, s.w0, s.w1, s.n_words
