@@ -28,7 +28,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from paraslice_spark.registry import query
@@ -791,4 +791,175 @@ def tucker_hosvd_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "p int, q int, r int, core_abs double, energy double"
+    )
+
+
+#: SQL twin of the T1 dense-index cell table (single-sourced with the
+#: tensor_build_coords / tensor_slices oracles' construction) — exposed as
+#: a CTE body so the mode-profile oracle cannot drift from the builder.
+_CELLS_SQL = """
+    e AS (
+      SELECT user_id, event_type,
+             epoch_us(date_trunc('microseconds', ts)) // 3600000000 AS hour_abs,
+             CAST(round(value * 1000000) AS BIGINT) AS vmic
+      FROM events
+    ),
+    idx AS (
+      SELECT vmic,
+             dense_rank() OVER (ORDER BY user_id) - 1   AS i,
+             dense_rank() OVER (ORDER BY event_type) - 1 AS j,
+             dense_rank() OVER (ORDER BY hour_abs) - 1   AS k
+      FROM e
+    ),
+    cells AS (
+      SELECT i, j, k, CAST(SUM(vmic) AS BIGINT) AS vm
+      FROM idx GROUP BY i, j, k
+    )
+"""
+
+
+@query(
+    "tensor_mode_skew_profile",
+    oracle=f"""
+    WITH {_CELLS_SQL},
+    s AS (
+      SELECT mode, idx, CAST(COUNT(*) AS BIGINT) AS nnz FROM (
+        SELECT 'i' AS mode, i AS idx FROM cells WHERE vm <> 0
+        UNION ALL SELECT 'j', j FROM cells WHERE vm <> 0
+        UNION ALL SELECT 'k', k FROM cells WHERE vm <> 0)
+      GROUP BY 1, 2),
+    h AS (SELECT mode, nnz, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM s GROUP BY 1, 2),
+    f AS (
+      SELECT mode, nnz, cnt,
+             SUM(cnt) OVER (PARTITION BY mode ORDER BY nnz) AS cum,
+             SUM(cnt) OVER (PARTITION BY mode) AS n,
+             SUM(nnz * cnt) OVER (PARTITION BY mode) AS tot
+      FROM h)
+    SELECT mode, CAST(MAX(n) AS BIGINT) AS n_slices,
+           CAST(MAX(tot) AS BIGINT) AS total_nnz,
+           MIN(nnz) AS min_nnz, MAX(nnz) AS max_nnz,
+           CAST(SUM(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+                         THEN nnz END) AS BIGINT) AS med_nnz,
+           MAX(nnz) * 1000000 // CAST(MAX(tot) AS BIGINT) AS top_slice_ppm
+    FROM f GROUP BY mode ORDER BY mode
+    """,
+)
+def tensor_mode_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLICE-SKEW PROFILE of the T1 tensor, ALL THREE MODES — the
+    measurement PARAslice exists for (Aggour/Gittens/Yener target
+    *skewed* dense tensors; slice partitioning is chosen because slice
+    mass is unbalanced): per mode, the nnz-per-slice distribution
+    (count, min/median/max, and the heaviest slice's ppm share of all
+    nonzeros).  This is the number a slab partitioner reads to size
+    partitions BEFORE building slabs — tensor_slices then validates
+    the chosen mode-0 layout slice by slice; same nnz definition
+    (vm ≠ 0 on the dense-index cell table), single-sourced SQL.
+
+    EXACT INTEGERS throughout: the median is nearest-rank selection
+    over the per-mode (nnz, count) HISTOGRAM (hist_selection_frame —
+    windows touch distinct nnz values only, never slices, never
+    cells), the ppm an integer division with non-negative operands.
+
+    Scale shape: one pass over the memoized coords cache (shared with
+    every other tensor query), a 3× mode stack that map-combines to
+    per-(mode, slice) counts — O(slices) rows into the histogram,
+    O(distinct nnz) into the windows, 3 output rows."""
+    from paraslice_spark.operators.aggregates import (
+        hist_at_rank,
+        hist_selection_frame,
+    )
+
+    c = _coords(spark, sf_dir)
+    nz = c.where(F.round(F.col("v") * 1000000).cast("long") != 0)
+    s = (
+        nz.selectExpr("stack(3, 'i', i, 'j', j, 'k', k) AS (mode, idx)")
+        .groupBy("mode", "idx")
+        .agg(F.count(F.lit(1)).alias("nnz"))
+    )
+    h = s.groupBy("mode", "nnz").agg(F.count(F.lit(1)).alias("cnt"))
+    f = hist_selection_frame(h, "mode", "nnz").withColumn(
+        "tot", F.sum(F.col("nnz") * F.col("cnt")).over(
+            Window.partitionBy("mode")
+        )
+    )
+    return (
+        f.groupBy("mode")
+        .agg(
+            F.max("n").cast("long").alias("n_slices"),
+            F.max("tot").cast("long").alias("total_nnz"),
+            F.min("nnz").alias("min_nnz"),
+            F.max("nnz").alias("max_nnz"),
+            hist_at_rank("nnz", "(n + 1) div 2").cast("long").alias("med_nnz"),
+            F.expr("max(nnz) * 1000000 div max(tot)").alias("top_slice_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("mode")
+    )
+
+
+@query(
+    "tensor_unfold_gram_type",
+    oracle="""
+    WITH c AS MATERIALIZED (
+      SELECT user_id, event_type,
+             epoch_us(date_trunc('microseconds', ts)) // 3600000000 AS h,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cm
+      FROM events GROUP BY 1, 2, 3
+      HAVING SUM(CAST(round(value * 100) AS BIGINT)) <> 0)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(a.cm * b.cm) AS BIGINT) AS gram_c2
+    FROM c a JOIN c b ON a.user_id = b.user_id AND a.h = b.h
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def tensor_unfold_gram_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT UNFOLDING GRAM of the event tensor along the type mode —
+    G = X₍type₎ · X₍type₎ᵀ over the (user, hour) fiber pairs: the |J|×|J|
+    Gram matrix ALS's normal equations need (SURVEY §2.5), computed
+    RELATIONALLY and hash-oracled — the one tensor-algebra core that CAN
+    be exact, next to the rows-only float factorizations (the
+    calibration-pair discipline: parafac_cp_als consumes grams like
+    this; here the arithmetic itself is driver-checkable).  Diagonal =
+    per-type energy, off-diagonal = co-activity of two types in the
+    same (user, hour) cell.
+
+    CENTS, NOT MICROS: cell values quantize to exact cents before the
+    products — cm ≤ ~10⁶ keeps Σ cm·cm' under ~10¹⁷ at sf0.1 and
+    int64-safe to ~100× (DuckDB's HUGEINT sum is the overflow canary;
+    past that rescale to whole units).  The micro-unit tensor's
+    products would overflow immediately at 10¹⁸/pair.
+
+    Scale shape: one map-combined agg to the sparse (user, type, hour)
+    cell table (zero cells dropped — they contribute nothing), then a
+    key-to-key SELF-JOIN on (user, hour): one shuffle, both sides
+    co-partitioned, ≤|J| rows per key so the fanout is ≤|J|² per fiber
+    — the relational MTTKRP economics — collapsing straight into a
+    |J|² ≤ 25-row map-combined agg."""
+    ev = load_tables(spark, sf_dir)["events"]
+    c = (
+        ev.groupBy(
+            "user_id",
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("h"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cm"))
+        .where(F.col("cm") != 0)
+    )
+    a = c.select(
+        "user_id", "h", F.col("event_type").alias("type_a"), F.col("cm").alias("cma")
+    )
+    b = c.select(
+        "user_id", "h", F.col("event_type").alias("type_b"), F.col("cm").alias("cmb")
+    )
+    return (
+        a.join(b, ["user_id", "h"])
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("cma") * F.col("cmb")).alias("gram_c2"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("type_a", "type_b")
     )

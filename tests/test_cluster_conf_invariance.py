@@ -57,6 +57,8 @@ _REPRESENTATIVES = (
     "events_attribution_last_touch", # as-of carry window + pushed IN filter
     "graph_degree_assortativity",    # memoized kNN + broadcast degree dim
     "text_novelty_curve",            # checkpointed explode + broadcast dim
+    "tensor_mode_skew_profile",      # cached coords + mode stack + hist sel
+    "tensor_unfold_gram_type",       # reused-exchange self-join gram
 )
 
 
@@ -65,7 +67,7 @@ def _clear_memo_caches() -> None:
     under the FIRST conf regime, so the clustered run would replay frozen
     data instead of exercising its build stage under cluster confs —
     exactly the 'works under my confs' blind spot this pack guards."""
-    from paraslice_spark.operators import relational, reshape, similarity
+    from paraslice_spark.operators import relational, reshape, similarity, tensor
 
     # release the dropped frames' executor blocks (ADVICE r7) — clearing the
     # dict alone leaves eager-checkpoint storage orphaned until Python GC
@@ -76,9 +78,14 @@ def _clear_memo_caches() -> None:
         similarity._knn_cache,
         relational._col_hist_cache,
         reshape._replay_wm_cache,
+        tensor._coords_cache,  # .cache()d, not checkpointed → unpersist path
     ):
         for v in cache.values():
             for df in v if isinstance(v, tuple) else (v,):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
                 similarity._free_local_checkpoint(df)
         cache.clear()
 
@@ -90,6 +97,7 @@ _MEMOIZED = {
     "events_watermark_late_replay",
     "stats_shuffle_skew_audit",
     "graph_degree_assortativity",
+    "tensor_mode_skew_profile",
 }
 
 

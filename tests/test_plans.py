@@ -868,3 +868,31 @@ def test_novelty_curve_broadcasts_first_dim(spark):
     assert "Scan ExistingRDD" in p, p
     assert "BroadcastExchange" in p and "SortMergeJoin" not in p, p
     assert "Window [" not in p and "row_number" not in p, p
+
+
+def test_tensor_skew_windows_on_nnz_histogram(spark):
+    """tensor_mode_skew_profile claims the histogram-selection shape:
+    every statistic window is PARTITIONED BY mode and consumes the
+    per-(mode, nnz) COUNT table (cnt/nnz columns), never cells or
+    slices; no ranking pass anywhere."""
+    p = plan(QUERIES["tensor_mode_skew_profile"](spark, SF_SMALL))
+    assert "row_number" not in p, p
+    wins = [
+        ln for ln in p.splitlines()
+        if "Window [" in ln and "dense_rank" not in ln
+    ]
+    assert len(wins) == 3 and all("mode#" in w for w in wins), p
+    assert all("cnt#" in w or "_w0#" in w for w in wins), p
+    # the dense_rank dictionary windows run over DISTINCT dim values only
+    # (the T1 builder contract, asserted in its own test)
+
+
+def test_tensor_gram_single_scan_reused_exchange(spark):
+    """tensor_unfold_gram_type claims the relational-MTTKRP shape: ONE
+    events scan feeding both self-join sides (Catalyst reuses the
+    exchange), a key-to-key join on (user, hour) — never a cartesian —
+    and no windows; the 25-row gram is a map-combined agg."""
+    p = plan(QUERIES["tensor_unfold_gram_type"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 1, p
+    assert "CartesianProduct" not in p and "Window [" not in p, p
+    assert "Join" in p, p

@@ -242,3 +242,68 @@ def test_novelty_curve_matches_python_and_declines(spark):
     # vocabulary saturates: the first decile is the most novel
     ppm = [got[b]["novelty_ppm"] for b in sorted(got)]
     assert ppm[0] == max(ppm) and ppm[0] > ppm[-1]
+
+
+def test_tensor_mode_skew_matches_python_rebuild(spark):
+    rows = _fetch(
+        f"SELECT user_id, event_type, "
+        f"epoch_ns(ts) // 3600000000000, "
+        f"CAST(round(value*1000000) AS BIGINT) "
+        f"FROM '{SF_SMALL}/events.parquet'"
+    )
+    cells: dict[tuple, int] = {}
+    for u, t, h, vm in rows:
+        k = (u, t, h)
+        cells[k] = cells.get(k, 0) + vm
+    nz = [k for k, vm in cells.items() if vm != 0]
+    got = {
+        r["mode"]: r
+        for r in QUERIES["tensor_mode_skew_profile"](spark, SF_SMALL).collect()
+    }
+    for mode, pos in (("i", 0), ("j", 1), ("k", 2)):
+        per: dict = {}
+        for k in nz:
+            per[k[pos]] = per.get(k[pos], 0) + 1
+        sizes = sorted(per.values())
+        med = sizes[(len(sizes) + 1) // 2 - 1]
+        r = got[mode]
+        assert r["n_slices"] == len(per)
+        assert r["total_nnz"] == len(nz)
+        assert (r["min_nnz"], r["max_nnz"], r["med_nnz"]) == (
+            sizes[0],
+            sizes[-1],
+            med,
+        )
+        assert r["top_slice_ppm"] == sizes[-1] * 1_000_000 // len(nz)
+
+
+def test_tensor_gram_matches_python_rebuild(spark):
+    rows = _fetch(
+        f"SELECT user_id, event_type, "
+        f"epoch_ns(ts) // 3600000000000, "
+        f"CAST(round(value*100) AS BIGINT) "
+        f"FROM '{SF_SMALL}/events.parquet'"
+    )
+    cells: dict[tuple, int] = {}
+    for u, t, h, cm in rows:
+        k = (u, h)
+        cells.setdefault(k, {})
+        cells[k][t] = cells[k].get(t, 0) + cm
+    gram: dict[tuple, list] = {}
+    for per_t in cells.values():
+        per_t = {t: cm for t, cm in per_t.items() if cm != 0}
+        for ta, ca in per_t.items():
+            for tb, cb in per_t.items():
+                g = gram.setdefault((ta, tb), [0, 0])
+                g[0] += 1
+                g[1] += ca * cb
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_pairs"], r["gram_c2"])
+        for r in QUERIES["tensor_unfold_gram_type"](spark, SF_SMALL).collect()
+    }
+    assert got == {k: tuple(v) for k, v in gram.items()}
+    # symmetry + diagonal dominance (Gram sanity)
+    for (ta, tb), (_, g) in got.items():
+        assert got[(tb, ta)][1] == g
+        if ta != tb:
+            assert g * g <= got[(ta, ta)][1] * got[(tb, tb)][1]

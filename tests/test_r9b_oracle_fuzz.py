@@ -280,3 +280,90 @@ def test_novelty_oracle_on_random_tables(seed):
         for b, (nd, ng, nn) in agg.items()
     }
     assert got == expect, seed
+
+
+def _rand_events(rng, n_users=6, n_hours=8, n=120):
+    base = datetime.datetime(2023, 1, 1)
+    types = ["a", "b", "c"]
+    return [
+        (
+            base + datetime.timedelta(
+                hours=rng.randrange(0, n_hours),
+                seconds=rng.randrange(0, 3600),
+            ),
+            rng.randrange(1, n_users + 1),
+            rng.choice(types),
+            # signed cents/100 → micro- and cent-quantization both exact;
+            # zero-sum cells occur deliberately
+            rng.choice([-200, -100, 0, 100, 100, 250, 999]) / 100.0,
+        )
+        for _ in range(rng.randrange(20, n))
+    ]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_tensor_skew_oracle_on_random_tables(seed):
+    rng = random.Random(12_000 + seed)
+    rows = _rand_events(rng)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?)", rows)
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(ORACLES["tensor_mode_skew_profile"]).fetchall()
+    }
+    epoch = datetime.datetime(1970, 1, 1)
+    cells: dict[tuple, int] = {}
+    for t, u, ty, v in rows:
+        h = int((t - epoch).total_seconds()) // 3600
+        k = (u, ty, h)
+        cells[k] = cells.get(k, 0) + round(v * 1_000_000)
+    nz = [k for k, vm in cells.items() if vm != 0]
+    for mode, pos in (("i", 0), ("j", 1), ("k", 2)):
+        per: dict = {}
+        for k in nz:
+            per[k[pos]] = per.get(k[pos], 0) + 1
+        sizes = sorted(per.values())
+        med = sizes[(len(sizes) + 1) // 2 - 1]
+        assert got[mode] == (
+            len(per),
+            len(nz),
+            sizes[0],
+            sizes[-1],
+            med,
+            sizes[-1] * 1_000_000 // len(nz),
+        ), (seed, mode)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_tensor_gram_oracle_on_random_tables(seed):
+    rng = random.Random(13_000 + seed)
+    rows = _rand_events(rng)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?)", rows)
+    got = {
+        (r[0], r[1]): r[2:]
+        for r in con.execute(ORACLES["tensor_unfold_gram_type"]).fetchall()
+    }
+    epoch = datetime.datetime(1970, 1, 1)
+    cells: dict[tuple, dict] = {}
+    for t, u, ty, v in rows:
+        h = int((t - epoch).total_seconds()) // 3600
+        d = cells.setdefault((u, h), {})
+        d[ty] = d.get(ty, 0) + round(v * 100)
+    gram: dict[tuple, list] = {}
+    for per_t in cells.values():
+        per_t = {t: cm for t, cm in per_t.items() if cm != 0}
+        for ta, ca in per_t.items():
+            for tb, cb in per_t.items():
+                g = gram.setdefault((ta, tb), [0, 0])
+                g[0] += 1
+                g[1] += ca * cb
+    assert got == {k: tuple(v) for k, v in gram.items()}, seed
