@@ -1,0 +1,185 @@
+"""Fixture-independent fuzz of the SESSIONIZE and FUNNEL oracles on
+seeded random event tables (extending the r8/r9 fuzz discipline to the
+oldest behavioral-analytics oracles, which until now were validated
+only on the fixture): gap-boundary ties (exactly 30 min → same
+session, strictly-greater rule) and same-timestamp stage collisions
+(click at the same ns as the view → NOT counted, strictly-after rule)
+are generated deliberately."""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import duckdb
+import pytest
+
+import paraslice_spark.operators  # noqa: F401
+from paraslice_spark.operators.reshape import SESSION_GAP_NS
+from paraslice_spark.registry import ORACLES
+
+_EPOCH = datetime.datetime(1970, 1, 1)
+
+
+def _ns(t: datetime.datetime) -> int:
+    return int((t - _EPOCH) // datetime.timedelta(microseconds=1)) * 1000
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_sessionize_oracle_on_random_tables(seed):
+    rng = random.Random(14_000 + seed)
+    base = datetime.datetime(2024, 2, 1)
+    rows = []
+    t = {u: base for u in range(1, 6)}
+    for eid in range(1, rng.randrange(30, 250)):
+        u = rng.randrange(1, 6)
+        # steps from a menu that includes 0 (same-ts tie) and EXACTLY the
+        # 30-min gap (same session under the strict-> rule)
+        step = rng.choice([0, 1, 60, 1799, 1800, 1801, 7200])
+        t[u] = t[u] + datetime.timedelta(seconds=step)
+        rows.append((eid, t[u], u, rng.choice(["a", "b"]), 1.0))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?)", rows)
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(ORACLES["events_sessionize"]).fetchall()
+    }
+    by_user: dict[int, list] = {}
+    for eid, ts, u, _, _ in rows:
+        by_user.setdefault(u, []).append((_ns(ts), eid))
+    expect = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        idx, prev = 0, None
+        for tns, eid in evs:
+            if prev is None or tns - prev > SESSION_GAP_NS:
+                idx += 1
+            prev = tns
+            expect[eid] = (u, idx)
+    assert got == expect, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_funnel_oracle_on_random_tables(seed):
+    rng = random.Random(15_000 + seed)
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for eid in range(1, rng.randrange(40, 300)):
+        rows.append(
+            (
+                eid,
+                # second-granularity grid → frequent exact-ts collisions
+                base + datetime.timedelta(seconds=rng.randrange(0, 50)),
+                rng.randrange(1, 10),
+                rng.choice(["view", "click", "purchase", "error"]),
+                1.0,
+            )
+        )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?)", rows)
+    got = {
+        r[0]: r[2] for r in con.execute(ORACLES["events_funnel"]).fetchall()
+    }
+    by_user: dict[int, dict[str, list]] = {}
+    for eid, ts, u, ty, _ in rows:
+        by_user.setdefault(u, {}).setdefault(ty, []).append(_ns(ts))
+    n_v = n_c = n_p = 0
+    for evs in by_user.values():
+        if "view" not in evs:
+            continue
+        n_v += 1
+        tv = min(evs["view"])
+        clicks = [t for t in evs.get("click", []) if t > tv]
+        if not clicks:
+            continue
+        n_c += 1
+        tc = min(clicks)
+        if any(t > tc for t in evs.get("purchase", [])):
+            n_p += 1
+    assert got == {1: n_v, 2: n_c, 3: n_p}, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_retention_oracle_on_random_tables(seed):
+    rng = random.Random(16_000 + seed)
+    base = datetime.datetime(2024, 4, 1)
+    rows = [
+        (
+            eid,
+            base + datetime.timedelta(
+                days=rng.randrange(0, 12), seconds=rng.randrange(0, 86_400)
+            ),
+            rng.randrange(1, 8),
+            "a",
+            1.0,
+        )
+        for eid in range(1, rng.randrange(30, 250))
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?)", rows)
+    got = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(ORACLES["events_retention"]).fetchall()
+    }
+    act = {(_ns(ts) // 86_400_000_000_000, u) for _, ts, u, _, _ in rows}
+    cohort: dict[int, int] = {}
+    for d, u in sorted(act):
+        cohort.setdefault(u, d)
+    expect: dict[tuple, int] = {}
+    for d, u in act:
+        off = d - cohort[u]
+        if 0 <= off <= 7:
+            k = (cohort[u], off)
+            expect[k] = expect.get(k, 0) + 1
+    assert got == expect, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_scd2_oracle_on_random_tables(seed):
+    rng = random.Random(17_000 + seed)
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    t = {u: base for u in range(1, 5)}
+    for eid in range(1, rng.randrange(20, 200)):
+        u = rng.randrange(1, 5)
+        # 0-second steps manufacture same-ts ties broken by event_id
+        t[u] = t[u] + datetime.timedelta(seconds=rng.choice([0, 5, 900]))
+        rows.append((eid, t[u], u, rng.choice(["s1", "s2", "s3"]), 1.0))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?)", rows)
+    got = {
+        (r[0], r[1]): r[2:]
+        for r in con.execute(ORACLES["events_scd2_status"]).fetchall()
+    }
+    by_user: dict[int, list] = {}
+    for eid, ts, u, st, _ in rows:
+        by_user.setdefault(u, []).append((_ns(ts), eid, st))
+    expect = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        runs = []  # (status, first_ns, n)
+        for tns, _, st in evs:
+            if not runs or runs[-1][0] != st:
+                runs.append([st, tns, 1])
+            else:
+                runs[-1][2] += 1
+        for ver, (st, frm, n) in enumerate(runs, start=1):
+            to = runs[ver][1] if ver < len(runs) else None
+            expect[(u, ver)] = (st, frm, to, n)
+    assert got == expect, seed
