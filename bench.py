@@ -105,7 +105,8 @@ def main() -> None:
         # shared build; later consumers read the localCheckpoint for ~0 s.
         "shared_builds": {
             "knn_edge_table": [
-                "graph_degree_distribution", "graph_knn_jaccard",
+                "graph_degree_assortativity", "graph_degree_distribution",
+                "graph_knn_jaccard",
                 "graph_lpa_communities", "graph_pagerank_knn",
                 "graph_triangle_count", "similarity_ann_recall",
                 "similarity_knn_graph",
@@ -129,6 +130,18 @@ def main() -> None:
             "ivf_centroids_and_pq_codebooks": [
                 "similarity_ann_recall", "similarity_ivf_ann",
                 "similarity_ivfpq_ann",
+            ],
+            "lineitem_col_histogram": [
+                "stats_collect_lineitem", "stats_histogram_lineitem",
+                "stats_shuffle_skew_audit",
+            ],
+            "watermark_prefix_frame": [
+                "events_watermark_delay_sweep", "events_watermark_late_replay",
+            ],
+            "tensor_coords_cache": [
+                "parafac_cp_als", "parafac_cp_als_dist", "parafac_factors_a",
+                "tensor_mode_skew_profile", "tensor_slices",
+                "tucker_hosvd_core",
             ],
         },
     }

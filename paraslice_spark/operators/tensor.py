@@ -36,6 +36,30 @@ from paraslice_spark.sources.io import load_tables
 
 _HOUR_US = 3_600_000_000
 
+#: SQL twin of the T1 dense-index cell table — the ONE CTE chain shared by
+#: the tensor_slices and tensor_mode_skew_profile oracles (single-source
+#: rule: both probes must mean the same cells or a builder edit would
+#: desynchronize them while each still passed its own oracle).
+_CELLS_SQL = """
+    e AS (
+      SELECT user_id, event_type,
+             epoch_us(date_trunc('microseconds', ts)) // 3600000000 AS hour_abs,
+             CAST(round(value * 1000000) AS BIGINT) AS vmic
+      FROM events
+    ),
+    idx AS (
+      SELECT vmic,
+             dense_rank() OVER (ORDER BY user_id) - 1   AS i,
+             dense_rank() OVER (ORDER BY event_type) - 1 AS j,
+             dense_rank() OVER (ORDER BY hour_abs) - 1   AS k
+      FROM e
+    ),
+    cells AS (
+      SELECT i, j, k, CAST(SUM(vmic) AS BIGINT) AS vm
+      FROM idx GROUP BY i, j, k
+    )
+"""
+
 
 @query(
     "tensor_build_coords",
@@ -531,23 +555,7 @@ def _fitted(spark: SparkSession, sf_dir: str) -> CPModel:
 @query(
     "tensor_slices",
     oracle=f"""
-    WITH e AS (
-      SELECT user_id, event_type,
-             epoch_us(date_trunc('microseconds', ts)) // 3600000000 AS hour_abs,
-             CAST(round(value * 1000000) AS BIGINT) AS vmic
-      FROM events
-    ),
-    idx AS (
-      SELECT vmic,
-             dense_rank() OVER (ORDER BY user_id) - 1   AS i,
-             dense_rank() OVER (ORDER BY event_type) - 1 AS j,
-             dense_rank() OVER (ORDER BY hour_abs) - 1   AS k
-      FROM e
-    ),
-    cells AS (
-      SELECT i, j, k, CAST(SUM(vmic) AS BIGINT) AS vm
-      FROM idx GROUP BY i, j, k
-    )
+    WITH {_CELLS_SQL}
     SELECT CAST(i AS BIGINT) AS slice_id,
            COUNT(CASE WHEN vm <> 0 THEN 1 END) AS nnz,
            CAST(SUM(vm) AS BIGINT) AS checksum_micro
@@ -792,30 +800,6 @@ def tucker_hosvd_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "p int, q int, r int, core_abs double, energy double"
     )
-
-
-#: SQL twin of the T1 dense-index cell table (single-sourced with the
-#: tensor_build_coords / tensor_slices oracles' construction) — exposed as
-#: a CTE body so the mode-profile oracle cannot drift from the builder.
-_CELLS_SQL = """
-    e AS (
-      SELECT user_id, event_type,
-             epoch_us(date_trunc('microseconds', ts)) // 3600000000 AS hour_abs,
-             CAST(round(value * 1000000) AS BIGINT) AS vmic
-      FROM events
-    ),
-    idx AS (
-      SELECT vmic,
-             dense_rank() OVER (ORDER BY user_id) - 1   AS i,
-             dense_rank() OVER (ORDER BY event_type) - 1 AS j,
-             dense_rank() OVER (ORDER BY hour_abs) - 1   AS k
-      FROM e
-    ),
-    cells AS (
-      SELECT i, j, k, CAST(SUM(vmic) AS BIGINT) AS vm
-      FROM idx GROUP BY i, j, k
-    )
-"""
 
 
 @query(
