@@ -541,3 +541,67 @@ def stats_shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("col")
     )
+
+
+@query(
+    "stats_eqdepth_histogram_lineitem",
+    oracle=f"""
+    WITH s AS (
+      SELECT * FROM {_HIST_STACK_SQL}),
+    h AS (
+      SELECT col, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM s
+      WHERE v IS NOT NULL GROUP BY 1, 2),
+    f AS (
+      SELECT col, v, cnt,
+             SUM(cnt) OVER (PARTITION BY col ORDER BY v) - cnt AS lo,
+             SUM(cnt) OVER (PARTITION BY col) AS n
+      FROM h)
+    SELECT col, CAST(lo * 10 // n AS BIGINT) AS bucket,
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS ndv,
+           MIN(v) AS v_lo, MAX(v) AS v_hi
+    FROM f GROUP BY 1, 2
+    """,
+)
+def stats_eqdepth_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style EQUI-DEPTH (equi-height) COLUMN HISTOGRAMS — the
+    OTHER histogram a CBO keeps (Spark's own `histogram_numeric` and
+    every warehouse ANALYZE build this kind for skewed columns, where
+    equi-width bins collapse): ~n/10 rows per bucket, so bucket
+    BOUNDARIES carry the selectivity information.  Completes the
+    planner-statistics suite next to stats_collect_lineitem (scalars),
+    stats_histogram_lineitem (equi-width) and stats_shuffle_skew_audit
+    (hash-bucket skew) — all four rollups of the ONE shared
+    :func:`_lineitem_col_hist` memo.
+
+    EXACT-INTEGER BUCKETING: each distinct value lands in bucket
+    lo·10 div n where lo = rank mass strictly below it — non-negative
+    operands (house div rule), lo < n so the bucket is provably ≤ 9
+    with no clamp, and a heavy hitter spanning several depths lands
+    WHOLLY in its lo-bucket (the standard compressed-histogram rule;
+    visible as that bucket's n exceeding n/10 — exactly the skew
+    signal equi-depth exists to expose).  Per-bucket ndv doubles as
+    the planner's distinct-per-bucket estimate.
+
+    Scale shape: identical to the equi-width twin — the cumulative
+    window runs over DISTINCT VALUES ONLY (≤ ~60k per column at any
+    corpus size), and the ≤ 50-row bucket rollup is map-combined."""
+    h = _lineitem_col_hist(spark, sf_dir).where(F.col("v").isNotNull())
+    wc = Window.partitionBy("col").orderBy("v")
+    wp = Window.partitionBy("col")
+    f = h.select(
+        "col",
+        "v",
+        "cnt",
+        (F.sum("cnt").over(wc) - F.col("cnt")).alias("lo"),
+        F.sum("cnt").over(wp).alias("n"),
+    )
+    return (
+        f.groupBy("col", F.expr("lo * 10 div n").alias("bucket"))
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.count(F.lit(1)).alias("ndv"),
+            F.min("v").alias("v_lo"),
+            F.max("v").alias("v_hi"),
+        )
+    )

@@ -896,3 +896,15 @@ def test_tensor_gram_single_scan_reused_exchange(spark):
     assert p.count("Scan parquet") == 1, p
     assert "CartesianProduct" not in p and "Window [" not in p, p
     assert "Join" in p, p
+
+
+def test_eqdepth_histogram_rides_memo_windows_on_values(spark):
+    """stats_eqdepth_histogram_lineitem claims the shared-memo shape:
+    no parquet scan (the histogram base is the per-session
+    localCheckpoint), and both windows (cumulative rank mass, total)
+    run over DISTINCT VALUES partitioned by col — no ranking pass."""
+    p = plan(QUERIES["stats_eqdepth_histogram_lineitem"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
+    assert "row_number" not in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wins and all("col#" in w for w in wins), p

@@ -307,3 +307,49 @@ def test_tensor_gram_matches_python_rebuild(spark):
         assert got[(tb, ta)][1] == g
         if ta != tb:
             assert g * g <= got[(ta, ta)][1] * got[(tb, tb)][1]
+
+
+def test_eqdepth_histogram_matches_python_rebuild(spark):
+    rows = _fetch(
+        f"""
+        SELECT 'l_quantity' AS col, CAST(round(l_quantity*100) AS BIGINT) AS v
+        FROM '{SF_SMALL}/lineitem.parquet'
+        UNION ALL SELECT 'l_extendedprice',
+                         CAST(round(l_extendedprice*100) AS BIGINT)
+        FROM '{SF_SMALL}/lineitem.parquet'
+        UNION ALL SELECT 'l_discount', CAST(round(l_discount*100) AS BIGINT)
+        FROM '{SF_SMALL}/lineitem.parquet'
+        UNION ALL SELECT 'l_partkey', l_partkey
+        FROM '{SF_SMALL}/lineitem.parquet'
+        UNION ALL SELECT 'l_suppkey', l_suppkey
+        FROM '{SF_SMALL}/lineitem.parquet'
+        """
+    )
+    counts: dict[str, dict[int, int]] = {}
+    for col, v in rows:
+        cv = counts.setdefault(col, {})
+        cv[v] = cv.get(v, 0) + 1
+    expect: dict[tuple, list] = {}
+    for col, cv in counts.items():
+        n = sum(cv.values())
+        lo = 0
+        for v in sorted(cv):
+            b = lo * 10 // n
+            e = expect.setdefault((col, b), [0, 0, v, v])
+            e[0] += cv[v]
+            e[1] += 1
+            e[3] = v
+            lo += cv[v]
+    got = {
+        (r["col"], r["bucket"]): [r["n"], r["ndv"], r["v_lo"], r["v_hi"]]
+        for r in QUERIES["stats_eqdepth_histogram_lineitem"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == expect
+    # equi-depth sanity: for a high-NDV column the bucket masses are
+    # within one value's weight of n/10, and l_discount's heavy hitters
+    # produce visibly unequal buckets (the skew signal)
+    hi = {b: m[0] for (c, b), m in got.items() if c == "l_extendedprice"}
+    n = sum(hi.values())
+    assert len(hi) == 10 and max(hi.values()) - min(hi.values()) <= n // 10

@@ -367,3 +367,53 @@ def test_tensor_gram_oracle_on_random_tables(seed):
                 g[0] += 1
                 g[1] += ca * cb
     assert got == {k: tuple(v) for k, v in gram.items()}, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_eqdepth_oracle_on_random_tables(seed):
+    rng = random.Random(18_000 + seed)
+    li = [
+        (
+            rng.randrange(1, 15),
+            rng.randrange(100, 300_000) / 100.0,
+            rng.choice([0, 1, 2, 5]) / 100.0,
+            rng.randrange(1, 40),
+            rng.randrange(1, 6),
+        )
+        for _ in range(rng.randrange(30, 300))
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem(l_quantity DOUBLE, l_extendedprice DOUBLE,"
+        " l_discount DOUBLE, l_partkey BIGINT, l_suppkey BIGINT)"
+    )
+    con.executemany("INSERT INTO lineitem VALUES (?, ?, ?, ?, ?)", li)
+    got = {
+        (r[0], r[1]): r[2:]
+        for r in con.execute(
+            ORACLES["stats_eqdepth_histogram_lineitem"]
+        ).fetchall()
+    }
+    counts: dict[str, dict[int, int]] = {}
+    for q, ep, dc, pk, sk in li:
+        for col, v in (
+            ("l_quantity", round(q * 100)),
+            ("l_extendedprice", round(ep * 100)),
+            ("l_discount", round(dc * 100)),
+            ("l_partkey", pk),
+            ("l_suppkey", sk),
+        ):
+            cv = counts.setdefault(col, {})
+            cv[v] = cv.get(v, 0) + 1
+    expect: dict[tuple, list] = {}
+    for col, cv in counts.items():
+        n = sum(cv.values())
+        lo = 0
+        for v in sorted(cv):
+            b = lo * 10 // n
+            e = expect.setdefault((col, b), [0, 0, v, v])
+            e[0] += cv[v]
+            e[1] += 1
+            e[3] = v
+            lo += cv[v]
+    assert got == {k: tuple(v) for k, v in expect.items()}, seed
