@@ -183,3 +183,105 @@ def test_scd2_oracle_on_random_tables(seed):
             to = runs[ver][1] if ver < len(runs) else None
             expect[(u, ver)] = (st, frm, to, n)
     assert got == expect, seed
+
+
+def _rand_event_log(rng, n_users=6, types=("a", "b", "c")):
+    base = datetime.datetime(2024, 6, 1)
+    rows = []
+    for eid in range(1, rng.randrange(25, 250)):
+        rows.append(
+            (
+                eid,
+                # coarse grid → same-ts ties resolved by event_id
+                base + datetime.timedelta(
+                    days=rng.randrange(0, 9), seconds=rng.randrange(0, 30)
+                ),
+                rng.randrange(1, n_users + 1),
+                rng.choice(types),
+                1.0,
+            )
+        )
+    return rows
+
+
+def _event_table(rows):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?)", rows)
+    return con
+
+
+def _bigrams(rows):
+    by_user: dict[int, list] = {}
+    for eid, ts, u, ty, _ in rows:
+        by_user.setdefault(u, []).append((_ns(ts), eid, ty))
+    counts: dict[tuple, int] = {}
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    return counts
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_topk_paths_oracle_on_random_tables(seed):
+    rng = random.Random(19_000 + seed)
+    rows = _rand_event_log(rng)
+    got = _event_table(rows).execute(ORACLES["events_topk_paths"]).fetchall()
+    counts = _bigrams(rows)
+    expect = sorted(
+        ((a, b, n) for (a, b), n in counts.items()),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:10]
+    assert got == expect, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_markov_oracle_on_random_tables(seed):
+    rng = random.Random(20_000 + seed)
+    rows = _rand_event_log(rng)
+    got = {
+        (r[0], r[1]): r[2:]
+        for r in _event_table(rows)
+        .execute(ORACLES["events_markov_transitions"])
+        .fetchall()
+    }
+    counts = _bigrams(rows)
+    row_n: dict[str, int] = {}
+    for (a, _), n in counts.items():
+        row_n[a] = row_n.get(a, 0) + n
+    expect = {
+        (a, b): (n, round(n / row_n[a], 6)) for (a, b), n in counts.items()
+    }
+    assert got == expect, seed
+    # row-stochastic sanity: each from-row's probabilities sum to ~1
+    for a, tot in row_n.items():
+        s = sum(n for (x, _), (n, _) in got.items() if x == a)
+        assert s == tot
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_streaks_oracle_on_random_tables(seed):
+    rng = random.Random(21_000 + seed)
+    rows = _rand_event_log(rng)
+    got = {
+        r[0]: r[1:]
+        for r in _event_table(rows).execute(ORACLES["events_streaks"]).fetchall()
+    }
+    days: dict[int, set] = {}
+    for _, ts, u, _, _ in rows:
+        days.setdefault(u, set()).add(_ns(ts) // 86_400_000_000_000)
+    expect = {}
+    for u, ds in days.items():
+        sd = sorted(ds)
+        streaks = [1]
+        for a, b in zip(sd, sd[1:]):
+            if b == a + 1:
+                streaks[-1] += 1
+            else:
+                streaks.append(1)
+        expect[u] = (max(streaks), len(streaks))
+    assert got == expect, seed
