@@ -285,3 +285,132 @@ def test_streaks_oracle_on_random_tables(seed):
                 streaks.append(1)
         expect[u] = (max(streaks), len(streaks))
     assert got == expect, seed
+
+
+def _sessions(rows):
+    """(user → list of (session_idx, [(ns, eid, ty), ...])) under the
+    >30-min-gap rule — the shared from-scratch sessionizer."""
+    by_user: dict[int, list] = {}
+    for eid, ts, u, ty, _ in rows:
+        by_user.setdefault(u, []).append((_ns(ts), eid, ty))
+    out: dict[int, list] = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sess: list = []
+        prev = None
+        for e in evs:
+            if prev is None or e[0] - prev > SESSION_GAP_NS:
+                sess.append([])
+            sess[-1].append(e)
+            prev = e[0]
+        out[u] = sess
+    return out
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_sessionized_funnel_oracle_on_random_tables(seed):
+    rng = random.Random(22_000 + seed)
+    base = datetime.datetime(2024, 7, 1)
+    rows = []
+    t = {u: base for u in range(1, 6)}
+    for eid in range(1, rng.randrange(30, 250)):
+        u = rng.randrange(1, 6)
+        t[u] = t[u] + datetime.timedelta(
+            seconds=rng.choice([0, 1, 30, 400, 2000])
+        )
+        rows.append(
+            (eid, t[u], u, rng.choice(["view", "click", "purchase", "x"]), 1.0)
+        )
+    got = {
+        (r[0], r[1]): r[2:]
+        for r in _event_table(rows)
+        .execute(ORACLES["events_sessionized_funnel"])
+        .fetchall()
+    }
+    expect = {}
+    for u, sess in _sessions(rows).items():
+        for idx, evs in enumerate(sess, start=1):
+            tv = min((n for n, _, ty in evs if ty == "view"), default=None)
+            if tv is None:
+                continue
+            tc = min(
+                (n for n, _, ty in evs if ty == "click" and n > tv),
+                default=None,
+            )
+            tp = (
+                min(
+                    (n for n, _, ty in evs if ty == "purchase" and n > tc),
+                    default=None,
+                )
+                if tc is not None
+                else None
+            )
+            stage = 1 + (tc is not None) + (tp is not None)
+            expect[(u, idx)] = (tv, tc, tp, stage)
+    assert got == expect, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_session_concurrency_oracle_on_random_tables(seed):
+    rng = random.Random(23_000 + seed)
+    base = datetime.datetime(2024, 8, 1)
+    rows = []
+    t = {u: base for u in range(1, 6)}
+    for eid in range(1, rng.randrange(25, 200)):
+        u = rng.randrange(1, 6)
+        t[u] = t[u] + datetime.timedelta(
+            seconds=rng.choice([0, 10, 1200, 1900, 9000])
+        )
+        rows.append((eid, t[u], u, "a", 1.0))
+    got = {
+        r[0]: (r[1], r[2])
+        for r in _event_table(rows)
+        .execute(ORACLES["events_session_concurrency"])
+        .fetchall()
+    }
+    hours: dict[int, list] = {}
+    for u, sess in _sessions(rows).items():
+        for evs in sess:
+            sh = evs[0][0] // 3_600_000_000_000
+            eh = evs[-1][0] // 3_600_000_000_000
+            for hr in range(sh, eh + 1):
+                hours.setdefault(hr, []).append(u)
+    expect = {hr: (len(us), len(set(us))) for hr, us in hours.items()}
+    assert got == expect, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_interarrival_oracle_on_random_tables(seed):
+    rng = random.Random(24_000 + seed)
+    base = datetime.datetime(2024, 9, 1)
+    rows = []
+    t = {u: base for u in range(1, 5)}
+    for eid in range(1, rng.randrange(25, 200)):
+        u = rng.randrange(1, 5)
+        # exact power-of-two µs gaps land on bucket boundaries
+        t[u] = t[u] + datetime.timedelta(
+            microseconds=rng.choice([0, 1, 2, 1024, 65_536, 33_554_432])
+        )
+        rows.append((eid, t[u], u, "a", 1.0))
+    got = {
+        r[0]: (r[1], r[2])
+        for r in _event_table(rows)
+        .execute(ORACLES["events_interarrival_profile"])
+        .fetchall()
+    }
+    gaps = []
+    by_user: dict[int, list] = {}
+    for eid, ts, u, _, _ in rows:
+        by_user.setdefault(u, []).append((_ns(ts), eid))
+    for evs in by_user.values():
+        evs.sort()
+        for (a, _), (b, _) in zip(evs, evs[1:]):
+            gaps.append((b - a) // 1000)
+    expect: dict[int, int] = {}
+    for g in gaps:
+        b = 0 if g == 0 else g.bit_length()
+        expect[b] = expect.get(b, 0) + 1
+    total = sum(expect.values())
+    assert got == {
+        b: (n, round(n / total, 6)) for b, n in expect.items()
+    }, seed
