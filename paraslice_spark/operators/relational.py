@@ -585,17 +585,20 @@ def stats_eqdepth_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFr
 
     Scale shape: identical to the equi-width twin — the cumulative
     window runs over DISTINCT VALUES ONLY (≤ ~60k per column at any
-    corpus size), and the ≤ 50-row bucket rollup is map-combined."""
+    corpus size), the per-column totals come from a 5-row map-combined
+    agg broadcast back (NOT a second whole-partition window node — the
+    ordered window already costs the one sort; the total must not cost
+    another pass over it), and the ≤ 50-row bucket rollup is
+    map-combined."""
     h = _lineitem_col_hist(spark, sf_dir).where(F.col("v").isNotNull())
     wc = Window.partitionBy("col").orderBy("v")
-    wp = Window.partitionBy("col")
+    tot = h.groupBy("col").agg(F.sum("cnt").alias("n"))
     f = h.select(
         "col",
         "v",
         "cnt",
         (F.sum("cnt").over(wc) - F.col("cnt")).alias("lo"),
-        F.sum("cnt").over(wp).alias("n"),
-    )
+    ).join(F.broadcast(tot), "col")
     return (
         f.groupBy("col", F.expr("lo * 10 div n").alias("bucket"))
         .agg(

@@ -901,10 +901,13 @@ def test_tensor_gram_single_scan_reused_exchange(spark):
 def test_eqdepth_histogram_rides_memo_windows_on_values(spark):
     """stats_eqdepth_histogram_lineitem claims the shared-memo shape:
     no parquet scan (the histogram base is the per-session
-    localCheckpoint), and both windows (cumulative rank mass, total)
-    run over DISTINCT VALUES partitioned by col — no ranking pass."""
+    localCheckpoint), EXACTLY ONE window node (the cumulative rank
+    mass over distinct values; per-column totals broadcast back from
+    a 5-row agg, never a second whole-partition window pass), no
+    ranking."""
     p = plan(QUERIES["stats_eqdepth_histogram_lineitem"](spark, SF_SMALL))
     assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
     assert "row_number" not in p, p
     wins = [ln for ln in p.splitlines() if "Window [" in ln]
-    assert wins and all("col#" in w for w in wins), p
+    assert len(wins) == 1 and "col#" in wins[0], p
+    assert "BroadcastExchange" in p, p
