@@ -1,0 +1,215 @@
+"""Fixture-independent fuzz of the TIME-SERIES / CADENCE analytics
+oracles on seeded random tables: CUSUM change-point (exact n-scaled
+argmax with earliest-minute ties), hourly OHLC bars (positional
+open/close under deliberate same-timestamp ties), exact heavy hitters
+(tie-broken top-20), and the reorder-gap profile (nearest-rank
+percentiles over the per-segment gap histogram).  Engine ROUND is
+half-away-from-zero — the `_rnd6` helper, not Python's banker's
+round() (the test_ab_oracle_fuzz lesson)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import random
+
+import duckdb
+import pytest
+
+import paraslice_spark.operators  # noqa: F401
+from paraslice_spark.registry import ORACLES
+
+_EPOCH = datetime.datetime(1970, 1, 1)
+
+
+def _rnd6(x: float) -> float:
+    return math.floor(abs(x) * 1e6 + 0.5) / 1e6 * (1 if x >= 0 else -1)
+
+
+def _ns(t: datetime.datetime) -> int:
+    return int((t - _EPOCH) // datetime.timedelta(microseconds=1)) * 1000
+
+
+def _event_table(rows):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?)", rows)
+    return con
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_cusum_oracle_on_random_tables(seed):
+    rng = random.Random(29_000 + seed)
+    base = datetime.datetime(2024, 11, 1)
+    rows = []
+    for eid in range(1, rng.randrange(40, 300)):
+        m = rng.randrange(0, 50)
+        rows.append(
+            (
+                eid,
+                base + datetime.timedelta(
+                    minutes=m, seconds=rng.randrange(0, 60)
+                ),
+                1,
+                rng.choice(["a", "b"]),
+                # level shift halfway through → a real change point
+                (rng.randrange(0, 300) + (1000 if m >= 25 else 0)) / 100.0,
+            )
+        )
+    got = {
+        r[0]: r[1:]
+        for r in _event_table(rows)
+        .execute(ORACLES["events_cusum_changepoint"])
+        .fetchall()
+    }
+    series: dict[str, dict[int, int]] = {}
+    for _, ts, _, ty, v in rows:
+        m = _ns(ts) // 60_000_000_000
+        d = series.setdefault(ty, {})
+        d[m] = d.get(m, 0) + round(v * 1_000_000)
+    for ty, s in series.items():
+        mins = sorted(s)
+        n, tot = len(mins), sum(s.values())
+        pre, best = 0, (-1, None)
+        for i, m in enumerate(mins, start=1):
+            pre += s[m]
+            a = abs(n * pre - i * tot)
+            if a > best[0]:
+                best = (a, m)
+        gn, gcp, gmax, gmean = got[ty]
+        assert gn == n and gcp == best[1], (seed, ty)
+        assert gmax == _rnd6(best[0] / (n * 1e6)), (seed, ty)
+        assert gmean == _rnd6(tot / (n * 1e6)), (seed, ty)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_ohlc_oracle_on_random_tables(seed):
+    rng = random.Random(30_000 + seed)
+    base = datetime.datetime(2024, 12, 1)
+    rows = []
+    for eid in range(1, rng.randrange(30, 250)):
+        rows.append(
+            (
+                eid,
+                # second-grid inside a few hours → same-ts ties, and the
+                # open/close pick must follow event_id within a tie
+                base + datetime.timedelta(
+                    hours=rng.randrange(0, 5), seconds=rng.randrange(0, 20)
+                ),
+                1,
+                "a",
+                rng.randrange(0, 2_000_000) / 1e6,
+            )
+        )
+    got = {
+        r[0]: r[1:]
+        for r in _event_table(rows)
+        .execute(ORACLES["events_ohlc_hourly"])
+        .fetchall()
+    }
+    bars: dict[int, list] = {}
+    for eid, ts, _, _, v in rows:
+        h = _ns(ts) // 3_600_000_000_000
+        bars.setdefault(h, []).append((_ns(ts), eid, round(v * 1_000_000)))
+    expect = {}
+    for h, evs in bars.items():
+        evs.sort()
+        mvs = [mv for _, _, mv in evs]
+        expect[h] = (
+            len(evs),
+            evs[0][2],
+            max(mvs),
+            min(mvs),
+            evs[-1][2],
+            sum(mvs),
+        )
+    assert got == expect, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_heavy_hitters_oracle_on_random_tables(seed):
+    rng = random.Random(31_000 + seed)
+    base = datetime.datetime(2025, 1, 1)
+    # zipf-ish: low user ids much hotter; >20 distinct users so the
+    # LIMIT 20 boundary (tie-broken by user_id) is actually exercised
+    rows = [
+        (
+            eid,
+            base + datetime.timedelta(seconds=eid),
+            min(rng.randrange(1, 40), rng.randrange(1, 40)),
+            "a",
+            1.0,
+        )
+        for eid in range(1, rng.randrange(150, 600))
+    ]
+    got = [
+        tuple(r)
+        for r in _event_table(rows)
+        .execute(ORACLES["events_heavy_hitters"])
+        .fetchall()
+    ]
+    counts: dict[int, int] = {}
+    for _, _, u, _, _ in rows:
+        counts[u] = counts.get(u, 0) + 1
+    total = sum(counts.values())
+    expect = [
+        (u, n, _rnd6(n / total))
+        for u, n in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:20]
+    assert got == expect, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_reorder_gaps_oracle_on_random_tables(seed):
+    rng = random.Random(32_000 + seed)
+    n_cust = rng.randrange(4, 25)
+    segs = ["SA", "SB"]
+    cust = [(ck, rng.choice(segs)) for ck in range(1, n_cust + 1)]
+    orders = [
+        (
+            ok,
+            rng.randrange(1, n_cust + 1),
+            datetime.datetime(1996, 1, 1)
+            # same-day repeats → deterministic 0-gaps
+            + datetime.timedelta(days=rng.randrange(0, 30)),
+        )
+        for ok in range(1, rng.randrange(40, 250))
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE customer(c_custkey BIGINT, c_mktsegment VARCHAR)")
+    con.executemany("INSERT INTO customer VALUES (?, ?)", cust)
+    con.execute(
+        "CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT,"
+        " o_orderdate TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO orders VALUES (?, ?, ?)", orders)
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(ORACLES["customer_reorder_gaps"]).fetchall()
+    }
+    seg_of = dict(cust)
+    by_cust: dict[int, list] = {}
+    for _, ck, dt in orders:
+        by_cust.setdefault(ck, []).append(
+            (dt - datetime.datetime(1970, 1, 1)).days
+        )
+    gaps: dict[str, list] = {}
+    for ck, ds in by_cust.items():
+        ds.sort()
+        for a, b in zip(ds, ds[1:]):
+            gaps.setdefault(seg_of[ck], []).append(b - a)
+    expect = {}
+    for seg, gs in gaps.items():
+        gs.sort()
+        n = len(gs)
+        expect[seg] = (
+            n,
+            gs[(n + 1) // 2 - 1],
+            gs[(9 * n + 9) // 10 - 1],
+            gs[-1],
+            _rnd6(sum(gs) / n),
+        )
+    assert got == expect, seed
