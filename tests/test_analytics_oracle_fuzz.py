@@ -213,3 +213,137 @@ def test_reorder_gaps_oracle_on_random_tables(seed):
             _rnd6(sum(gs) / n),
         )
     assert got == expect, seed
+
+
+def _ntile4(keys):
+    """1-based ntile(4) assignment for an already-ordered key list —
+    first (n mod 4) tiles take the extra row (both engines' rule)."""
+    n = len(keys)
+    out = {}
+    start = 0
+    for t in range(4):
+        size = n // 4 + (1 if t < n % 4 else 0)
+        for k in keys[start:start + size]:
+            out[k] = t + 1
+        start += size
+    return out
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_rfm_oracle_on_random_tables(seed):
+    rng = random.Random(33_000 + seed)
+    n_cust = rng.randrange(5, 40)
+    orders = [
+        (
+            rng.randrange(1, n_cust + 1),
+            rng.randrange(100, 40_000) / 100.0,
+            datetime.datetime(1997, 1, 1)
+            + datetime.timedelta(days=rng.randrange(0, 20)),
+        )
+        for _ in range(rng.randrange(n_cust, n_cust * 5))
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders(o_custkey BIGINT, o_totalprice DOUBLE,"
+        " o_orderdate TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO orders VALUES (?, ?, ?)", orders)
+    got = {
+        (r[0], r[1], r[2]): r[3]
+        for r in con.execute(ORACLES["customer_rfm_segments"]).fetchall()
+    }
+    base: dict[int, list] = {}
+    for ck, tp, dt in orders:
+        a = base.setdefault(ck, [datetime.datetime.min, 0, 0])
+        a[0] = max(a[0], dt)
+        a[1] += 1
+        a[2] += round(tp * 100)
+    customers = sorted(base)
+    r_of = _ntile4(sorted(customers, key=lambda c: (base[c][0], c)))
+    f_of = _ntile4(sorted(customers, key=lambda c: (base[c][1], c)))
+    m_of = _ntile4(sorted(customers, key=lambda c: (base[c][2], c)))
+    expect: dict[tuple, int] = {}
+    for c in customers:
+        k = (r_of[c], f_of[c], m_of[c])
+        expect[k] = expect.get(k, 0) + 1
+    assert got == expect, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_abc_oracle_on_random_tables(seed):
+    rng = random.Random(34_000 + seed)
+    li = [
+        (
+            rng.randrange(1, 30),
+            rng.randrange(1_000, 900_000) / 100.0,
+            rng.choice([0, 2, 5, 10]) / 100.0,
+        )
+        for _ in range(rng.randrange(40, 400))
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem(l_partkey BIGINT, l_extendedprice DOUBLE,"
+        " l_discount DOUBLE)"
+    )
+    con.executemany("INSERT INTO lineitem VALUES (?, ?, ?)", li)
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(ORACLES["part_abc_analysis"]).fetchall()
+    }
+    rev: dict[int, int] = {}
+    for pk, ep, dc in li:
+        rev[pk] = rev.get(pk, 0) + round(ep * 100) * (100 - round(dc * 100))
+    ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(rev.values())
+    expect: dict[str, list] = {}
+    cum = 0
+    for pk, rc in ranked:
+        cum += rc
+        cls = "A" if cum * 100 <= total * 80 else (
+            "B" if cum * 100 <= total * 95 else "C"
+        )
+        e = expect.setdefault(cls, [0, 0])
+        e[0] += 1
+        e[1] += rc
+    assert got == {
+        c: (n, rc / 10_000.0) for c, (n, rc) in expect.items()
+    }, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_active_users_oracle_on_random_tables(seed):
+    rng = random.Random(35_000 + seed)
+    base = datetime.datetime(2025, 2, 1)
+    rows = [
+        (
+            eid,
+            base + datetime.timedelta(
+                days=rng.randrange(0, 15), seconds=rng.randrange(0, 86_400)
+            ),
+            rng.randrange(1, 9),
+            "a",
+            1.0,
+        )
+        for eid in range(1, rng.randrange(40, 300))
+    ]
+    got = {
+        r[0]: r[1:]
+        for r in _event_table(rows)
+        .execute(ORACLES["events_active_users"])
+        .fetchall()
+    }
+    du: dict[datetime.date, set] = {}
+    for _, ts, u, _, _ in rows:
+        du.setdefault(ts.date(), set()).add(u)
+    expect = {}
+    for day, users in du.items():
+        wau = set()
+        for d2, us2 in du.items():
+            if 0 <= (day - d2).days <= 6:
+                wau |= us2
+        expect[day.isoformat()] = (
+            len(users),
+            len(wau),
+            _rnd6(len(users) / len(wau)),
+        )
+    assert got == expect, seed
