@@ -347,3 +347,73 @@ def test_active_users_oracle_on_random_tables(seed):
             _rnd6(len(users) / len(wau)),
         )
     assert got == expect, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_seasonality_oracle_on_random_tables(seed):
+    rng = random.Random(36_000 + seed)
+    base = datetime.datetime(2025, 3, 1)
+    rows = [
+        (
+            eid,
+            base + datetime.timedelta(
+                days=rng.randrange(0, 21), hours=rng.randrange(0, 24)
+            ),
+            1,
+            "a",
+            1.0,
+        )
+        for eid in range(1, rng.randrange(50, 400))
+    ]
+    got = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in _event_table(rows)
+        .execute(ORACLES["events_seasonality_profile"])
+        .fetchall()
+    }
+    counts: dict[tuple, int] = {}
+    for _, ts, _, _, _ in rows:
+        # Spark dayofweek: 1 = Sunday … 7 = Saturday
+        dow = ((ts.weekday() + 1) % 7) + 1
+        k = (dow, ts.hour)
+        counts[k] = counts.get(k, 0) + 1
+    total = sum(counts.values())
+    assert got == {
+        k: (n, _rnd6(n / total)) for k, n in counts.items()
+    }, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_market_basket_oracle_on_random_tables(seed):
+    rng = random.Random(37_000 + seed)
+    li = [
+        (rng.randrange(1, 40), rng.randrange(1, 12))
+        for _ in range(rng.randrange(60, 400))
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lineitem(l_orderkey BIGINT, l_partkey BIGINT)")
+    con.executemany("INSERT INTO lineitem VALUES (?, ?)", li)
+    got = [
+        tuple(r)
+        for r in con.execute(ORACLES["market_basket_pairs"]).fetchall()
+    ]
+    baskets: dict[int, set] = {}
+    for ok, pk in li:
+        baskets.setdefault(ok, set()).add(pk)
+    support: dict[tuple, int] = {}
+    cnt: dict[int, int] = {}
+    for items in baskets.values():
+        for p in items:
+            cnt[p] = cnt.get(p, 0) + 1
+        s = sorted(items)
+        for i, a in enumerate(s):
+            for b in s[i + 1:]:
+                support[(a, b)] = support.get((a, b), 0) + 1
+    n_orders = len(baskets)
+    expect = [
+        (a, b, n, _rnd6(n_orders * n / (cnt[a] * cnt[b])))
+        for (a, b), n in sorted(
+            support.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+    ][:20]
+    assert got == expect, seed
