@@ -1,0 +1,117 @@
+"""REGENERATED-CORPUS differential sweep (env-gated like the sf0.1
+sweep): build a permutation-regenerated corpus — every table keeps the
+sf0.001 fixture's exact schemas, domains, and marginal distributions,
+but each column is independently shuffled with a seeded RNG and every
+FK is re-drawn against its parent — then hash-compare EVERY oracled
+declared query on it.
+
+This is the whole-suite version of the per-oracle random-table fuzz:
+the joint distribution (who bought what when, which text sits at which
+doc_id, which user fires which event) is destroyed, so any query or
+oracle that silently leans on a fixture ASSOCIATION — rather than the
+documented schema/domain contract — mismatches here while still
+passing the golden suite.  Run:
+
+    PARASLICE_REGEN_CORPUS=1 python -m pytest tests/test_regen_corpus.py -q
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import paraslice_spark.operators  # noqa: F401
+from paraslice_spark.registry import ORACLES, QUERIES
+from tests.conftest import SF_SMALL
+from tests.oracle_harness import run_compare
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("PARASLICE_REGEN_CORPUS") != "1",
+    reason="regenerated-corpus sweep is env-gated (PARASLICE_REGEN_CORPUS=1)",
+)
+
+_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: FK column → (parent table, parent key) — re-drawn, not shuffled, so
+#: referential integrity holds in the regenerated corpus
+_FKS = {
+    ("nation", "n_regionkey"): ("region", "r_regionkey"),
+    ("customer", "c_nationkey"): ("nation", "n_nationkey"),
+    ("supplier", "s_nationkey"): ("nation", "n_nationkey"),
+    ("orders", "o_custkey"): ("customer", "c_custkey"),
+    ("lineitem", "l_orderkey"): ("orders", "o_orderkey"),
+    ("lineitem", "l_partkey"): ("part", "p_partkey"),
+    ("lineitem", "l_suppkey"): ("supplier", "s_suppkey"),
+}
+
+#: primary-key / identity columns — kept in place so PK density, split
+#: digits (md5 of doc_id), and join targets stay within contract
+_KEEP = {
+    ("region", "r_regionkey"),
+    ("region", "r_name"),  # 5 canonical names, 1:1 with the key
+    ("nation", "n_nationkey"),
+    ("nation", "n_name"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_linenumber"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+}
+
+
+def _regen(src_dir: str, out_dir: str, seed: int) -> None:
+    rng = np.random.default_rng(seed)
+    parents: dict[str, np.ndarray] = {}
+    for t in _TABLES:
+        tbl = pq.read_table(f"{src_dir}/{t}.parquet")
+        cols = {}
+        n = tbl.num_rows
+        for name in tbl.column_names:
+            arr = tbl.column(name)
+            if (t, name) in _KEEP:
+                cols[name] = arr
+            elif (t, name) in _FKS:
+                pt, pk = _FKS[(t, name)]
+                choice = parents[f"{pt}.{pk}"]
+                cols[name] = pa.array(
+                    rng.choice(choice, size=n), type=arr.type
+                )
+            else:
+                cols[name] = arr.take(pa.array(rng.permutation(n)))
+        out = pa.table(cols, schema=tbl.schema)
+        pq.write_table(out, f"{out_dir}/{t}.parquet")
+        for name in tbl.column_names:
+            parents[f"{t}.{name}"] = np.asarray(
+                out.column(name).to_pylist(), dtype=object
+            )
+
+
+@pytest.fixture(scope="session")
+def regen_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("regen_corpus")
+    _regen(SF_SMALL, str(d), seed=20260815)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_regen_corpus_hash_match(spark, regen_dir, name):
+    problems = run_compare(spark, QUERIES[name], ORACLES[name], regen_dir)
+    assert not problems, (name, problems[:3])
