@@ -104,10 +104,10 @@ def _regen(src_dir: str, out_dir: str, seed: int) -> None:
             )
 
 
-@pytest.fixture(scope="session")
-def regen_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("regen_corpus")
-    _regen(SF_SMALL, str(d), seed=20260815)
+@pytest.fixture(scope="session", params=(20260815, 42424242))
+def regen_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"regen_corpus_{request.param}")
+    _regen(SF_SMALL, str(d), seed=request.param)
     return str(d)
 
 
