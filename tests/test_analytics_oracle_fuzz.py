@@ -417,3 +417,112 @@ def test_market_basket_oracle_on_random_tables(seed):
         )
     ][:20]
     assert got == expect, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_ltv_cohorts_oracle_on_random_tables(seed):
+    rng = random.Random(38_000 + seed)
+    n_cust = rng.randrange(5, 30)
+    orders = [
+        (
+            rng.randrange(1, n_cust + 1),
+            rng.randrange(100, 30_000) / 100.0,
+            datetime.datetime(1998, 1, 1)
+            + datetime.timedelta(days=rng.randrange(0, 400)),
+        )
+        for _ in range(rng.randrange(n_cust, n_cust * 6))
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders(o_custkey BIGINT, o_totalprice DOUBLE,"
+        " o_orderdate TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO orders VALUES (?, ?, ?)", orders)
+    got = {
+        (r[0], r[1], r[2]): r[3:]
+        for r in con.execute(ORACLES["customer_ltv_cohorts"]).fetchall()
+    }
+    cm: dict[tuple, int] = {}
+    for ck, tp, dt in orders:
+        mi = dt.year * 12 + dt.month
+        cm[(ck, mi)] = cm.get((ck, mi), 0) + round(tp * 100)
+    m0_of: dict[int, int] = {}
+    for ck, mi in cm:
+        m0_of[ck] = min(m0_of.get(ck, mi), mi)
+    g: dict[tuple, list] = {}
+    for (ck, mi), rc in cm.items():
+        k = (m0_of[ck], mi - m0_of[ck])
+        e = g.setdefault(k, [0, 0])
+        e[0] += 1
+        e[1] += rc
+    expect = {}
+    for m0 in {m for m, _ in g}:
+        ks = sorted(k for m, k in g if m == m0)
+        size = g[(m0, 0)][0]
+        cum = 0
+        for k in ks:
+            n_active, rc = g[(m0, k)]
+            cum += rc
+            expect[((m0 - 1) // 12, (m0 - 1) % 12 + 1, k)] = (
+                n_active,
+                rc / 100.0,
+                _rnd6(n_active / size),
+                _rnd6(cum / (size * 100.0)),
+            )
+    assert got == expect, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_scorecard_oracle_on_random_tables(seed):
+    rng = random.Random(39_000 + seed)
+    n_supp = rng.randrange(3, 10)
+    supp = [(sk, f"Supplier#{sk}", rng.randrange(0, 4)) for sk in range(1, n_supp + 1)]
+    nations = [(nk, f"NATION{nk}") for nk in range(0, 4)]
+    li = [
+        (
+            rng.randrange(1, n_supp + 1),
+            rng.randrange(1, 20),
+            rng.randrange(1_000, 500_000) / 100.0,
+            rng.choice([0, 2, 5]) / 100.0,
+            rng.choice(["A", "N", "R"]),
+        )
+        for _ in range(rng.randrange(30, 300))
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE supplier(s_suppkey BIGINT, s_name VARCHAR,"
+        " s_nationkey INT)"
+    )
+    con.executemany("INSERT INTO supplier VALUES (?, ?, ?)", supp)
+    con.execute("CREATE TABLE nation(n_nationkey INT, n_name VARCHAR)")
+    con.executemany("INSERT INTO nation VALUES (?, ?)", nations)
+    con.execute(
+        "CREATE TABLE lineitem(l_suppkey BIGINT, l_partkey BIGINT,"
+        " l_extendedprice DOUBLE, l_discount DOUBLE, l_returnflag VARCHAR)"
+    )
+    con.executemany("INSERT INTO lineitem VALUES (?, ?, ?, ?, ?)", li)
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(ORACLES["supplier_scorecard"]).fetchall()
+    }
+    agg: dict[int, list] = {}
+    for sk, pk, ep, dc, rf in li:
+        a = agg.setdefault(sk, [0, set(), 0, 0])
+        a[0] += 1
+        a[1].add(pk)
+        a[2] += round(ep * 100) * (100 - round(dc * 100))
+        a[3] += rf == "R"
+    expect = {
+        sk: (
+            f"Supplier#{sk}",
+            f"NATION{nkey}",
+            n,
+            len(parts),
+            rc / 10_000.0,
+            _rnd6(nr / n),
+        )
+        for sk, name, nkey in supp
+        if sk in agg
+        for n, parts, rc, nr in [agg[sk]]
+    }
+    assert got == expect, seed
