@@ -526,3 +526,56 @@ def test_scorecard_oracle_on_random_tables(seed):
         for n, parts, rc, nr in [agg[sk]]
     }
     assert got == expect, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_funnel_latency_oracle_on_random_tables(seed):
+    rng = random.Random(40_000 + seed)
+    base = datetime.datetime(2025, 4, 1)
+    rows = [
+        (
+            eid,
+            base + datetime.timedelta(seconds=rng.randrange(0, 500_000)),
+            rng.randrange(1, 15),
+            rng.choice(["view", "click", "purchase", "x"]),
+            1.0,
+        )
+        for eid in range(1, rng.randrange(60, 400))
+    ]
+    got = {
+        r[0]: r[1:]
+        for r in _event_table(rows)
+        .execute(ORACLES["events_funnel_latency"])
+        .fetchall()
+    }
+    by_user: dict[int, dict[str, list]] = {}
+    for _, ts, u, ty, _ in rows:
+        by_user.setdefault(u, {}).setdefault(ty, []).append(_ns(ts))
+    lats: dict[str, list] = {}
+    for evs in by_user.values():
+        if "view" not in evs:
+            continue
+        tv = min(evs["view"])
+        clicks = [t for t in evs.get("click", []) if t > tv]
+        if not clicks:
+            continue
+        tc = min(clicks)
+        lats.setdefault("view_to_click", []).append(
+            (tc - tv) // 1_000_000_000
+        )
+        purch = [t for t in evs.get("purchase", []) if t > tc]
+        if purch:
+            lats.setdefault("click_to_purchase", []).append(
+                (min(purch) - tc) // 1_000_000_000
+            )
+    expect = {}
+    for step, ls in lats.items():
+        ls.sort()
+        n = len(ls)
+        expect[step] = (
+            n,
+            ls[(n + 1) // 2 - 1],
+            ls[(9 * n + 9) // 10 - 1],
+            _rnd6(sum(ls) / n),
+        )
+    assert got == expect, seed
