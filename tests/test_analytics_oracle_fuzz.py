@@ -579,3 +579,118 @@ def test_funnel_latency_oracle_on_random_tables(seed):
             _rnd6(sum(ls) / n),
         )
     assert got == expect, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_asof_join_oracle_on_random_tables(seed):
+    rng = random.Random(41_000 + seed)
+    base = datetime.datetime(2025, 5, 1)
+    rows = []
+    eid = 1
+    for u in range(1, 8):
+        # per-user UNIQUE event timestamps (the declared contract:
+        # ambiguous equal-ts clicks are out of scope) but a click may
+        # share the exact instant of a purchase only via ts reuse across
+        # types being excluded too — the tie rule is exercised by gap=0
+        # steps being skipped, so use strictly increasing seconds
+        secs = sorted(
+            rng.sample(range(0, 5_000), rng.randrange(3, 30))
+        )
+        for s in secs:
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(seconds=s),
+                    u,
+                    rng.choice(["click", "purchase", "view"]),
+                    1.0,
+                )
+            )
+            eid += 1
+    got = {
+        r[0]: r[2]
+        for r in _event_table(rows)
+        .execute(ORACLES["join_asof"])
+        .fetchall()
+    }
+    by_user: dict[int, list] = {}
+    for e, ts, u, ty, _ in rows:
+        by_user.setdefault(u, []).append((_ns(ts), e, ty))
+    expect = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        last_click = None
+        for t, e, ty in evs:
+            if ty == "click":
+                last_click = e
+            elif ty == "purchase":
+                expect[e] = last_click
+    assert got == expect, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_time_interval_join_oracle_on_random_tables(seed):
+    rng = random.Random(42_000 + seed)
+    base = datetime.datetime(2025, 6, 1)
+    rows = [
+        (
+            eid,
+            # minute grid across ±several hours → exact one-hour
+            # boundary cases (|Δt| == 3600s inclusive)
+            base + datetime.timedelta(minutes=rng.randrange(0, 600)),
+            rng.randrange(1, 6),
+            rng.choice(["click", "purchase", "view"]),
+            1.0,
+        )
+        for eid in range(1, rng.randrange(50, 300))
+    ]
+    got = {
+        r[0]: r[1]
+        for r in _event_table(rows)
+        .execute(ORACLES["join_time_interval"])
+        .fetchall()
+    }
+    by_user: dict[int, list] = {}
+    for e, ts, u, ty, _ in rows:
+        by_user.setdefault(u, []).append((_ns(ts), e, ty))
+    expect = {}
+    for evs in by_user.values():
+        clicks = [t for t, _, ty in evs if ty == "click"]
+        for t, e, ty in evs:
+            if ty == "purchase":
+                n = sum(1 for ct in clicks if abs(ct - t) <= 3_600_000_000_000)
+                if n:
+                    expect[e] = n
+    assert got == expect, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_window_distribution_oracle_on_random_tables(seed):
+    rng = random.Random(43_000 + seed)
+    n = rng.randrange(7, 80)
+    cust = [
+        (ck, rng.randrange(-50_000, 100_000) / 100.0)  # deliberate ties
+        for ck in range(1, n + 1)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE customer(c_custkey BIGINT, c_acctbal DOUBLE)")
+    con.executemany("INSERT INTO customer VALUES (?, ?)", cust)
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(ORACLES["window_distribution"]).fetchall()
+    }
+    order = sorted(cust, key=lambda r: (r[1], r[0]))
+    sizes = [n // 10 + (1 if t < n % 10 else 0) for t in range(10)]
+    tile_of = {}
+    i = 0
+    for t, size in enumerate(sizes, start=1):
+        for ck, _ in order[i:i + size]:
+            tile_of[ck] = t
+        i += size
+    # the (c_acctbal, c_custkey) tiebreak makes every rank unique, so
+    # percent_rank/cume_dist are positional: (r-1)/(n-1) and r/n
+    expect = {
+        ck: (tile_of[ck], r / (n - 1), (r + 1) / n)
+        for r, (ck, _) in enumerate(order)
+    }
+    assert got == expect, seed
