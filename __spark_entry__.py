@@ -22,15 +22,16 @@ from paraslice_spark.registry import ORACLES, QUERIES
 # encodes grading priority.  Round-9 re-tier (VERDICT r8 next-round #1):
 # every declared name holds a post-regeneration driver verdict (the r4-r8
 # union covers 241/241 with no standing failure), so rotation remains
-# freshness maintenance.  Tier 0 (no tuple): the r9 additions — they lead
-# the sample.  Tier 1: the r4-graded tail (44 names — the oldest standing
-# verdicts; r08 already refreshed the first 6, which drop to tier 5).
+# freshness maintenance.  Tier 0 (no tuple): the 17 r9 additions (8 early
+# + 9 late) — they lead the sample.  Tier 1: the r4-graded tail (44 names
+# — the oldest standing verdicts; r08 already refreshed the first 6,
+# which drop to tier 5).
 # Tiers 2-4: r5-, r6-, r7-graded names in verdict-age order.  Tier 5: the
 # 50 names CORRECTNESS_r08 graded (the freshest verdicts — last in line).
-# Budget check: tier 0 (r9 adds) + the 44-name tier 1 fill the ~50 sample
-# (a few tail names spill to the r5 tier's turn if r9 adds exceed ~6),
-# so CORRECTNESS_r09 should grade every r9 addition plus the whole r4
-# tail, keeping the second full freshness cycle on track through r10-r12.
+# Budget check: the 17 tier-0 names + ~33 of the 44-name tier 1 fill the
+# ~50 sample (the ~11 tail stragglers spill to r10's turn, where they
+# promote first), so CORRECTNESS_r09 grades every r9 addition plus most
+# of the r4 tail, keeping the second freshness cycle on track r10-r12.
 _T1_R4_GRADED: tuple[str, ...] = (
     "multimodal_frame_sample", "events_sessionize",
     "sample_temperature", "scalar_variant_pack", "similarity_ivfpq_ann",
