@@ -19,32 +19,20 @@ import paraslice_spark.operators  # noqa: F401  (registers all queries)
 from paraslice_spark.registry import ORACLES, QUERIES
 
 # The driver grades the FIRST ~50 queries of this dict per round, so order
-# encodes grading priority.  Round-9 re-tier (VERDICT r8 next-round #1):
-# every declared name holds a post-regeneration driver verdict (the r4-r8
-# union covers 241/241 with no standing failure), so rotation remains
-# freshness maintenance.  Tier 0 (no tuple): the 17 r9 additions (8 early
-# + 9 late) — they lead the sample.  Tier 1: the r4-graded tail (44 names
-# — the oldest standing verdicts; r08 already refreshed the first 6,
-# which drop to tier 5).
-# Tiers 2-4: r5-, r6-, r7-graded names in verdict-age order.  Tier 5: the
-# 50 names CORRECTNESS_r08 graded (the freshest verdicts — last in line).
-# Budget check: the 17 tier-0 names + ~33 of the 44-name tier 1 fill the
-# ~50 sample (the ~11 tail stragglers spill to r10's turn, where they
-# promote first), so CORRECTNESS_r09 grades every r9 addition plus most
-# of the r4 tail, keeping the second freshness cycle on track r10-r12.
-_T1_R4_GRADED: tuple[str, ...] = (
-    "multimodal_frame_sample", "events_sessionize",
-    "sample_temperature", "scalar_variant_pack", "similarity_ivfpq_ann",
-    "dedup_groups", "pipeline_curriculum", "text_token_stats",
-    "text_unigram_logprob", "window_ranking", "window_topn_per_group",
-    "window_lag_lead", "window_running_sum", "window_moving_avg",
-    "window_range_frame", "window_distribution",
-    "window_distribution_partitioned", "window_first_last",
-    "text_fingerprint", "scalar_array_pack", "scalar_json_pack",
-    "agg_collect_list_ordered", "agg_collect_set", "agg_decimal_money",
-    "dedup_exact", "dedup_ngram_jaccard", "embedding_label_stats",
-    "events_hourly_gapfill", "join_right_outer", "multimodal_join",
-    "sample_stratified_hash", "scalar_bitwise_pack", "scalar_cast_pack",
+# encodes grading priority.  Round-10 re-tier (VERDICT r9 next-round #2):
+# every declared name holds a post-regeneration driver verdict (the r4-r9
+# union covers 258/258 with no standing failure), so rotation remains
+# freshness maintenance.  Tier 0 (no tuple): the new r10 additions — they
+# lead the sample (budget ≤ ~6).  Tier 1: the 11 r4-graded stragglers
+# CORRECTNESS_r09's ~50 sample didn't reach — the oldest standing
+# verdicts, promoted first.  Tiers 2-5: r5-, r6-, r7-, r8-graded names in
+# verdict-age order.  Tier 6: the 50 names CORRECTNESS_r09 graded (the
+# freshest verdicts — last in line; the 33 r4-tier names it refreshed
+# moved here from the old tier 1).
+# Budget check: ≤6 tier-0 names + the 11 stragglers + ~33 of tier 2's 50
+# fill the ~50 sample, so CORRECTNESS_r10 grades every r10 addition, ends
+# the r4 era entirely, and starts refreshing the r5 tier (finish r11).
+_T1_R4_TAIL: tuple[str, ...] = (
     "scalar_conditional_pack", "scalar_datetime_pack", "scalar_math_pack",
     "scalar_string_pack", "set_except", "set_except_all", "set_intersect",
     "set_intersect_all", "set_union_all", "set_union_distinct",
@@ -140,6 +128,30 @@ _T5_R8_GRADED: tuple[str, ...] = (
     "agg_salted_skew", "agg_hll_sketch_merge", "agg_stats_bivariate",
     "q5_local_supplier_volume", "multimodal_resize_meta",
 )
+_T6_R9_GRADED: tuple[str, ...] = (
+    # the 50 names CORRECTNESS_r09 graded: the 17 r9 additions + 33 of the
+    # old r4 tier (its first 33 names) + the rows-only ivfpq refresh
+    "stats_histogram_lineitem", "stats_shuffle_skew_audit",
+    "stats_eqdepth_histogram_lineitem", "events_tukey_fences",
+    "customer_band_migration", "events_watermark_late_replay",
+    "events_watermark_delay_sweep", "events_overdispersion",
+    "customer_pareto_skyline", "events_theil_sen_trend",
+    "events_attribution_last_touch", "dedup_incremental_audit",
+    "pipeline_shard_manifest", "text_novelty_curve",
+    "graph_degree_assortativity", "tensor_mode_skew_profile",
+    "tensor_unfold_gram_type", "multimodal_frame_sample",
+    "events_sessionize", "sample_temperature", "scalar_variant_pack",
+    "similarity_ivfpq_ann", "dedup_groups", "pipeline_curriculum",
+    "text_token_stats", "text_unigram_logprob", "window_ranking",
+    "window_topn_per_group", "window_lag_lead", "window_running_sum",
+    "window_moving_avg", "window_range_frame", "window_distribution",
+    "window_distribution_partitioned", "window_first_last",
+    "text_fingerprint", "scalar_array_pack", "scalar_json_pack",
+    "agg_collect_list_ordered", "agg_collect_set", "agg_decimal_money",
+    "dedup_exact", "dedup_ngram_jaccard", "embedding_label_stats",
+    "events_hourly_gapfill", "join_right_outer", "multimodal_join",
+    "sample_stratified_hash", "scalar_bitwise_pack", "scalar_cast_pack",
+)
 
 
 def _rotated(d: dict) -> dict:
@@ -147,11 +159,12 @@ def _rotated(d: dict) -> dict:
     tier = {}
     for t, names in enumerate(
         (
-            _T1_R4_GRADED,
+            _T1_R4_TAIL,
             _T2_R5_GRADED,
             _T3_R6_GRADED,
             _T4_R7_GRADED,
             _T5_R8_GRADED,
+            _T6_R9_GRADED,
         ),
         start=1,
     ):

@@ -23,6 +23,7 @@ from paraslice_spark.functions.canon import (
     split_label,
 )
 from paraslice_spark.registry import query
+from paraslice_spark.session import vocab_broadcast
 from paraslice_spark.sources.io import load_tables
 
 _SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
@@ -1452,8 +1453,10 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the self-join fans out only WITHIN each basket
     (l_orderkey equi-join, a<b orientation halves it), so the pair count
     is Σ |basket|² with TPC-H baskets ≤ 7 lines — linear in orders, not
-    |parts|².  Item counts are vocabulary-bounded and broadcast onto the
-    pair supports.  lift = N·supp(ab)/(cnt(a)·cnt(b)) is ONE IEEE
+    |parts|².  The per-part item-count table is CATALOG-sized (SF-linear
+    in TPC-H), so its joins go through the gated vocab_broadcast
+    (VERDICT r9) — plain equi-joins by default, AQE promotes when it
+    fits.  lift = N·supp(ab)/(cnt(a)·cnt(b)) is ONE IEEE
     division of two exact int64 products → ROUND(,6) is engine-stable
     (house micro-unit precedent).  Top-20 by (support DESC, part_a,
     part_b) — a total order, so the LIMIT boundary is tie-free —
@@ -1480,13 +1483,13 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = o.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     return (
         p.join(
-            F.broadcast(c.select(F.col("l_partkey").alias("part_a"),
-                                 F.col("cnt").alias("cnt_a"))),
+            vocab_broadcast(c.select(F.col("l_partkey").alias("part_a"),
+                                     F.col("cnt").alias("cnt_a"))),
             "part_a",
         )
         .join(
-            F.broadcast(c.select(F.col("l_partkey").alias("part_b"),
-                                 F.col("cnt").alias("cnt_b"))),
+            vocab_broadcast(c.select(F.col("l_partkey").alias("part_b"),
+                                     F.col("cnt").alias("cnt_b"))),
             "part_b",
         )
         .crossJoin(F.broadcast(t))

@@ -3423,14 +3423,20 @@ def pipeline_dedup_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_degree_assortativity",
     oracle=f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
+      -- MATERIALIZED: e is referenced twice (and adj/deg fan out further);
+      -- DuckDB inlines multi-referenced CTEs, so the bare form re-runs the
+      -- whole _KNN_ORACLE pipeline per reference (the dedup_method_agreement
+      -- disk-exhaustion trap, CLAUDE.md / ADVICE r9)
       SELECT DISTINCT LEAST(vec_id, neighbor_id) AS u,
                       GREATEST(vec_id, neighbor_id) AS v
       FROM ({_KNN_ORACLE})
     ),
-    adj AS (SELECT u AS node, v AS nbr FROM e
+    adj AS MATERIALIZED (
+            SELECT u AS node, v AS nbr FROM e
             UNION ALL SELECT v, u FROM e),
-    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    deg AS MATERIALIZED (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
     p AS (
       SELECT du.d AS x, dv.d AS y
       FROM adj a JOIN deg du ON du.node = a.node

@@ -806,11 +806,16 @@ def tucker_hosvd_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tensor_mode_skew_profile",
     oracle=f"""
     WITH {_CELLS_SQL},
+    cm AS MATERIALIZED (
+      -- MATERIALIZED: the three-mode UNION references the cell table three
+      -- times; inlined, DuckDB re-runs the dense_rank index pipeline per
+      -- branch (~3x oracle cost — the CTE-inlining trap, ADVICE r9)
+      SELECT i, j, k FROM cells WHERE vm <> 0),
     s AS (
       SELECT mode, idx, CAST(COUNT(*) AS BIGINT) AS nnz FROM (
-        SELECT 'i' AS mode, i AS idx FROM cells WHERE vm <> 0
-        UNION ALL SELECT 'j', j FROM cells WHERE vm <> 0
-        UNION ALL SELECT 'k', k FROM cells WHERE vm <> 0)
+        SELECT 'i' AS mode, i AS idx FROM cm
+        UNION ALL SELECT 'j', j FROM cm
+        UNION ALL SELECT 'k', k FROM cm)
       GROUP BY 1, 2),
     h AS (SELECT mode, nnz, CAST(COUNT(*) AS BIGINT) AS cnt
           FROM s GROUP BY 1, 2),

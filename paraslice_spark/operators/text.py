@@ -23,6 +23,7 @@ from paraslice_spark.functions.canon import (
     split_label,
 )
 from paraslice_spark.registry import query
+from paraslice_spark.session import vocab_broadcast
 from paraslice_spark.sources.io import load_tables
 
 #: marker token sets for the language-ID heuristic (vocabulary is identical
@@ -174,15 +175,18 @@ def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6: tf-idf with the deterministic formula tf * ln((N+1)/(df+1)).
 
-    Relational on purpose (not ml.IDF): two aggs + a broadcast join keeps
-    the SQL twin and scales as shuffle-by-term + shuffle-by-doc."""
+    Relational on purpose (not ml.IDF): two aggs + a join keeps the SQL
+    twin and scales as shuffle-by-term + shuffle-by-doc.  The df table is
+    vocabulary-sized (corpus-growing), so its broadcast is gated
+    (session.vocab_broadcast, VERDICT r9) — plain equi-join by default,
+    AQE promotes to broadcast-hash when it fits."""
     d = load_tables(spark, sf_dir)["documents"]
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(vocab_broadcast(df), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -568,10 +572,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus unigram distribution (one agg), score every doc by its mean
     token log-prob (join + agg).  Per-word log-probs are quantized to
     int64 micro-units BEFORE the cross-row sum so group totals are exact
-    and order-independent on both engines (house float rule, canon.py);
-    the per-word vocabulary table broadcasts back against the token
-    stream.  At 100 TB: two shuffles (vocab agg, doc agg) + one broadcast
-    — the token stream is never shuffled twice."""
+    and order-independent on both engines (house float rule, canon.py).
+    The per-word logprob table is vocabulary-sized, so joining it back
+    against the token stream goes through the gated vocab_broadcast
+    (VERDICT r9): shuffle-by-word by default (AQE promotes when it fits),
+    forced broadcast only under PARASLICE_BROADCAST_VOCAB — at 100 TB a
+    forced tens-of-GB vocabulary broadcast is an executor OOM, and the
+    extra word shuffle is the safe spine."""
     d = load_tables(spark, sf_dir)["documents"]
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
@@ -583,7 +590,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("logp_micro"),
     )
     return (
-        w.join(F.broadcast(lp), "word")
+        w.join(vocab_broadcast(lp), "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -931,8 +938,9 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     is QUANTIZED TO INT64 MICRO-UNITS at birth (round(ln(r)·1e6)) so a
     last-ulp libm divergence cannot reorder the top-k, whose tiebreak is
     (pmi, w1, w2).  Counts exact; the n_ab ≥ 5 noise floor is an integer
-    cut.  Plan: one unigram agg + one bigram agg + two broadcast joins
-    of the vocabulary-sized count tables; TakeOrdered for the top-20."""
+    cut.  Plan: one unigram agg + one bigram agg + two equi-joins of the
+    vocabulary-sized count tables (gated vocab_broadcast, VERDICT r9 —
+    AQE promotes when they fit); TakeOrdered for the top-20."""
     d = load_tables(spark, sf_dir)["documents"]
     words = F.split("text", " ")
     n = F.size(words)
@@ -960,8 +968,8 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     pmi = F.round(F.log(ratio) * 1_000_000).cast("long").cast("double") / 1_000_000.0
     return (
         bn.where(F.col("n_ab") >= 5)
-        .join(F.broadcast(ua), "w1")
-        .join(F.broadcast(ub), "w2")
+        .join(vocab_broadcast(ua), "w1")
+        .join(vocab_broadcast(ub), "w2")
         .crossJoin(F.broadcast(uw))
         .crossJoin(F.broadcast(bt))
         .select("w1", "w2", "n_ab", pmi.alias("pmi"))
@@ -1803,10 +1811,11 @@ def text_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the canon.py rule: floats may be DISPLAYED, never COMPARED).  The
     tfidf score is display-only, rounded once.
 
-    Scale shape: tf shuffles by (doc, term), df by term and BROADCASTS
-    back (vocabulary-bounded), and the top-3 window is PARTITIONED BY
-    doc — Spark plans it as WindowGroupLimit, pruning to 3 rows per doc
-    before the window sort's shuffle."""
+    Scale shape: tf shuffles by (doc, term), df by term and joins back
+    through the gated vocab_broadcast (the df table is vocabulary-sized,
+    VERDICT r9), and the top-3 window is PARTITIONED BY doc — Spark
+    plans it as WindowGroupLimit, pruning to 3 rows per doc before the
+    window sort's shuffle."""
     d = load_tables(spark, sf_dir)["documents"]
     words = d.select("doc_id", F.explode(doc_words()).alias("term"))
     # tf feeds both the ranking branch and df — and df IS tf's row count
@@ -1824,7 +1833,7 @@ def text_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("tf"), "df", "term"
     )
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(vocab_broadcast(df), "term")
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
         .crossJoin(F.broadcast(n))
@@ -2066,7 +2075,8 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE tokenization pass to the distinct (doc, word)
     frame, a vocabulary-bounded MIN agg, then the word→first_doc dim
-    BROADCASTS back onto the same frame (the tfidf df rule) and
+    joins back onto the same frame through the gated vocab_broadcast
+    (the tfidf df rule, VERDICT r9: the dim grows with the corpus) and
     everything collapses into a ≤10-row map-combined rollup; nothing
     is ordered, nothing funnels through one task.  At 100 TB the
     vocabulary saturates (Heaps' law) while the frame stays O(corpus
@@ -2087,7 +2097,7 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = w.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
     bucket = F.expr("(doc_id - mn) * 10 div (mx - mn + 1)").alias("bucket")
     g = (
-        w.join(F.broadcast(first), "word")
+        w.join(vocab_broadcast(first), "word")
         .crossJoin(F.broadcast(bounds))
         .groupBy(bucket)
         .agg(

@@ -113,6 +113,31 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def vocab_broadcast(df):
+    """Optional broadcast hint for CORPUS-GROWING side tables.
+
+    The engine broadcasts two very different kinds of side table.  1-row /
+    fixed-cardinality aggregates (corpus totals, decile bounds) are always
+    safe and stay unconditionally ``F.broadcast``-hinted at their call
+    sites.  Vocabulary- and catalog-sized tables (per-term document
+    frequency, unigram counts, per-part item counts) GROW with the corpus:
+    at 100 TB a term dictionary is tens of GB, and a forced ``F.broadcast``
+    overrides Spark's size check so AQE can never demote it — executor OOM
+    (VERDICT r9).  Those sites route through this gate instead: default is
+    a plain equi-join (AQE still picks broadcast-hash at runtime whenever
+    the built side is under ``spark.sql.autoBroadcastJoinThreshold``, so
+    fixture-scale plans lose nothing); set ``PARASLICE_BROADCAST_VOCAB=1``
+    to force the hint on deployments whose vocabulary provably fits.
+    Hash-invariance of every gated query under both settings is proven by
+    tests/test_cluster_conf_invariance.py::test_vocab_broadcast_invariant.
+    """
+    if os.environ.get("PARASLICE_BROADCAST_VOCAB", "").lower() in ("1", "true"):
+        from pyspark.sql import functions as F
+
+        return F.broadcast(df)
+    return df
+
+
 def get_session(
     app_name: str = "paraslice_spark",
     cpus: int | None = None,

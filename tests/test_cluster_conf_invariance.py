@@ -56,7 +56,7 @@ _REPRESENTATIVES = (
     "events_theil_sen_trend",        # pair join + histogram selection
     "events_attribution_last_touch", # as-of carry window + pushed IN filter
     "graph_degree_assortativity",    # memoized kNN + broadcast degree dim
-    "text_novelty_curve",            # checkpointed explode + broadcast dim
+    "text_novelty_curve",            # checkpointed explode + gated vocab dim
     "tensor_mode_skew_profile",      # cached coords + mode stack + hist sel
     "tensor_unfold_gram_type",       # reused-exchange self-join gram
 )
@@ -129,3 +129,28 @@ def test_results_invariant_under_cluster_confs(spark, name):
             # rebuild under the session's normal confs
             _clear_memo_caches()
     assert clustered == base, f"{name}: results changed under cluster confs"
+
+
+#: queries whose corpus-growing side tables route through the gated
+#: session.vocab_broadcast (VERDICT r9: a forced F.broadcast of a
+#: vocabulary/catalog-sized table overrides Spark's size check, so AQE
+#: can never demote it at 100 TB — executor OOM).  Default is a plain
+#: equi-join; PARASLICE_BROADCAST_VOCAB=1 restores the hint.  This test
+#: is the hash-invariance proof the gate's docstring promises.
+_VOCAB_GATED = (
+    "text_tfidf",              # per-term document-frequency dim
+    "text_unigram_logprob",    # per-word logprob dim
+    "text_collocations_pmi",   # both unigram count dims
+    "text_doc_keywords",       # the tfidf df dim
+    "text_novelty_curve",      # word→first_doc dim
+    "market_basket_pairs",     # per-part item-count dims (SF-linear)
+)
+
+
+@pytest.mark.parametrize("name", _VOCAB_GATED)
+def test_vocab_broadcast_invariant(spark, name, monkeypatch):
+    monkeypatch.delenv("PARASLICE_BROADCAST_VOCAB", raising=False)
+    plain = canonical_rows(QUERIES[name](spark, SF_SMALL).toPandas())
+    monkeypatch.setenv("PARASLICE_BROADCAST_VOCAB", "1")
+    forced = canonical_rows(QUERIES[name](spark, SF_SMALL).toPandas())
+    assert forced == plain, f"{name}: results depend on the vocab-broadcast gate"

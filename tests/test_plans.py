@@ -859,15 +859,24 @@ def test_assortativity_rides_knn_memo_broadcast_degrees(spark):
     assert "SortMergeJoin" not in p and "Window [" not in p, p
 
 
-def test_novelty_curve_broadcasts_first_dim(spark):
+def test_novelty_curve_gated_vocab_dim(spark, monkeypatch):
     """text_novelty_curve claims the tfidf-df shape: one tokenization
     pass materialized (the word frame re-read as ExistingRDD, not
-    re-exploded), the word→first_doc dim broadcast back, and no
-    windows or sorts anywhere."""
+    re-exploded) and no windows or sorts anywhere.  The word→first_doc
+    dim is corpus-growing, so its broadcast is GATED (vocab_broadcast,
+    VERDICT r9): by default the plan must carry no unconditional hint on
+    it (only the 1-row bounds broadcast remains); under
+    PARASLICE_BROADCAST_VOCAB=1 the hinted broadcast-hash join returns."""
+    monkeypatch.delenv("PARASLICE_BROADCAST_VOCAB", raising=False)
     p = plan(QUERIES["text_novelty_curve"](spark, SF_SMALL))
     assert "Scan ExistingRDD" in p, p
-    assert "BroadcastExchange" in p and "SortMergeJoin" not in p, p
     assert "Window [" not in p and "row_number" not in p, p
+    monkeypatch.setenv("PARASLICE_BROADCAST_VOCAB", "1")
+    forced = plan(QUERIES["text_novelty_curve"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in forced, forced
+    assert forced.count("BroadcastExchange") >= p.count("BroadcastExchange"), (
+        p, forced,
+    )
 
 
 def test_tensor_skew_windows_on_nnz_histogram(spark):

@@ -10,7 +10,18 @@ the joint distribution (who bought what when, which text sits at which
 doc_id, which user fires which event) is destroyed, so any query or
 oracle that silently leans on a fixture ASSOCIATION — rather than the
 documented schema/domain contract — mismatches here while still
-passing the golden suite.  Run:
+passing the golden suite.
+
+RELAXED PK (deliberate, ADVICE r9): lineitem.l_orderkey is an FK and is
+re-drawn per ROW while l_linenumber stays in place, so the regenerated
+corpus may contain duplicate (l_orderkey, l_linenumber) pairs — the
+composite lineitem PK is NOT preserved.  That is in scope for this
+sweep: no declared query or oracle relies on that composite key (they
+aggregate, join on single keys, or dedup explicitly), and keeping the
+re-draw per-row maximizes association destruction.  If a future query
+needs the composite PK, regenerate per order-GROUP instead — a mismatch
+under this sweep alone would be a fixture-generation artifact, not
+association leakage.  Run:
 
     PARASLICE_REGEN_CORPUS=1 python -m pytest tests/test_regen_corpus.py -q
 """
