@@ -3507,3 +3507,202 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# ---- incremental index-maintenance audit (r10) -------------------------
+
+_QA_DIMS = 8  # leading embedding dims the scalar sign-quantizer thresholds
+_QA_OFF = 16_000_000  # micro-unit offset keeping floor-div operands >= 0
+#: domain bound the offset encodes: |x| <= 16.0 per component (fixture max
+#: |x| ~ 0.53; anything unit-ish is orders of magnitude inside the bound)
+
+
+def _qa_oracle() -> str:
+    d_rng = range(_QA_DIMS)
+    sb = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN vec_id <= cutoff THEN mv[{d + 1}] END)"
+        f" AS BIGINT) AS sb{d}"
+        for d in d_rng
+    )
+    sfull = ",\n             ".join(
+        f"CAST(SUM(mv[{d + 1}]) AS BIGINT) AS sf{d}" for d in d_rng
+    )
+    cell_b = " + ".join(
+        f"(CASE WHEN mv[{d + 1}] * n_b > sb{d} THEN {1 << d} ELSE 0 END)"
+        for d in d_rng
+    )
+    cell_f = " + ".join(
+        f"(CASE WHEN mv[{d + 1}] * n_f > sf{d} THEN {1 << d} ELSE 0 END)"
+        for d in d_rng
+    )
+    shift = ", ".join(
+        f"abs((sf{d} + n_f * {_QA_OFF}) // n_f"
+        f" - (sb{d} + n_b * {_QA_OFF}) // n_b)"
+        for d in d_rng
+    )
+    return f"""
+    WITH m AS (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(round(x*1000000) AS BIGINT)) AS mv
+      FROM embeddings),
+    cut AS (SELECT CAST(MAX(vec_id) * 4 // 5 AS BIGINT) AS cutoff FROM m),
+    st AS MATERIALIZED (
+      SELECT CAST(COUNT(CASE WHEN vec_id <= cutoff THEN 1 END) AS BIGINT)
+               AS n_b,
+             CAST(COUNT(*) AS BIGINT) AS n_f,
+             {sb},
+             {sfull}
+      FROM m, cut),
+    cells AS (
+      SELECT vec_id <= cutoff AS is_base,
+             {cell_b} AS cell_b,
+             {cell_f} AS cell_f
+      FROM m, cut, st),
+    occ AS (
+      SELECT cell_b,
+             COUNT(CASE WHEN is_base THEN 1 END) AS nb,
+             COUNT(CASE WHEN NOT is_base THEN 1 END) AS ni,
+             COUNT(CASE WHEN is_base AND cell_b <> cell_f THEN 1 END)
+               AS moved
+      FROM cells GROUP BY 1),
+    o AS (
+      SELECT COUNT(CASE WHEN nb > 0 THEN 1 END) AS cells_base,
+             CAST(COUNT(*) AS BIGINT) AS cells_after,
+             COUNT(CASE WHEN nb = 0 THEN 1 END) AS cells_created,
+             CAST(SUM(CASE WHEN nb > 0 THEN ni ELSE 0 END) AS BIGINT)
+               AS inc_into_existing,
+             CAST(SUM(moved) AS BIGINT) AS n_base_moved
+      FROM occ)
+    SELECT n_b AS n_base, n_f - n_b AS n_inc, n_base_moved,
+           n_base_moved * 1000000 // n_b AS moved_ppm,
+           greatest({shift}) AS max_mean_shift_micro,
+           cells_base, cells_after, cells_created, inc_into_existing
+    FROM st, o
+    """
+
+
+@query("similarity_quantizer_append_audit", oracle=_qa_oracle())
+def similarity_quantizer_append_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL ANN INDEX APPEND AUDIT (VERDICT r9 next-round #4) —
+    dedup_incremental_audit's append-stability pattern applied to the
+    SIMILARITY path: replay the last ~20% of vec_ids as an append batch
+    against an index built on the first 80% and answer the two questions
+    an ANN-index operator asks before a retrain window: (a) where do the
+    appended vectors LAND (occupancy drift — new cells opened, appends
+    absorbed by existing cells), and (b) what would RETRAINING the
+    quantizer on base+append change (assignment drift — how many base
+    vectors would move cells, and how far the per-dimension means shift).
+
+    The quantizer under audit is a DATA-DEPENDENT scalar sign quantizer:
+    cell = Σ_d [m_d · n > s_d] · 2^d over the 8 leading dims, where
+    (s_d, n) are the indexed corpus's per-dim micro-unit sums — i.e.
+    each bit thresholds a dimension at the corpus MEAN, the 1-bit
+    scalar-quantization cell rule.  Unlike the k-means IVF cells
+    (similarity_ivf_ann, rows-only — float Lloyd iterations are
+    model-internal), this quantizer's entire state is two integers per
+    dim, so cells under BASE parameters and RETRAINED parameters are
+    both exactly SQL-expressible and the whole audit HASH-ORACLES —
+    the tensor_unfold_gram_type resolution applied to ANN maintenance.
+
+    EXACT INTEGERS throughout: micro-unit quantization at birth (the
+    signlsh bound: |m| ≤ 16e6 by the documented |x| ≤ 16 domain, so
+    m·n and Σm stay < 2^63 to n = 5.7e13 vectors); the bit test
+    m_d·n > s_d multiplies instead of dividing; mean shift uses the
+    offset-floor-div identity (s + n·OFF) div n = OFF + floor(s/n) so
+    both engines floor on provably non-negative operands (the DuckDB
+    `//` vs Spark `div` negative-operand trap, CLAUDE.md).
+
+    Measured signal (sf0.001/0.01/0.1): moved_ppm 102500/82500/22500 —
+    a 20% append moves 2-10% of base assignments under retrain, the
+    drift that decides retrain cadence; cells_created 15/16/0 (all 256
+    cells occupied by sf0.1 — a true saturation statement);
+    inc_into_existing = every append at sf0.1.  Non-vacuous at every SF.
+
+    Scale shape: quantizer state is ONE map-combined agg (2 + 2·8
+    int64s) broadcast back as a 1-row frame; cell assignment is pure
+    codegen (8 compare-and-add terms — deliberately NOT the 32-plane
+    matmul shape, no Python in the path); the audit rolls up through a
+    ≤256-key map-combined groupBy then a 1-row rollup.  The corpus is
+    scanned twice (stats, cells) with no window, no join wider than a
+    1-row broadcast, nothing ordered — at 100 TB this is two columnar
+    passes over 8 of 64 dims."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    mv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+    )
+    base = e.select("vec_id", mv.alias("mv"))
+    cut = base.agg(
+        F.expr("CAST(max(vec_id) * 4 div 5 AS BIGINT)").alias("cutoff")
+    )
+    b = base.crossJoin(F.broadcast(cut))
+    is_base = F.col("vec_id") <= F.col("cutoff")
+    stat_aggs = [
+        F.count(F.when(is_base, F.lit(1))).alias("n_b"),
+        F.count(F.lit(1)).alias("n_f"),
+    ]
+    for d in range(_QA_DIMS):
+        m_d = F.col("mv")[d]
+        stat_aggs.append(F.sum(F.when(is_base, m_d)).alias(f"sb{d}"))
+        stat_aggs.append(F.sum(m_d).alias(f"sf{d}"))
+    st = b.agg(*stat_aggs)
+
+    def cell(n_col: str, s_prefix: str):
+        bits = [
+            F.when(
+                F.col("mv")[d] * F.col(n_col) > F.col(f"{s_prefix}{d}"),
+                F.lit(1 << d),
+            ).otherwise(F.lit(0))
+            for d in range(_QA_DIMS)
+        ]
+        out = bits[0]
+        for x in bits[1:]:
+            out = out + x
+        return out.cast("long")
+
+    cells = b.crossJoin(F.broadcast(st)).select(
+        is_base.alias("is_base"),
+        cell("n_b", "sb").alias("cell_b"),
+        cell("n_f", "sf").alias("cell_f"),
+    )
+    occ = cells.groupBy("cell_b").agg(
+        F.count(F.when(F.col("is_base"), F.lit(1))).alias("nb"),
+        F.count(F.when(~F.col("is_base"), F.lit(1))).alias("ni"),
+        F.count(
+            F.when(
+                F.col("is_base") & (F.col("cell_b") != F.col("cell_f")),
+                F.lit(1),
+            )
+        ).alias("moved"),
+    )
+    o = occ.agg(
+        F.count(F.when(F.col("nb") > 0, F.lit(1))).alias("cells_base"),
+        F.count(F.lit(1)).alias("cells_after"),
+        F.count(F.when(F.col("nb") == 0, F.lit(1))).alias("cells_created"),
+        F.sum(F.when(F.col("nb") > 0, F.col("ni")).otherwise(F.lit(0))).alias(
+            "inc_into_existing"
+        ),
+        F.sum("moved").alias("n_base_moved"),
+    )
+    shift = F.greatest(
+        *[
+            F.abs(
+                F.expr(f"(sf{d} + n_f * {_QA_OFF}L) div n_f")
+                - F.expr(f"(sb{d} + n_b * {_QA_OFF}L) div n_b")
+            )
+            for d in range(_QA_DIMS)
+        ]
+    )
+    return st.crossJoin(F.broadcast(o)).select(
+        F.col("n_b").alias("n_base"),
+        (F.col("n_f") - F.col("n_b")).alias("n_inc"),
+        "n_base_moved",
+        F.expr("n_base_moved * 1000000 div n_b").alias("moved_ppm"),
+        shift.alias("max_mean_shift_micro"),
+        "cells_base",
+        "cells_after",
+        "cells_created",
+        "inc_into_existing",
+    )

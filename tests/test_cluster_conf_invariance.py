@@ -59,6 +59,8 @@ _REPRESENTATIVES = (
     "text_novelty_curve",            # checkpointed explode + gated vocab dim
     "tensor_mode_skew_profile",      # cached coords + mode stack + hist sel
     "tensor_unfold_gram_type",       # reused-exchange self-join gram
+    # r10 shapes:
+    "similarity_quantizer_append_audit",  # 1-row stats broadcast + 256-key rollup
 )
 
 

@@ -920,3 +920,16 @@ def test_eqdepth_histogram_rides_memo_windows_on_values(spark):
     wins = [ln for ln in p.splitlines() if "Window [" in ln]
     assert len(wins) == 1 and "col#" in wins[0], p
     assert "BroadcastExchange" in p, p
+
+
+def test_quantizer_append_audit_pure_codegen_rollup(spark):
+    """similarity_quantizer_append_audit claims the two-columnar-pass
+    shape: no window anywhere, no sort-merge join (everything joins
+    through 1-row broadcasts), and — deliberately — NO Python in the
+    path (the 8 bit tests are codegen compare-and-add, not the signlsh
+    matmul UDF)."""
+    p = plan(QUERIES["similarity_quantizer_append_audit"](spark, SF_SMALL))
+    assert "Window [" not in p and "row_number" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "EvalPython" not in p, p  # Batch- and Arrow- both
+    assert p.count("BroadcastExchange") >= 3, p

@@ -1,0 +1,55 @@
+"""Fixture-independent fuzz of the round-10 ORACLES on seeded random
+tables (the test_r9_oracle_fuzz discipline): each registered DuckDB
+oracle is re-derived from scratch in pure Python on random inputs, so
+the SQL formulas survive a future testdata regeneration.
+
+Embedding components are generated as integer micros / 1e6 so the
+micro-unit quantization is representation-exact (the r9b money-cents
+discipline applied to vectors) and base/increment segments draw from
+SHIFTED distributions so the retrain-drift signal is exercised, not
+just the near-zero-drift regime the fixture provides."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+import paraslice_spark.operators  # noqa: F401
+from paraslice_spark.registry import ORACLES
+from tests.test_r10_features import qa_python
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_quantizer_append_audit_oracle_on_random_tables(seed):
+    rng = random.Random(10_000 + seed)
+    n = rng.randrange(30, 300)
+    dim = rng.choice((8, 12, 64))
+    # per-dim base mean + a per-dim increment shift (exercises moved bits)
+    mu = [rng.randrange(-400_000, 400_000) for _ in range(dim)]
+    dshift = [rng.randrange(-300_000, 300_000) for _ in range(dim)]
+    cutoff_domain = rng.randrange(2, 40)  # sparse/dense id regimes
+    vecs = []
+    vid = 0
+    for _ in range(n):
+        vid += rng.randrange(1, cutoff_domain)
+        is_inc = False  # decided by the engines' own cutoff rule below
+        vecs.append((vid, None, is_inc))
+    max_id = vecs[-1][0]
+    cut = max_id * 4 // 5
+    final = []
+    for vid, _, _ in vecs:
+        shift = dshift if vid > cut else [0] * dim
+        emb = [
+            (mu[d] + shift[d] + rng.randrange(-500_000, 500_000)) / 1e6
+            for d in range(dim)
+        ]
+        final.append((vid, emb))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", final)
+    got = con.execute(
+        ORACLES["similarity_quantizer_append_audit"]
+    ).fetchall()
+    assert got == [qa_python(final)], seed
