@@ -3175,6 +3175,199 @@ def events_watermark_delay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SESSION-WINDOW × WATERMARK audit parameters.  A DISTINCT lens from the
+#: 30-min SESSION_GAP_NS sessionize rule: at the fixture's per-user cadence
+#: (median inter-event gap ≈ 7.4 h at every SF — users scale with SF, so
+#: the per-user gap distribution is SF-invariant) a 30-min gap yields ~95%
+#: singleton sessions and the split/merge signal is structurally vacuous
+#: (measured; the dedup_embedding_cosine discipline).  12-hour episodes
+#: chain 3 events on average, so dropped late rows really do split them.
+EPISODE_GAP_NS = 43_200_000_000_000  # 12 h inactivity closes an episode
+EP_WM_DELAY_NS = 7_200_000_000_000  # 2 h withWatermark delay under audit
+EP_MAX_DELAY_S = 86_400  # bounded ingestion delay: md5 % 86400 s (0..24 h)
+
+
+@query(
+    "events_session_watermark_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+             epoch_ns(ts)
+               + ({md5_u32_sql('event_id')} % {EP_MAX_DELAY_S}) * 1000000000
+               AS arr
+      FROM events),
+    wm AS (
+      SELECT event_id, user_id, ts_ns,
+             MAX(ts_ns) OVER (ORDER BY arr, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prefix_max
+      FROM e),
+    k AS MATERIALIZED (
+      -- referenced by two window passes in f; inlined, DuckDB re-runs the
+      -- global prefix window per reference (house CTE-inlining trap)
+      SELECT user_id, event_id, ts_ns,
+             CASE WHEN prefix_max - {EP_WM_DELAY_NS}
+                       >= ts_ns + {EPISODE_GAP_NS}
+                  THEN 0 ELSE 1 END AS kept
+      FROM wm),
+    f AS (
+      SELECT user_id, ts_ns, event_id, kept,
+             CASE WHEN lag(ts_ns) OVER w IS NULL
+                    OR ts_ns - lag(ts_ns) OVER w > {EPISODE_GAP_NS}
+                  THEN 1 ELSE 0 END AS new_true,
+             MAX(CASE WHEN kept = 1 THEN ts_ns END) OVER
+                 (PARTITION BY user_id ORDER BY ts_ns, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_kept
+      FROM k
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+    g AS (
+      SELECT user_id, kept,
+             CAST(SUM(new_true) OVER (PARTITION BY user_id
+                                      ORDER BY ts_ns, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS true_idx,
+             CASE WHEN kept = 1 AND (prev_kept IS NULL
+                                     OR ts_ns - prev_kept > {EPISODE_GAP_NS})
+                  THEN 1 ELSE 0 END AS new_surv
+      FROM f),
+    p AS (
+      SELECT user_id, true_idx, COUNT(*) AS n,
+             COUNT(CASE WHEN kept = 1 THEN 1 END) AS n_kept,
+             CAST(SUM(new_surv) AS BIGINT) AS n_frag
+      FROM g GROUP BY 1, 2)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(n - n_kept) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions_true,
+           CAST(SUM(n_frag) AS BIGINT) AS n_sessions_surv,
+           COUNT(CASE WHEN n_kept = 0 THEN 1 END) AS n_sessions_lost,
+           CAST(SUM(CASE WHEN n_frag > 1 THEN n_frag - 1 ELSE 0 END)
+                AS BIGINT) AS n_extra_fragments
+    FROM p
+    """,
+)
+def events_session_watermark_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SESSION-WINDOW × WATERMARK INTERACTION AUDIT (VERDICT r9
+    next-round #4) — the streaming-semantics corner the tumbling-window
+    ST4 audits don't pin: what watermark-dropped late rows do to
+    GAP-BASED SESSIONS.  Dropping a row can (a) delete a singleton
+    episode outright, and (b) SPLIT a longer episode whose neighbors it
+    bridged — equivalently, each extra fragment is a session MERGE the
+    streaming job forgoes because the bridging row arrived too late.
+
+    The replay model is BOUNDED INGESTION DELAY, not the late-replay
+    twin's full md5 permutation: each event arrives at
+    ts + (md5_u32(event_id) % 86400) s — a deterministic 0..24 h
+    delivery lag.  Under full permutation the watermark races to
+    near-max immediately and >99 % of rows drop, every episode dies as
+    a unit, and the split/merge signal this audit exists for is
+    structurally zero (measured; the vacuity discipline) — bounded
+    disorder is the regime where sessions are WOUNDED rather than
+    killed.  Eviction is the conservative session-window rule: an
+    arriving row whose candidate window [ts, ts+gap) is already closed
+    by the watermark at its arrival (prefix_max − δ ≥ ts + gap) drops;
+    merge-rescue by a still-open overlapping session state is not
+    modeled (stated contract, pinned by the pure-Python streaming
+    replay in tests/test_r10_features.py).
+
+    Fragments nest inside true episodes (dropping rows only widens
+    survivor gaps), so per-(user, episode) fragment counts compose
+    exactly: n_sessions_surv = Σ n_frag and
+    n_extra_fragments = Σ (n_frag − 1)⁺ — the declared split count.
+    Measured (sf0.001/0.01/0.1): drops 187/3353/38569, episodes lost
+    23/454/5738, extra fragments 28/376/3811 — all six columns
+    non-vacuous at every SF.
+
+    Scale shape: the global prefix max rides the shared THREE-LEVEL
+    distributed prefix scan (:func:`_wm_prefix_frame`), bucketed by
+    15-min arrival slices (monotone pure function of the order key, the
+    stated contract); everything after is ONE user_id shuffle carrying
+    three stacked windows over the same sort, a map-combined
+    (user, episode) rollup, then a 1-row global agg.  Nothing funnels
+    through one task except the ≤(span/15 min/64)-row L2 summary."""
+    ev = load_tables(spark, sf_dir)["events"]
+    arr = (
+        F.col("ts_ns")
+        + (md5_u32("event_id") % EP_MAX_DELAY_S) * F.lit(1_000_000_000)
+    )
+    e = ev.select("event_id", "user_id", "ts_ns").select(
+        "*", arr.alias("arr")
+    )
+    # 15-min arrival slices: b1 pure + monotone in arr (the
+    # _wm_prefix_frame contract); b2 groups 64 slices
+    e = e.select(
+        "*",
+        F.expr("arr div 900000000000").alias("b1"),
+        F.expr("arr div 900000000000 div 64").alias("b2"),
+    )
+    wm = _wm_prefix_frame(e, ["arr", "event_id"])
+    kept = (
+        F.when(
+            F.col("prefix_max") - EP_WM_DELAY_NS
+            >= F.col("ts_ns") + EPISODE_GAP_NS,
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("kept")
+    )
+    k = wm.select("user_id", "event_id", "ts_ns", kept)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    gap_prev = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    new_true = (
+        F.when(
+            F.lag("ts_ns").over(w).isNull()
+            | (gap_prev > EPISODE_GAP_NS),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_true")
+    )
+    prev_kept = F.max(
+        F.when(F.col("kept") == 1, F.col("ts_ns"))
+    ).over(w_prev)
+    f = k.select("user_id", "ts_ns", "event_id", "kept", new_true,
+                 prev_kept.alias("prev_kept"))
+    new_surv = F.when(
+        (F.col("kept") == 1)
+        & (
+            F.col("prev_kept").isNull()
+            | (F.col("ts_ns") - F.col("prev_kept") > EPISODE_GAP_NS)
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    g = f.select(
+        "user_id",
+        "kept",
+        F.sum("new_true")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("true_idx"),
+        new_surv.alias("new_surv"),
+    )
+    p = g.groupBy("user_id", "true_idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("kept") == 1, F.lit(1))).alias("n_kept"),
+        F.sum("new_surv").alias("n_frag"),
+    )
+    return p.agg(
+        F.sum("n").alias("n_events"),
+        F.sum(F.col("n") - F.col("n_kept")).alias("n_dropped"),
+        F.count(F.lit(1)).alias("n_sessions_true"),
+        F.sum("n_frag").alias("n_sessions_surv"),
+        F.count(F.when(F.col("n_kept") == 0, F.lit(1))).alias(
+            "n_sessions_lost"
+        ),
+        F.sum(
+            F.when(F.col("n_frag") > 1, F.col("n_frag") - 1).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_extra_fragments"),
+    )
+
+
 def _count_series_sql(ns_per_bucket: int) -> str:
     """Single-source SQL twin of :func:`count_series` (shared by
     events_autocorr_minutes at minute grain and events_runs_test at hour

@@ -61,6 +61,7 @@ _REPRESENTATIVES = (
     "tensor_unfold_gram_type",       # reused-exchange self-join gram
     # r10 shapes:
     "similarity_quantizer_append_audit",  # 1-row stats broadcast + 256-key rollup
+    "events_session_watermark_audit",     # time-bucket prefix scan + user windows
 )
 
 

@@ -933,3 +933,23 @@ def test_quantizer_append_audit_pure_codegen_rollup(spark):
     assert "SortMergeJoin" not in p, p
     assert "EvalPython" not in p, p  # Batch- and Arrow- both
     assert p.count("BroadcastExchange") >= 3, p
+
+
+def test_session_watermark_audit_plan_shape(spark):
+    """events_session_watermark_audit claims the prefix-scan + one-user-
+    shuffle shape: the only unpartitioned window runs on the L2 bucket
+    summary (m2), the bucket offsets broadcast back (no sort-merge
+    join anywhere), and the sessionize windows ride EXACTLY ONE
+    user_id exchange."""
+    import re
+
+    p = plan(QUERIES["events_session_watermark_audit"](spark, SF_SMALL))
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert len(wins) == 5, p
+    unpart = [
+        ln for ln in wins
+        if not re.search(r"\], \[(b[12]|user_id)#\d+L?\], \[", ln)
+    ]
+    assert len(unpart) == 1 and "m2" in unpart[0], p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("hashpartitioning(user_id") == 1, p

@@ -114,3 +114,99 @@ def test_quantizer_append_audit_matches_python(spark):
     # cells / lands in existing ones AND would move base assignments on
     # retrain — the two signals the audit exists to report
     assert got[2] > 0 and got[8] > 0 and got[4] > 0
+
+
+# ---- events_session_watermark_audit ------------------------------------
+
+import hashlib
+
+from paraslice_spark.operators.reshape import (
+    EP_MAX_DELAY_S,
+    EP_WM_DELAY_NS,
+    EPISODE_GAP_NS,
+)
+
+
+def _md5u32(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+
+def session_wm_python(rows: list[tuple[int, int, int]]) -> tuple:
+    """From-scratch streaming replay of the session-watermark audit:
+    rows are (event_id, user_id, ts_ns).  Arrival = bounded ingestion
+    delay; watermark = running max event time among STRICTLY earlier
+    arrivals; drop iff wm - delta >= ts + gap; then sessionize the full
+    and surviving sets per user and compose the six declared metrics."""
+    order = sorted(
+        rows,
+        key=lambda r: (
+            r[2] + (_md5u32(r[0]) % EP_MAX_DELAY_S) * 1_000_000_000,
+            r[0],
+        ),
+    )
+    kept: dict[int, bool] = {}
+    mx = None
+    for eid, _uid, ts in order:
+        kept[eid] = not (
+            mx is not None and mx - EP_WM_DELAY_NS >= ts + EPISODE_GAP_NS
+        )
+        mx = ts if mx is None else max(mx, ts)
+    by_user: dict[int, list] = {}
+    for eid, uid, ts in rows:
+        by_user.setdefault(uid, []).append((ts, eid))
+    n_events, n_dropped = len(rows), sum(1 for v in kept.values() if not v)
+    n_true = n_surv = n_lost = n_extra = 0
+    for evs in by_user.values():
+        evs.sort()
+        sessions: list[list] = []
+        prev = None
+        for ts, eid in evs:
+            if prev is None or ts - prev > EPISODE_GAP_NS:
+                sessions.append([])
+            sessions[-1].append((ts, eid))
+            prev = ts
+        for s in sessions:
+            n_true += 1
+            ks = [(ts, eid) for ts, eid in s if kept[eid]]
+            if not ks:
+                n_lost += 1
+                continue
+            frags, pk = 1, ks[0][0]
+            for ts, _eid in ks[1:]:
+                if ts - pk > EPISODE_GAP_NS:
+                    frags += 1
+                pk = ts
+            n_surv += frags
+            n_extra += frags - 1
+    return (n_events, n_dropped, n_true, n_surv, n_lost, n_extra)
+
+
+def test_session_watermark_audit_matches_python_replay(spark):
+    rows = [
+        (eid, uid, ts)
+        for eid, uid, ts in _fetch(
+            f"SELECT event_id, user_id, epoch_ns(ts) "
+            f"FROM '{SF_SMALL}/events.parquet'"
+        )
+    ]
+    want = session_wm_python(rows)
+    r = QUERIES["events_session_watermark_audit"](spark, SF_SMALL).collect()
+    assert len(r) == 1
+    got = tuple(
+        r[0][c]
+        for c in (
+            "n_events",
+            "n_dropped",
+            "n_sessions_true",
+            "n_sessions_surv",
+            "n_sessions_lost",
+            "n_extra_fragments",
+        )
+    )
+    assert got == want
+    # non-vacuity (measured in the docstring): rows drop, whole episodes
+    # die, AND surviving episodes fragment — the split/merge signal the
+    # bounded-delay replay exists to surface (full permutation zeroes it)
+    assert got[1] > 0 and got[4] > 0 and got[5] > 0
+    # fragment nesting identity: surv = (true - lost) + extra
+    assert got[3] == got[2] - got[4] + got[5]

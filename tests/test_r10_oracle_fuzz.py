@@ -53,3 +53,46 @@ def test_quantizer_append_audit_oracle_on_random_tables(seed):
         ORACLES["similarity_quantizer_append_audit"]
     ).fetchall()
     assert got == [qa_python(final)], seed
+
+
+_EPOCH = __import__("datetime").datetime(1970, 1, 1)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_session_watermark_audit_oracle_on_random_tables(seed):
+    """Boundary menu: 0-step ts ties, EXACTLY the 12-h gap (same episode
+    under the strict-> rule), gap+1s (new episode), and cross-user ts
+    collisions — arrival ties broken by event_id in both derivations."""
+    import datetime
+
+    from tests.test_r10_features import session_wm_python
+
+    rng = random.Random(11_000 + seed)
+    base = datetime.datetime(2024, 3, 1)
+    t = {u: base for u in range(1, 7)}
+    rows = []
+    for eid in range(1, rng.randrange(40, 300)):
+        u = rng.randrange(1, 7)
+        step = rng.choice(
+            [0, 1, 3600, 43_199, 43_200, 43_201, 90_000, 200_000]
+        )
+        t[u] = t[u] + datetime.timedelta(seconds=step)
+        rows.append((eid, t[u], u))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?)", rows)
+    got = con.execute(ORACLES["events_session_watermark_audit"]).fetchall()
+    py = session_wm_python(
+        [
+            (
+                eid,
+                u,
+                int((ts - _EPOCH) // datetime.timedelta(microseconds=1))
+                * 1000,
+            )
+            for eid, ts, u in rows
+        ]
+    )
+    assert got == [py], seed
