@@ -1,0 +1,304 @@
+"""Fuzz-tail closure, part 2: one random-table rederivation per
+composed/statistical oracle FAMILY that still lacked one after the six
+named closures (test_r10_fuzz_tail) — sketch-error audits (KMV rep),
+robust anomaly (MAD rep), nonparametric sequence tests (runs-test rep),
+rank-selection reporting (ntile deciles rep), distribution fitting
+(Zipf rep), embedding quantization audits (int8 rep), spectral
+decomposition (Haar rep), and corpus ledger rollups (token-budget rep).
+Same discipline as every *_oracle_fuzz file."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import math
+import random
+
+import duckdb
+import pytest
+
+import paraslice_spark.operators  # noqa: F401
+from paraslice_spark.registry import ORACLES
+
+
+def _md5u32(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+
+def _rnd(x: float, p: int) -> float:
+    s = 10 ** p
+    return math.floor(abs(x) * s + 0.5) / s * (1 if x >= 0 else -1)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_kmv_distinct_error_oracle_on_random_tables(seed):
+    """Covers BOTH branches: types with < 64 distinct users (exact
+    fallback, vk NULL) and types with enough for the 64th-minimum
+    estimator."""
+    rng = random.Random(13_000 + seed)
+    rows = []
+    for eid in range(rng.randrange(200, 900)):
+        ty = rng.choice(["small", "big", "mid"])
+        dom = {"small": 30, "mid": 90, "big": 400}[ty]
+        rows.append((ty, rng.randrange(1, dom)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(event_type VARCHAR, user_id BIGINT)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    got = con.execute(ORACLES["agg_kmv_distinct_error"]).fetchall()
+    by_ty: dict[str, set] = {}
+    for ty, u in rows:
+        by_ty.setdefault(ty, set()).add(u)
+    want = []
+    for ty in sorted(by_ty):
+        us = by_ty[ty]
+        n = len(us)
+        hs = sorted(_md5u32(u) for u in us)
+        if n < 64:
+            want.append((ty, n, n, 0))
+        else:
+            est = (64 - 1) * 4294967296 // hs[63]
+            want.append((ty, n, est, est - n))
+    assert got == want, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_anomaly_mad_oracle_on_random_tables(seed):
+    rng = random.Random(13_100 + seed)
+    rows = []
+    for _ in range(rng.randrange(30, 300)):
+        ty = rng.choice(["a", "b", "c"])
+        # small micro-exact domain forces ties and even/odd medians
+        rows.append((ty, rng.randrange(0, 40) / 2.0))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(event_type VARCHAR, value DOUBLE)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    got = con.execute(ORACLES["events_anomaly_mad"]).fetchall()
+    by_ty: dict[str, list[int]] = {}
+    for ty, v in rows:
+        by_ty.setdefault(ty, []).append(round(v * 1e6))
+    want = []
+    for ty in sorted(by_ty):
+        mv = sorted(by_ty[ty])
+        n = len(mv)
+        med2 = mv[(n - 1) // 2] + mv[n // 2]
+        dev = sorted(abs(2 * x - med2) for x in mv)
+        mad2 = dev[(n - 1) // 2] + dev[n // 2]
+        n_out = sum(1 for d in dev if 2 * d > 3 * mad2)
+        want.append((ty, n, med2 / 2e6, mad2 / 4e6, n_out))
+    assert got == want, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_runs_test_oracle_on_random_tables(seed):
+    rng = random.Random(13_200 + seed)
+    base = datetime.datetime(2024, 6, 1)
+    rows, eid = [], 0
+    for h in range(rng.randrange(40, 120)):
+        # ~1/8 empty hours exercise the zero-filled spine
+        c = 0 if rng.random() < 0.125 else rng.choice([1, 1, 2, 2, 3, 5, 8])
+        for _ in range(c):
+            eid += 1
+            rows.append(
+                (eid, base + datetime.timedelta(hours=h, minutes=rng.randrange(60)))
+            )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(event_id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    got = con.execute(ORACLES["events_runs_test"]).fetchall()
+    cnt: dict[int, int] = {}
+    for _eid, ts in rows:
+        m = int((ts - datetime.datetime(1970, 1, 1)).total_seconds()) // 3600
+        cnt[m] = cnt.get(m, 0) + 1
+    lo, hi = min(cnt), max(cnt)
+    series = [cnt.get(m, 0) for m in range(lo, hi + 1)]
+    xs = sorted(series)
+    nn = len(xs)
+    # value median: smallest v with cum >= (n+1)//2 over the value hist
+    target = (nn + 1) // 2
+    cum = 0
+    med = None
+    for v in xs:
+        cum += 1
+        if cum >= target:
+            med = v
+            break
+    sgns = [1 if x > med else 0 for x in series if x != med]
+    n1, n2 = sum(sgns), len(sgns) - sum(sgns)
+    assert n1 > 0 and n2 > 0, "degenerate draw — retune seed base"
+    runs = 1 + sum(1 for a, b in zip(sgns, sgns[1:]) if a != b)
+    e = 2.0 * n1 * n2 / (n1 + n2)
+    z = _rnd((runs - (e + 1.0)) / math.sqrt(e * (e - 1.0) / (n1 + n2 - 1)), 6)
+    assert got == [(med, n1, n2, runs, z)], seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_revenue_deciles_oracle_on_random_tables(seed):
+    rng = random.Random(13_300 + seed)
+    rows = [
+        (ok, rng.randrange(1, 60), rng.randrange(100, 800_000) / 100.0)
+        for ok in range(1, rng.randrange(25, 250))
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT,"
+        " o_totalprice DOUBLE)"
+    )
+    con.executemany("INSERT INTO orders VALUES (?, ?, ?)", rows)
+    got = con.execute(ORACLES["customer_revenue_deciles"]).fetchall()
+    spend: dict[int, int] = {}
+    for _ok, ck, p in rows:
+        spend[ck] = spend.get(ck, 0) + round(p * 100)
+    ordered = sorted(spend.items(), key=lambda kv: (-kv[1], kv[0]))
+    n = len(ordered)
+    size, rem = n // 10, n % 10
+    want_map: dict[int, list[int]] = {}
+    idx = 0
+    for tile in range(1, 11):
+        take = size + (1 if tile <= rem else 0)
+        for _ in range(take):
+            if idx >= n:
+                break
+            want_map.setdefault(tile, []).append(ordered[idx][1])
+            idx += 1
+    total = sum(spend.values())
+    want = [
+        (t, len(v), sum(v) / 100.0, _rnd(sum(v) / total, 6))
+        for t, v in sorted(want_map.items())
+    ]
+    assert got == want, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_zipf_fit_oracle_on_random_tables(seed):
+    rng = random.Random(13_400 + seed)
+    vocab = [f"w{i}" for i in range(rng.randrange(8, 40))]
+    docs = []
+    for did in range(rng.randrange(5, 30)):
+        words = [
+            vocab[min(int(rng.paretovariate(1.2)) - 1, len(vocab) - 1)]
+            for _ in range(rng.randrange(5, 80))
+        ]
+        docs.append((did, " ".join(words)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    got = con.execute(ORACLES["text_zipf_fit"]).fetchall()
+    wc: dict[str, int] = {}
+    for _d, text in docs:
+        for w in text.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    ranked = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.log(r + 1) for r in range(len(ranked))]
+    ys = [math.log(c) for _w, c in ranked]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    syy = sum((y - my) ** 2 for y in ys)
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    slope = _rnd(sxy / sxx, 6)
+    r2 = _rnd(sxy * sxy / (sxx * syy), 6)
+    assert got == [(slope, r2, n)], seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_int8_quant_audit_oracle_on_random_tables(seed):
+    rng = random.Random(13_500 + seed)
+    vecs = []
+    for vid in range(rng.randrange(5, 40)):
+        emb = [rng.randrange(-600_000, 600_000) / 1e6 for _ in range(64)]
+        if rng.random() < 0.1:
+            emb = [0.0] * 64  # maxabs = 0 rows must vanish from the audit
+        vecs.append((vid, emb))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", vecs)
+    got = con.execute(
+        ORACLES["embedding_int8_quant_audit"]
+        + " ORDER BY vec_id"  # registered oracle relies on driver sort
+    ).fetchall()
+    want = []
+    for vid, emb in vecs:
+        vm = [round(x * 1e6) for x in emb]
+        maxabs = max(abs(v) for v in vm)
+        if maxabs == 0:
+            continue
+        qs = [
+            int(math.floor(abs(127.0 * v / maxabs) + 0.5))
+            * (1 if v >= 0 else -1)
+            for v in vm
+        ]
+        err = sum(abs(127 * v - q * maxabs) for v, q in zip(vm, qs))
+        want.append(
+            (
+                vid,
+                maxabs / 1e6,
+                sum(1 for q in qs if q != 0),
+                sum(abs(q) for q in qs),
+                sum((i + 1) * q for i, q in enumerate(qs)),
+                err,
+                _rnd(err / 8_128_000_000.0, 9),
+            )
+        )
+    assert got == sorted(want), seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_haar_energy_oracle_on_random_tables(seed):
+    rng = random.Random(13_600 + seed)
+    base = datetime.datetime(2024, 7, 1)
+    rows, eid = [], 0
+    for h in range(rng.randrange(100, 1024)):
+        for _ in range(rng.choice([0, 0, 1, 1, 2, 3, 7])):
+            eid += 1
+            rows.append((eid, base + datetime.timedelta(hours=h)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(event_id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    got = con.execute(ORACLES["events_haar_energy"]).fetchall()
+    cnt: dict[int, int] = {}
+    for _eid, ts in rows:
+        m = int((ts - datetime.datetime(1970, 1, 1)).total_seconds()) // 3600
+        cnt[m] = cnt.get(m, 0) + 1
+    lo = min(cnt)
+    s = [cnt.get(lo + i, 0) for i in range(1024)]
+    want = []
+    for lvl in range(1, 11):
+        pairs = [(s[2 * i], s[2 * i + 1]) for i in range(len(s) // 2)]
+        want.append(
+            (lvl, len(pairs), sum((a - b) ** 2 for a, b in pairs))
+        )
+        s = [a + b for a, b in pairs]
+    want = [(0, 1, s[0] * s[0])] + want
+    assert got == want, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_token_budget_oracle_on_random_tables(seed):
+    rng = random.Random(13_700 + seed)
+    docs = []
+    for did in range(1, rng.randrange(30, 200)):
+        text = " ".join(
+            rng.choice(["aa", "bb", "cc"])
+            for _ in range(rng.randrange(1, 40))
+        )
+        docs.append((did, text, rng.randrange(1, 500)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", docs)
+    got = con.execute(ORACLES["pipeline_token_budget"]).fetchall()
+    agg: dict[str, list[int]] = {}
+    for did, text, nc in docs:
+        h = hashlib.md5(str(did).encode()).hexdigest()[0]
+        split = "train" if h < "c" else ("val" if h < "e" else "test")
+        e = agg.setdefault(split, [0, 0, 0])
+        e[0] += 1
+        e[1] += len(text.split(" "))
+        e[2] += nc
+    total = sum(v[1] for v in agg.values())
+    want = [
+        (s, v[0], v[1], v[2], _rnd(v[1] / v[0], 6), _rnd(v[1] / total, 6))
+        for s, v in sorted(agg.items())
+    ]
+    assert got == want, seed
