@@ -953,3 +953,18 @@ def test_session_watermark_audit_plan_shape(spark):
     assert len(unpart) == 1 and "m2" in unpart[0], p
     assert "SortMergeJoin" not in p, p
     assert p.count("hashpartitioning(user_id") == 1, p
+
+
+def test_join_cardinality_audit_rides_memo(spark):
+    """stats_join_cardinality_audit claims the shared-memo shape: no
+    lineitem parquet scan (the per-(col, v) histogram base is the
+    per-session localCheckpoint; only the small orders agg scans
+    parquet), min/max windows over distinct values partitioned by col,
+    and no ranking pass anywhere."""
+    p = plan(QUERIES["stats_join_cardinality_audit"](spark, SF_SMALL))
+    assert "Scan ExistingRDD" in p, p
+    scans = [ln for ln in p.splitlines() if "Scan parquet" in ln]
+    assert all("orders" in ln for ln in scans) and len(scans) == 1, p
+    assert "row_number" not in p and "ntile" not in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wins and all("col#" in w for w in wins), p

@@ -210,3 +210,67 @@ def test_session_watermark_audit_matches_python_replay(spark):
     assert got[1] > 0 and got[4] > 0 and got[5] > 0
     # fragment nesting identity: surv = (true - lost) + extra
     assert got[3] == got[2] - got[4] + got[5]
+
+
+# ---- stats_join_cardinality_audit ---------------------------------------
+
+
+def join_card_python(
+    li_keys: dict[str, list[int]], cust: list[int]
+) -> list[tuple]:
+    """From-scratch join-cardinality audit reference: per key column,
+    exact self-join size, System-R n²/ndv, and the 10-bucket equi-width
+    refinement — pure-Python integer arithmetic."""
+    out = []
+    cols = dict(li_keys)
+    cols["o_custkey"] = cust
+    for col in sorted(cols):
+        cnt: dict[int, int] = {}
+        for v in cols[col]:
+            cnt[v] = cnt.get(v, 0) + 1
+        n, ndv = sum(cnt.values()), len(cnt)
+        exact = sum(c * c for c in cnt.values())
+        mn, mx = min(cnt), max(cnt)
+        bk: dict[int, list[int]] = {}
+        for v, c in cnt.items():
+            b = min(9, (v - mn) * 10 // (mx - mn + 1))
+            e = bk.setdefault(b, [0, 0])
+            e[0] += c
+            e[1] += 1
+        hist = sum(nb * nb // nd for nb, nd in bk.values())
+        out.append(
+            (
+                col,
+                n,
+                ndv,
+                exact,
+                n * n // ndv,
+                (exact - n * n // ndv) * 1_000_000 // exact,
+                hist,
+                (exact - hist) * 1_000_000 // exact,
+            )
+        )
+    return out
+
+
+def test_join_cardinality_audit_matches_python(spark):
+    li = _fetch(
+        f"SELECT l_partkey, l_suppkey FROM '{SF_SMALL}/lineitem.parquet'"
+    )
+    cust = [
+        r[0]
+        for r in _fetch(f"SELECT o_custkey FROM '{SF_SMALL}/orders.parquet'")
+    ]
+    want = join_card_python(
+        {
+            "l_partkey": [r[0] for r in li],
+            "l_suppkey": [r[1] for r in li],
+        },
+        cust,
+    )
+    rows = QUERIES["stats_join_cardinality_audit"](spark, SF_SMALL).collect()
+    got = sorted(tuple(r) for r in rows)
+    assert got == want
+    # non-vacuity: the behavioral key must show real underestimation
+    by_col = {r[0]: r for r in got}
+    assert by_col["o_custkey"][5] > 0 and by_col["o_custkey"][7] > 0

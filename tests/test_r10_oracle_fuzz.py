@@ -96,3 +96,44 @@ def test_session_watermark_audit_oracle_on_random_tables(seed):
         ]
     )
     assert got == [py], seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_join_cardinality_audit_oracle_on_random_tables(seed):
+    """Skewed key draws (Pareto-ish repeat counts) exercise the regime
+    the audit exists for; tiny domains exercise the LEAST(9, ...) cap
+    and near-exact histogram branch."""
+    from tests.test_r10_features import join_card_python
+
+    rng = random.Random(14_500 + seed)
+    n_li = rng.randrange(60, 500)
+    li = [
+        (
+            rng.randrange(1, 30),  # orderkey (unused by the audit)
+            min(int(rng.paretovariate(1.0)), 40),  # skewed partkey
+            rng.randrange(1, rng.choice([4, 12, 60])),  # suppkey domains
+            rng.randrange(1, 20),
+            rng.randrange(100, 90_000) / 100.0,
+            rng.choice([0, 1, 5]) / 100.0,
+        )
+        for _ in range(n_li)
+    ]
+    od = [(rng.randrange(1, 40),) for _ in range(rng.randrange(30, 300))]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem(l_orderkey BIGINT, l_partkey BIGINT,"
+        " l_suppkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE,"
+        " l_discount DOUBLE)"
+    )
+    con.executemany("INSERT INTO lineitem VALUES (?, ?, ?, ?, ?, ?)", li)
+    con.execute("CREATE TABLE orders(o_custkey BIGINT)")
+    con.executemany("INSERT INTO orders VALUES (?)", od)
+    got = con.execute(ORACLES["stats_join_cardinality_audit"]).fetchall()
+    want = join_card_python(
+        {
+            "l_partkey": [r[1] for r in li],
+            "l_suppkey": [r[2] for r in li],
+        },
+        [r[0] for r in od],
+    )
+    assert got == want, seed
