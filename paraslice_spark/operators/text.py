@@ -1463,6 +1463,96 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_release_diff",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             {md5_u32_sql('md5(text)')} AS cd
+      FROM documents),
+    cut AS (SELECT CAST(MAX(doc_id) * 4 // 5 AS BIGINT) AS cutoff FROM d),
+    sh AS (
+      SELECT bucket,
+             COUNT(CASE WHEN doc_id <= cutoff THEN 1 END) AS n_base,
+             COUNT(CASE WHEN doc_id > cutoff THEN 1 END) AS n_inc,
+             CAST(SUM(CASE WHEN doc_id <= cutoff THEN cd ELSE 0 END)
+                  AS BIGINT) AS ck_base,
+             CAST(SUM(cd) AS BIGINT) AS ck_full
+      FROM d, cut GROUP BY 1)
+    SELECT CASE WHEN n_base = 0 THEN 'new'
+                WHEN ck_full <> ck_base THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(SUM(n_base) AS BIGINT) AS docs_base,
+           CAST(SUM(n_inc) AS BIGINT) AS docs_added,
+           CAST(SUM(ck_full - ck_base) AS BIGINT) AS checksum_delta
+    FROM sh GROUP BY 1
+    """,
+)
+def pipeline_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELEASE DIFF — the operation pipeline_shard_manifest's docstring
+    promises ("two manifest scans diff a 100 TB release in O(shards)"),
+    DECLARED: build the manifest of the BASE release (doc_id ≤
+    max·4 div 5 — the house append-replay cutoff) and of the FULL
+    corpus in one pass, compare per shard BY CONTENT CHECKSUM (the
+    order-insensitive sum-of-md5_u32 rule — the diff mechanism, not the
+    row counts), and roll up to the release report an operator reads:
+    how many shards are untouched / grown / newly opened, with doc and
+    checksum deltas per class.
+
+    Shards use the pack family's md5-hex rule at TWO digits (256
+    shards — the manifest docstring's documented widening knob;
+    at one digit every shard catches appends at every SF and the
+    'unchanged'/'new' classes are structurally empty — measured, the
+    vacuity discipline).  Measured (sf0.01): 132 unchanged / 67
+    changed / 16 new; at sf0.1 the 'new' class is honestly absent
+    (5000 base docs occupy all 256 shards — a true saturation
+    statement, the text_novelty_curve precedent).
+
+    EXACT INTEGERS: checksums are u32 summands in int64 (exact to 2^31
+    docs/shard); checksum_delta per class is Σ(ck_full − ck_base) ≥ 0
+    (appends only add).  'unchanged' rows carry delta 0 structurally —
+    the checksum-vs-count consistency the from-scratch reference pins.
+
+    Scale shape: ONE documents pass (codegen md5) → a 256-key
+    map-combined shard rollup → a 3-key rollup; the cutoff is a 1-row
+    broadcast.  No window, no join, nothing ordered; diffing two REAL
+    releases reads two manifest tables instead of the corpus — this
+    declared form computes both sides from one corpus so the whole
+    contract hash-oracles."""
+    d = load_tables(spark, sf_dir)["documents"]
+    cut = d.agg(
+        F.expr("CAST(max(doc_id) * 4 div 5 AS BIGINT)").alias("cutoff")
+    )
+    cd = md5_u32(F.md5("text"))
+    is_base = F.col("doc_id") <= F.col("cutoff")
+    sh = (
+        d.select("doc_id", _pack_bucket(2).alias("bucket"), cd.alias("cd"))
+        .crossJoin(F.broadcast(cut))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.when(is_base, F.lit(1))).alias("n_base"),
+            F.count(F.when(~is_base, F.lit(1))).alias("n_inc"),
+            F.sum(F.when(is_base, F.col("cd")).otherwise(F.lit(0))).alias(
+                "ck_base"
+            ),
+            F.sum("cd").alias("ck_full"),
+        )
+    )
+    status = (
+        F.when(F.col("n_base") == 0, F.lit("new"))
+        .when(F.col("ck_full") != F.col("ck_base"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return sh.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum("n_base").alias("docs_base"),
+        F.sum("n_inc").alias("docs_added"),
+        F.sum(F.col("ck_full") - F.col("ck_base")).alias("checksum_delta"),
+    )
+
+
+@query(
     "text_bloom_prefilter",
     oracle=f"""
     WITH d AS (

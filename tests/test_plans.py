@@ -968,3 +968,15 @@ def test_join_cardinality_audit_rides_memo(spark):
     assert "row_number" not in p and "ntile" not in p, p
     wins = [ln for ln in p.splitlines() if "Window [" in ln]
     assert wins and all("col#" in w for w in wins), p
+
+
+def test_release_diff_two_map_combined_rollups(spark):
+    """pipeline_release_diff claims the manifest shape widened to 256
+    shards: one documents pass into a map-combined shard rollup, then a
+    3-key rollup — no window, no join beyond the 1-row cutoff
+    broadcast, nothing ordered."""
+    p = plan(QUERIES["pipeline_release_diff"](spark, SF_SMALL))
+    assert "Window [" not in p and "Sort " not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastExchange") == 1, p
+    assert p.count("partial_count") >= 1 and p.count("HashAggregate") >= 4, p

@@ -274,3 +274,54 @@ def test_join_cardinality_audit_matches_python(spark):
     # non-vacuity: the behavioral key must show real underestimation
     by_col = {r[0]: r for r in got}
     assert by_col["o_custkey"][5] > 0 and by_col["o_custkey"][7] > 0
+
+
+# ---- pipeline_release_diff ----------------------------------------------
+
+
+def release_diff_python(docs: list[tuple[int, str]]) -> list[tuple]:
+    """From-scratch release-diff reference over (doc_id, text) pairs:
+    hashlib is the md5 engine for both the 2-digit shard rule and the
+    per-doc content digests."""
+    cutoff = max(d for d, _ in docs) * 4 // 5
+    sh: dict[str, list[int]] = {}
+    for did, text in docs:
+        bucket = hashlib.md5(str(did).encode()).hexdigest()[:2]
+        cd = int(
+            hashlib.md5(
+                hashlib.md5(text.encode()).hexdigest().encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        e = sh.setdefault(bucket, [0, 0, 0, 0])  # n_base n_inc ck_base ck_full
+        if did <= cutoff:
+            e[0] += 1
+            e[2] += cd
+        else:
+            e[1] += 1
+        e[3] += cd
+    agg: dict[str, list[int]] = {}
+    for n_base, n_inc, ckb, ckf in sh.values():
+        status = (
+            "new" if n_base == 0 else ("changed" if ckf != ckb else "unchanged")
+        )
+        e = agg.setdefault(status, [0, 0, 0, 0])
+        e[0] += 1
+        e[1] += n_base
+        e[2] += n_inc
+        e[3] += ckf - ckb
+    return [(s, *v) for s, v in sorted(agg.items())]
+
+
+def test_release_diff_matches_python(spark):
+    docs = _fetch(f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'")
+    want = release_diff_python(docs)
+    rows = QUERIES["pipeline_release_diff"](spark, SF_SMALL).collect()
+    got = sorted(tuple(r) for r in rows)
+    assert got == want
+    by = {r[0]: r for r in got}
+    # all three classes live at this SF (measured in the docstring), and
+    # the unchanged class is delta-0 structurally (appends only add)
+    assert set(by) == {"changed", "new", "unchanged"}
+    assert by["unchanged"][3] == 0 and by["unchanged"][4] == 0
+    assert by["new"][2] == 0 and by["changed"][4] > 0

@@ -137,3 +137,22 @@ def test_join_cardinality_audit_oracle_on_random_tables(seed):
         [r[0] for r in od],
     )
     assert got == want, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_release_diff_oracle_on_random_tables(seed):
+    """Sparse/dense id regimes swing the class mix (all-changed at one
+    extreme, mostly-new at the other); duplicate texts across the
+    cutoff exercise checksum-sum (not set) semantics."""
+    from tests.test_r10_features import release_diff_python
+
+    rng = random.Random(15_000 + seed)
+    docs, did = [], 0
+    for _ in range(rng.randrange(30, 400)):
+        did += rng.randrange(1, rng.choice([2, 9, 40]))
+        docs.append((did, rng.choice(["aa bb", "cc", "dd ee ff", "gg"])))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    got = sorted(con.execute(ORACLES["pipeline_release_diff"]).fetchall())
+    assert got == release_diff_python(docs), seed
