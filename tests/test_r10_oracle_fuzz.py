@@ -156,3 +156,29 @@ def test_release_diff_oracle_on_random_tables(seed):
     con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
     got = sorted(con.execute(ORACLES["pipeline_release_diff"]).fetchall())
     assert got == release_diff_python(docs), seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_survivorship_bias_oracle_on_random_tables(seed):
+    """Duplicate fingerprints planted ACROSS length bands (same distinct
+    word set, different repetition) exercise the cross-band counter;
+    constant-length corpora exercise the mx = mn degenerate bound."""
+    from tests.test_r10_features import survivorship_python
+
+    rng = random.Random(16_000 + seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    const_len = seed % 3 == 0
+    docs = []
+    for did in range(1, rng.randrange(30, 250)):
+        base = rng.sample(vocab, rng.randrange(1, 5))
+        if const_len:
+            words = (base * 8)[:8]
+        else:
+            words = base * rng.randrange(1, 9)  # repetition varies length
+        rng.shuffle(words)
+        docs.append((did, " ".join(words)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    got = sorted(con.execute(ORACLES["dedup_survivorship_bias"]).fetchall())
+    assert got == survivorship_python(docs), seed
