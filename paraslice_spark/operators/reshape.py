@@ -3270,7 +3270,12 @@ def events_session_watermark_audit(
     by the watermark at its arrival (prefix_max − δ ≥ ts + gap) drops;
     merge-rescue by a still-open overlapping session state is not
     modeled (stated contract, pinned by the pure-Python streaming
-    replay in tests/test_r10_features.py).
+    replay in tests/test_r10_features.py).  Real Spark 4.1 session
+    windows under watermark — lag-one eviction, post-eviction drop,
+    same-micro-batch merge-rescue — are pinned EXECUTABLE in
+    tests/test_streaming.py::test_st34_* via streams.
+    watermarked_sessions, making this audit the conservative bound on
+    the streaming job's loss.
 
     Fragments nest inside true episodes (dropping rows only widens
     survivor gaps), so per-(user, episode) fragment counts compose

@@ -83,6 +83,32 @@ def run_to_memory(
     return q
 
 
+def watermarked_sessions(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """ST3 × ST4: watermarked SESSION windows — gap-merged state-store
+    sessions where append mode emits a session once the watermark passes
+    its end, and a late row whose candidate window end is behind the
+    watermark drops instead of extending/merging.  The streaming twin of
+    the declared events_session_watermark_audit rule; the audit's
+    "merge-rescue not modeled" caveat is pinned executable in
+    tests/test_streaming.py (same-micro-batch coalescing rescues a row
+    the per-event-watermark batch model counts as dropped)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 def watermarked_tumbling(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """ST4: watermarked per-hour counts — append mode emits a window only
     once the watermark passes its end; later-than-watermark rows drop."""

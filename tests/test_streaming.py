@@ -137,6 +137,104 @@ def test_st4_watermark_drops_late_rows(spark, tmp_path):
     assert dropped == 1, (dropped, rows)
 
 
+def test_st34_session_watermark_drop_splits_session(spark, tmp_path):
+    """SESSION window x watermark (the events_session_watermark_audit
+    streaming twin), semantics verified on Spark 4.1.2: session state is
+    emitted+evicted at the start of the first batch processed under a
+    watermark past its end (the ST4 lag-one rule applied to sessions),
+    and a late row arriving AFTER that eviction drops (observed via
+    numRowsDroppedByWatermark) - the session it would have extended
+    stays short.  Arrival: u1@0:00, u1@0:20 (merge to [0:00,0:50)),
+    u2@3:00 (wm -> 2:50), u2@3:05 (first batch under the new wm: u1's
+    session emits), u1@0:40 late (state gone, window end 1:10 < wm ->
+    DROPPED, not merged), u2@6:00 (flush)."""
+    d = str(tmp_path / "sess_late")
+    _write_batch(spark, d, 0, [(1, _ns(0), 1, "click", 1.0, "{}")])
+    _write_batch(spark, d, 1, [(2, _ns(20), 1, "click", 1.0, "{}")])
+    _write_batch(spark, d, 2, [(3, _ns(180), 2, "click", 1.0, "{}")])
+    _write_batch(spark, d, 3, [(6, _ns(185), 2, "click", 1.0, "{}")])
+    _write_batch(spark, d, 4, [(4, _ns(40), 1, "click", 1.0, "{}")])
+    _write_batch(spark, d, 5, [(5, _ns(360), 2, "click", 1.0, "{}")])
+    stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+    agg = streams.watermarked_sessions(stream)
+    name = _mem_name()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in (p["stateOperators"] or [])
+    )
+    got = _rows(
+        spark.table(name), "session_start", "session_end", "user_id", "n_events"
+    )
+    base = datetime.datetime(2024, 6, 1)
+
+    def t(m):
+        return base + datetime.timedelta(minutes=m)
+
+    # u1's session emitted WITHOUT the late 0:40 row (end stays 0:50);
+    # u2's 3:00/3:05 pair merged and emitted after the flush
+    assert got == [(t(0), t(50), 1, 2), (t(180), t(215), 2, 2)], got
+    assert dropped == 1, dropped
+
+
+def test_st34_same_batch_coalescing_rescues_late_row(spark, tmp_path):
+    """The MERGE-RESCUE divergence the declared audit's docstring states
+    it does not model, pinned executable: the same late u1@0:40 row
+    arriving in the SAME micro-batch as the watermark-advancing u2@3:00
+    row is processed under the PREVIOUS batch's watermark (0:10), so it
+    merges into u1's still-open session ([0:00,1:10), 3 events) instead
+    of dropping - Spark advances the watermark at batch boundaries,
+    while the batch audit models a per-event (per-arrival) watermark,
+    making the declared rule the conservative bound on loss."""
+    d = str(tmp_path / "sess_rescue")
+    _write_batch(spark, d, 0, [(1, _ns(0), 1, "click", 1.0, "{}")])
+    _write_batch(spark, d, 1, [(2, _ns(20), 1, "click", 1.0, "{}")])
+    _write_batch(
+        spark,
+        d,
+        2,
+        [
+            (3, _ns(180), 2, "click", 1.0, "{}"),
+            (4, _ns(40), 1, "click", 1.0, "{}"),
+        ],
+    )
+    _write_batch(spark, d, 3, [(5, _ns(360), 2, "click", 1.0, "{}")])
+    stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+    agg = streams.watermarked_sessions(stream)
+    name = _mem_name()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in (p["stateOperators"] or [])
+    )
+    got = _rows(
+        spark.table(name), "session_start", "session_end", "user_id", "n_events"
+    )
+    base = datetime.datetime(2024, 6, 1)
+
+    def t(m):
+        return base + datetime.timedelta(minutes=m)
+
+    assert got == [(t(0), t(70), 1, 3), (t(180), t(210), 2, 1)], got
+    assert dropped == 0, dropped
+
+
 def test_st5_dedup_within_watermark(spark, tmp_path):
     d = str(tmp_path / "dup")
     _write_batch(spark, d, 0, [(1, _ns(0), 1, "click", 1.0, "{}")])
