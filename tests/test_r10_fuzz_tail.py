@@ -21,13 +21,6 @@ import pytest
 import paraslice_spark.operators  # noqa: F401
 from paraslice_spark.registry import ORACLES
 
-_EPOCH = datetime.datetime(1970, 1, 1)
-
-
-def _ns(t: datetime.datetime) -> int:
-    return int((t - _EPOCH) // datetime.timedelta(microseconds=1)) * 1000
-
-
 def _rnd6(x: float) -> float:
     return math.floor(abs(x) * 1e6 + 0.5) / 1e6 * (1 if x >= 0 else -1)
 
