@@ -62,6 +62,9 @@ _REPRESENTATIVES = (
     # r10 shapes:
     "similarity_quantizer_append_audit",  # 1-row stats broadcast + 256-key rollup
     "events_session_watermark_audit",     # time-bucket prefix scan + user windows
+    "stats_join_cardinality_audit",       # memoized histogram + union + col windows
+    "pipeline_release_diff",              # 256-shard then 3-key map-combined rollups
+    "dedup_survivorship_bias",            # fp shuffle with min/min_by winner agg
 )
 
 
@@ -99,6 +102,7 @@ _MEMOIZED = {
     "dedup_simhash_bands",
     "events_watermark_late_replay",
     "stats_shuffle_skew_audit",
+    "stats_join_cardinality_audit",
     "graph_degree_assortativity",
     "tensor_mode_skew_profile",
 }
@@ -157,3 +161,20 @@ def test_vocab_broadcast_invariant(spark, name, monkeypatch):
     monkeypatch.setenv("PARASLICE_BROADCAST_VOCAB", "1")
     forced = canonical_rows(QUERIES[name](spark, SF_SMALL).toPandas())
     assert forced == plain, f"{name}: results depend on the vocab-broadcast gate"
+
+
+@pytest.mark.parametrize("name", _VOCAB_GATED)
+def test_vocab_broadcast_on_branch_plans_broadcast(spark, name, monkeypatch):
+    """The gate's ON branch must actually restore the hint: under
+    PARASLICE_BROADCAST_VOCAB=1 every gated query plans its vocab-dim
+    join as broadcast-hash — no sort-merge join anywhere (deployments
+    whose vocabulary provably fits get the zero-shuffle-dim plan back)."""
+    monkeypatch.setenv("PARASLICE_BROADCAST_VOCAB", "1")
+    p = (
+        QUERIES[name](spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in p, f"{name}:\n{p}"
+    assert "BroadcastHashJoin" in p, f"{name}:\n{p}"
