@@ -1503,3 +1503,161 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("digit")
     )
+
+
+# ---- KMV set algebra (r10) ----------------------------------------------
+
+_KMV_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+_KMV_PAIRS = tuple(
+    (a, b)
+    for i, a in enumerate(_KMV_PRIORITIES)
+    for b in _KMV_PRIORITIES[i + 1:]
+)
+
+
+def _kmv_intersection_oracle() -> str:
+    flags = ",\n             ".join(
+        f"MAX(CASE WHEN p = '{t}' THEN 1 ELSE 0 END) AS f{i}"
+        for i, t in enumerate(_KMV_PRIORITIES)
+    )
+    fi = {t: i for i, t in enumerate(_KMV_PRIORITIES)}
+    pair_sel = "\n      UNION ALL\n      ".join(
+        f"SELECT '{a}|{b}' AS pair, h,"
+        f" (f{fi[a]} = 1 AND f{fi[b]} = 1) AS in_both"
+        f" FROM flags WHERE f{fi[a]} = 1 OR f{fi[b]} = 1"
+        for a, b in _KMV_PAIRS
+    )
+    return f"""
+    WITH u AS (
+      SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders),
+    flags AS MATERIALIZED (
+      -- referenced by all 10 pair branches: inlined, DuckDB re-runs the
+      -- dedup + pivot per branch (house CTE-inlining trap)
+      SELECT c, {md5_u32_sql('c')} AS h,
+             {flags}
+      FROM u GROUP BY 1, 2),
+    p AS MATERIALIZED (
+      {pair_sel}),
+    r AS (
+      SELECT pair, h, in_both,
+             row_number() OVER (PARTITION BY pair ORDER BY h) AS rk
+      FROM p),
+    sk AS (
+      SELECT pair,
+             CAST(SUM(CASE WHEN rk = {_KMV_K} THEN h END) AS BIGINT) AS vk,
+             COUNT(CASE WHEN in_both THEN 1 END) AS cnt_both
+      FROM r WHERE rk <= {_KMV_K} GROUP BY 1),
+    ex AS (
+      SELECT pair, COUNT(CASE WHEN in_both THEN 1 END) AS exact_n
+      FROM p GROUP BY 1)
+    SELECT ex.pair, exact_n,
+           CASE WHEN vk IS NULL THEN exact_n
+                ELSE (({_KMV_K} - 1) * 4294967296 // vk) * cnt_both
+                     // {_KMV_K} END AS kmv_n,
+           CASE WHEN vk IS NULL THEN CAST(0 AS BIGINT)
+                ELSE (({_KMV_K} - 1) * 4294967296 // vk) * cnt_both
+                     // {_KMV_K} - exact_n END AS err
+    FROM ex JOIN sk USING (pair)
+    """
+
+
+@query("agg_kmv_intersection_error", oracle=_kmv_intersection_oracle())
+def agg_kmv_intersection_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KMV SET ALGEBRA with an exact error audit — the capability that
+    makes bottom-k sketches the 100 TB audience tool: two segments'
+    sketches estimate their INTERSECTION without ever joining the
+    segments (merge the sketches, re-truncate to k, and read the
+    overlap fraction ρ̂ of the union's k minima present in both sides:
+    |A∩B| ≈ ρ̂ · (k−1)·2³²/v_k — Beyer et al. '07).  Declared on the
+    TPC-H audience question "how much do the customer populations of
+    two order priorities overlap?": all 10 priority pairs, exact
+    intersection vs the k=64 sketch estimate vs the signed error.
+
+    The fixture gives GENUINELY PARTIAL overlap (Jaccard ≈ 0.76 at
+    every SF — ~10 orders/customer across 5 priorities leave ~11 % of
+    each audience un-overlapped), so the ρ̂ < 1 branch — the set-algebra
+    core — is exercised at every SF, unlike the events user populations
+    (every user fires every type; measured, the vacuity discipline).
+    Populations ≥ 132 ≥ k even at sf0.001, so the estimator branch is
+    live everywhere; the est is EXACT INTEGERS end-to-end (md5-u32
+    hashes, floor-div estimate, then ·cnt_both div k — stated operation
+    order, both engines floor on non-negative operands).
+
+    Scale shape: one (priority, custkey) dedup shuffle; ONE custkey
+    shuffle pivots the 5 membership flags; the 10 pair frames are a
+    map-side explode of that table; the per-pair rank window stands
+    alone so rk ≤ k prunes as WindowGroupLimit — only k rows per input
+    partition reach the 10-partition exchange (the sample_bottom_k /
+    kmv_distinct shape: KMV state IS a mergeable bottom-k reservoir),
+    so 10 window partitions are a non-issue at any corpus size.  The
+    exact side is the audit, priced once; production reads sketches."""
+    o = load_tables(spark, sf_dir)["orders"]
+    u = (
+        o.select(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_custkey").alias("c"),
+        )
+        .distinct()
+    )
+    flag_aggs = [
+        F.max(F.when(F.col("p") == t, F.lit(1)).otherwise(F.lit(0))).alias(
+            f"f{i}"
+        )
+        for i, t in enumerate(_KMV_PRIORITIES)
+    ]
+    flags = u.groupBy("c").agg(*flag_aggs).select(
+        md5_u32("c").alias("h"), *[f"f{i}" for i in range(len(_KMV_PRIORITIES))]
+    )
+    fi = {t: i for i, t in enumerate(_KMV_PRIORITIES)}
+    structs = [
+        F.struct(
+            F.lit(f"{a}|{b}").alias("pair"),
+            F.col(f"f{fi[a]}").alias("fa"),
+            F.col(f"f{fi[b]}").alias("fb"),
+        )
+        for a, b in _KMV_PAIRS
+    ]
+    # p feeds the exact rollup AND the sketch path (the kmv_distinct
+    # multi-consumer rule) — one materialization
+    p = (
+        flags.select("h", F.explode(F.array(*structs)).alias("s"))
+        .where((F.col("s.fa") == 1) | (F.col("s.fb") == 1))
+        .select(
+            F.col("s.pair").alias("pair"),
+            "h",
+            ((F.col("s.fa") == 1) & (F.col("s.fb") == 1)).alias("in_both"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ex = p.groupBy("pair").agg(
+        F.count(F.when(F.col("in_both"), F.lit(1))).alias("exact_n")
+    )
+    w = Window.partitionBy("pair").orderBy("h")
+    # the rank window stands ALONE so rk <= k plans as WindowGroupLimit
+    sk = (
+        p.select("pair", "h", "in_both", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _KMV_K)
+        .groupBy("pair")
+        .agg(
+            F.max(F.when(F.col("rk") == _KMV_K, F.col("h"))).alias("vk"),
+            F.count(F.when(F.col("in_both"), F.lit(1))).alias("cnt_both"),
+        )
+    )
+    g = ex.join(F.broadcast(sk), "pair")
+    est = F.when(F.col("vk").isNull(), F.col("exact_n")).otherwise(
+        F.expr(
+            f"(({_KMV_K} - 1) * 4294967296 div vk) * cnt_both div {_KMV_K}"
+        )
+    )
+    return g.select(
+        "pair",
+        "exact_n",
+        est.alias("kmv_n"),
+        F.when(F.col("vk").isNull(), F.lit(0).cast("long"))
+        .otherwise(est - F.col("exact_n"))
+        .alias("err"),
+    )

@@ -65,6 +65,7 @@ _REPRESENTATIVES = (
     "stats_join_cardinality_audit",       # memoized histogram + union + col windows
     "pipeline_release_diff",              # 256-shard then 3-key map-combined rollups
     "dedup_survivorship_bias",            # fp shuffle with min/min_by winner agg
+    "agg_kmv_intersection_error",         # explode stack + WindowGroupLimit prune
 )
 
 

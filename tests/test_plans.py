@@ -993,3 +993,18 @@ def test_survivorship_bias_single_fp_shuffle(spark):
     assert p.count("hashpartitioning(fp") == 1, p
     joins = [ln for ln in p.splitlines() if "Join" in ln and "Broadcast" not in ln]
     assert len(joins) <= 1, p
+
+
+def test_kmv_intersection_prunes_via_window_group_limit(spark):
+    """agg_kmv_intersection_error claims the bottom-k reservoir shape:
+    the per-pair rank window stands alone so rk <= k plans as
+    WindowGroupLimit (only k rows per input partition reach the 10-pair
+    exchange), the pair frames are a map-side explode (no join builds
+    them), and the sketch side broadcasts back onto the exact rollup."""
+    p = plan(QUERIES["agg_kmv_intersection_error"](spark, SF_SMALL))
+    # Partial prune runs map-side BEFORE the pair exchange, Final after
+    assert p.count("WindowGroupLimit") == 2 and "Partial" in p, p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    # the pair frames are the one-materialization explode base (the
+    # multi-consumer localCheckpoint idiom), not a join build
+    assert "Scan ExistingRDD" in p, p

@@ -375,3 +375,61 @@ def test_survivorship_bias_matches_python(spark):
     ppm = [r[4] for r in got]
     assert ppm[0] > ppm[-1]
     assert sum(r[5] for r in got) > 0
+
+
+# ---- agg_kmv_intersection_error -----------------------------------------
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_KMV_K = 64
+
+
+def kmv_intersection_python(
+    pairs: list[tuple[str, int]], priorities=_PRIORITIES
+) -> list[tuple]:
+    """From-scratch KMV set-algebra reference over (priority, custkey)
+    rows: hashlib bottom-k of the union, overlap fraction of the k
+    minima, stated integer operation order."""
+    members: dict[str, set[int]] = {t: set() for t in priorities}
+    for t, c in pairs:
+        members[t].add(c)
+    out = []
+    for i, a in enumerate(priorities):
+        for b in priorities[i + 1:]:
+            union = members[a] | members[b]
+            if not union:
+                continue  # SQL emits no row for an empty pair frame
+            inter = members[a] & members[b]
+            ranked = sorted((_md5u32(c), c) for c in union)
+            exact = len(inter)
+            if len(ranked) < _KMV_K:
+                est = exact
+                err = 0
+            else:
+                vk = ranked[_KMV_K - 1][0]
+                cnt_both = sum(
+                    1 for _h, c in ranked[:_KMV_K] if c in inter
+                )
+                est = ((_KMV_K - 1) * 4294967296 // vk) * cnt_both // _KMV_K
+                err = est - exact
+            out.append((f"{a}|{b}", exact, est, err))
+    return sorted(out)
+
+
+def test_kmv_intersection_matches_python(spark):
+    rows = _fetch(
+        f"SELECT DISTINCT o_orderpriority, o_custkey "
+        f"FROM '{SF_SMALL}/orders.parquet'"
+    )
+    want = kmv_intersection_python([(t, c) for t, c in rows])
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["agg_kmv_intersection_error"](
+            spark, SF_SMALL
+        ).collect()
+    )
+    assert got == want
+    # the set-algebra core is live on the fixture: every pair's overlap
+    # is PARTIAL (0 < exact < min side), and the estimator branch ran
+    # (populations >= k, so at least one pair carries nonzero error)
+    assert all(r[1] > 0 for r in got)
+    assert any(r[3] != 0 for r in got)

@@ -182,3 +182,36 @@ def test_survivorship_bias_oracle_on_random_tables(seed):
     con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
     got = sorted(con.execute(ORACLES["dedup_survivorship_bias"]).fetchall())
     assert got == survivorship_python(docs), seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_kmv_intersection_oracle_on_random_tables(seed):
+    """Overlap regimes the fixture can't reach: disjoint audiences
+    (exact = 0 with a nonzero estimate floor of 0), near-total overlap,
+    and sub-k populations (the exact-fallback branch)."""
+    from tests.test_r10_features import (
+        _PRIORITIES,
+        kmv_intersection_python,
+    )
+
+    rng = random.Random(17_000 + seed)
+    sparse = seed % 3 == 0  # sub-k fallback regime
+    dom = 40 if sparse else 400
+    rows = []
+    for ok in range(1, rng.randrange(60, 600)):
+        t = rng.choice(_PRIORITIES)
+        # segment-shifted customer domains create partial/disjoint overlap
+        base = _PRIORITIES.index(t) * (dom // 3)
+        rows.append((ok, t, base + rng.randrange(1, dom)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders(o_orderkey BIGINT, o_orderpriority VARCHAR,"
+        " o_custkey BIGINT)"
+    )
+    con.executemany("INSERT INTO orders VALUES (?, ?, ?)", rows)
+    got = sorted(
+        con.execute(ORACLES["agg_kmv_intersection_error"]).fetchall()
+    )
+    assert got == kmv_intersection_python(
+        [(t, c) for _ok, t, c in rows]
+    ), seed
