@@ -4,7 +4,9 @@ named closures (test_r10_fuzz_tail) — sketch-error audits (KMV rep),
 robust anomaly (MAD rep), nonparametric sequence tests (runs-test rep),
 rank-selection reporting (ntile deciles rep), distribution fitting
 (Zipf rep), embedding quantization audits (int8 rep), spectral
-decomposition (Haar rep), and corpus ledger rollups (token-budget rep).
+decomposition (Haar rep), corpus ledger rollups (token-budget rep),
+and two md5-pipeline reps (hashing-trick featurization; the
+packing-ledger append audit with planted exact-chunk boundaries).
 Same discipline as every *_oracle_fuzz file."""
 
 from __future__ import annotations
@@ -301,4 +303,99 @@ def test_token_budget_oracle_on_random_tables(seed):
         (s, v[0], v[1], v[2], _rnd(v[1] / v[0], 6), _rnd(v[1] / total, 6))
         for s, v in sorted(agg.items())
     ]
+    assert got == want, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_hashed_features_oracle_on_random_tables(seed):
+    """md5-pipeline family rep #2 (hashing-trick featurization):
+    colliding buckets forced by a small vocabulary over 1024 bins."""
+    rng = random.Random(13_800 + seed)
+    vocab = [f"t{i}" for i in range(rng.randrange(3, 60))]
+    docs = [
+        (
+            did,
+            " ".join(
+                rng.choice(vocab) for _ in range(rng.randrange(1, 50))
+            ),
+        )
+        for did in range(1, rng.randrange(10, 80))
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    got = sorted(
+        con.execute(ORACLES["text_hashed_features"]).fetchall()
+    )
+    want = []
+    for did, text in docs:
+        tf: dict[int, int] = {}
+        for term in text.split(" "):
+            b = _md5u32(term) % 1024
+            tf[b] = tf.get(b, 0) + 1
+        want.append(
+            (
+                did,
+                len(tf),
+                sum(tf.values()),
+                sum(c * c for c in tf.values()),
+                sum((b + 1) * c for b, c in tf.items()),
+            )
+        )
+    assert got == sorted(want), seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_pack_append_audit_oracle_on_random_tables(seed):
+    """md5-pipeline family rep #3 (packing-ledger stability): sparse and
+    dense id regimes swing which shards receive appends; exact 512-token
+    chunk boundaries planted via controlled doc lengths."""
+    rng = random.Random(13_900 + seed)
+    docs, did = [], 0
+    for _ in range(rng.randrange(20, 200)):
+        did += rng.randrange(1, rng.choice([2, 15]))
+        # lengths hit exact multiples of the 512 chunk size sometimes
+        n_tok = rng.choice([1, 7, 64, 128, 256, 512, 513])
+        docs.append((did, " ".join("w" for _ in range(n_tok))))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    got = sorted(
+        con.execute(ORACLES["pipeline_pack_append_audit"]).fetchall()
+    )
+    cutoff = max(d for d, _ in docs) * 9 // 10
+    shards: dict[str, list] = {}
+    for did_, text in sorted(docs):
+        b = hashlib.md5(str(did_).encode()).hexdigest()[0]
+        shards.setdefault(b, []).append(
+            (did_, len(text.split(" ")), did_ > cutoff)
+        )
+    want = []
+    for b, rows in sorted(shards.items()):
+        off = 0
+        chunks = []
+        for _did, tok, is_new in rows:
+            chunks.append((off // 512, is_new))
+            off += tok
+        n_old = sum(1 for _c, n in chunks if not n)
+        n_new = sum(1 for _c, n in chunks if n)
+        last_old = max((c for c, n in chunks if not n), default=None)
+        first_new = min((c for c, n in chunks if n), default=None)
+        # all-new shards: MIN(new) <= MAX(old) is NULL -> the CASE's ELSE 0
+        rewritten = (
+            0
+            if n_new == 0 or last_old is None
+            else (1 if first_new <= last_old else 0)
+        )
+        want.append(
+            (
+                b,
+                n_old,
+                n_new,
+                max(c for c, _n in chunks) + 1,
+                last_old,
+                first_new,
+                rewritten,
+            )
+        )
     assert got == want, seed
