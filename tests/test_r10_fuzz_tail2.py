@@ -5,8 +5,10 @@ robust anomaly (MAD rep), nonparametric sequence tests (runs-test rep),
 rank-selection reporting (ntile deciles rep), distribution fitting
 (Zipf rep), embedding quantization audits (int8 rep), spectral
 decomposition (Haar rep), corpus ledger rollups (token-budget rep),
-and two md5-pipeline reps (hashing-trick featurization; the
-packing-ledger append audit with planted exact-chunk boundaries).
+two md5-pipeline reps (hashing-trick featurization; the
+packing-ledger append audit with planted exact-chunk boundaries), and
+two count-min reps (inner-product join-size estimate; per-key point
+estimates on the exact top-10 under Pareto-skewed keys).
 Same discipline as every *_oracle_fuzz file."""
 
 from __future__ import annotations
@@ -398,4 +400,75 @@ def test_pack_append_audit_oracle_on_random_tables(seed):
                 rewritten,
             )
         )
+    assert got == want, seed
+
+
+_CMS_A = (131071, 786433, 919393, 611953)
+_CMS_B = (524287, 196613, 374321, 786431)
+_CMS_P = 2147483647
+_CMS_W = 256
+
+
+def _cms_counters(freqs: dict[int, int]) -> list[dict[int, int]]:
+    """From-scratch 4x256 count-min table over md5-u32 key hashes."""
+    rows: list[dict[int, int]] = [{} for _ in range(4)]
+    for key, n in freqs.items():
+        h = _md5u32(key)
+        for j in range(4):
+            b = ((_CMS_A[j] * h + _CMS_B[j]) % _CMS_P) % _CMS_W
+            rows[j][b] = rows[j].get(b, 0) + n
+    return rows
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_cms_selfjoin_size_oracle_on_random_tables(seed):
+    """CMS family rep #1: the inner-product join-size estimate, with a
+    skewed key so the estimate's collision overestimate is nonzero."""
+    rng = random.Random(14_000 + seed)
+    li = [
+        (min(int(rng.paretovariate(0.9)), 500),)
+        for _ in range(rng.randrange(100, 900))
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lineitem(l_partkey BIGINT)")
+    con.executemany("INSERT INTO lineitem VALUES (?)", li)
+    got = con.execute(ORACLES["agg_cms_selfjoin_size"]).fetchall()
+    freqs: dict[int, int] = {}
+    for (pk,) in li:
+        freqs[pk] = freqs.get(pk, 0) + 1
+    exact = sum(n * n for n in freqs.values())
+    rows = _cms_counters(freqs)
+    est = min(sum(c * c for c in r.values()) for r in rows)
+    assert got == [
+        (exact, est, est - exact, (est - exact) * 1_000_000 // exact)
+    ], seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_countmin_topk_error_oracle_on_random_tables(seed):
+    """CMS family rep #2: per-key point estimates on the exact top-10,
+    with heavy hitters AND a long tail so bucket collisions inflate
+    some estimates (the overest column's reason to exist)."""
+    rng = random.Random(14_100 + seed)
+    ev = []
+    for eid in range(rng.randrange(200, 900)):
+        u = min(int(rng.paretovariate(0.8)), 3000)
+        ev.append((eid, u))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(event_id BIGINT, user_id BIGINT)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", ev)
+    got = con.execute(ORACLES["agg_countmin_topk_error"]).fetchall()
+    freqs: dict[int, int] = {}
+    for _eid, u in ev:
+        freqs[u] = freqs.get(u, 0) + 1
+    rows = _cms_counters(freqs)
+    est = {}
+    for u in freqs:
+        h = _md5u32(u)
+        est[u] = min(
+            rows[j][((_CMS_A[j] * h + _CMS_B[j]) % _CMS_P) % _CMS_W]
+            for j in range(4)
+        )
+    top = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    want = [(u, n, est[u], est[u] - n) for u, n in top]
     assert got == want, seed
