@@ -8,7 +8,10 @@ decomposition (Haar rep), corpus ledger rollups (token-budget rep),
 two md5-pipeline reps (hashing-trick featurization; the
 packing-ledger append audit with planted exact-chunk boundaries), and
 two count-min reps (inner-product join-size estimate; per-key point
-estimates on the exact top-10 under Pareto-skewed keys).
+estimates on the exact top-10 under Pareto-skewed keys), and the
+heaviest md5 pipeline of all — the banded-MinHash estimate-error audit
+(16 affine min-hashes, 4×4 banding, exact-Jaccard comparison) on
+planted near-duplicates.
 Same discipline as every *_oracle_fuzz file."""
 
 from __future__ import annotations
@@ -472,3 +475,86 @@ def test_countmin_topk_error_oracle_on_random_tables(seed):
     top = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     want = [(u, n, est[u], est[u] - n) for u, n in top]
     assert got == want, seed
+
+
+_MH_P = 2147483647
+_MH_AB = (
+    (2058367755, 1250378731), (1328920189, 372282286),
+    (35052690, 260070992), (1425365892, 920539464),
+    (409468654, 638079615), (1652464807, 2033713062),
+    (1010120343, 873091422), (910172515, 1362467471),
+    (1577225783, 708511551), (1389507383, 1784693824),
+    (2003597556, 347112816), (2133395955, 1638263921),
+    (1962772767, 908613595), (1364526543, 932472842),
+    (1976978008, 656157898), (1457334632, 212322978),
+)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_minhash_estimate_error_oracle_on_random_tables(seed):
+    """The heaviest md5-pipeline rederivation: 8-char shingles, 16
+    explicit affine min-hashes over 2^31-1, the 4x4 banded candidate
+    rule, and the estimate-vs-exact-Jaccard audit — all from scratch.
+    Planted exact copies and near-duplicates guarantee banded
+    collisions; unrelated docs guarantee non-candidates."""
+    rng = random.Random(14_200 + seed)
+    alpha = "abcdefgh "
+    docs = []
+    did = 0
+    for _ in range(rng.randrange(4, 10)):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randrange(20, 60)))
+        did += 1
+        docs.append((did, base))
+        if rng.random() < 0.8:  # plant a near-dup or exact copy
+            did += 1
+            dup = base if rng.random() < 0.4 else base + rng.choice(alpha)
+            docs.append((did, dup))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    got = con.execute(
+        ORACLES["dedup_minhash_estimate_error"]
+    ).fetchall()
+
+    def shingle_set(text):
+        return {
+            text[i - 1 : i + 7]
+            for i in range(1, max(len(text) - 6, 2))
+        }
+
+    sh = {d: shingle_set(t) for d, t in docs}
+    sig = {
+        d: [
+            min((a * _md5u32_s(s) + b) % _MH_P for s in ss)
+            for a, b in _MH_AB
+        ]
+        for d, ss in sh.items()
+    }
+    want = []
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            bands = any(
+                sig[a][4 * j : 4 * j + 4] == sig[b][4 * j : 4 * j + 4]
+                for j in range(4)
+            )
+            if not bands:
+                continue
+            n_match = sum(1 for x, y in zip(sig[a], sig[b]) if x == y)
+            inter = len(sh[a] & sh[b])
+            exact = inter / (len(sh[a]) + len(sh[b]) - inter)
+            want.append(
+                (
+                    a,
+                    b,
+                    _rnd(n_match / 16.0, 6),
+                    _rnd(exact, 6),
+                    _rnd(abs(n_match / 16.0 - exact), 6),
+                )
+            )
+    assert got == want, seed
+    assert want, "no planted candidate survived — retune seed base"
+
+
+def _md5u32_s(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
