@@ -433,3 +433,19 @@ def test_kmv_intersection_matches_python(spark):
     # (populations >= k, so at least one pair carries nonzero error)
     assert all(r[1] > 0 for r in got)
     assert any(r[3] != 0 for r in got)
+
+
+# ---- cross-query consistency ---------------------------------------------
+
+
+def test_release_diff_consistent_with_manifest_and_corpus(spark):
+    """Cross-query ledger identities: the release diff's doc totals must
+    re-add to the corpus size, and agree with the shard manifest's own
+    doc total (1-digit and 2-digit shardings partition the SAME corpus)."""
+    n_docs = _fetch(
+        f"SELECT COUNT(*) FROM '{SF_SMALL}/documents.parquet'"
+    )[0][0]
+    diff = QUERIES["pipeline_release_diff"](spark, SF_SMALL).collect()
+    assert sum(r["docs_base"] + r["docs_added"] for r in diff) == n_docs
+    man = QUERIES["pipeline_shard_manifest"](spark, SF_SMALL).collect()
+    assert sum(r["n_docs"] for r in man) == n_docs

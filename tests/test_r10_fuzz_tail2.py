@@ -558,3 +558,52 @@ def test_minhash_estimate_error_oracle_on_random_tables(seed):
 
 def _md5u32_s(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_cosine_histogram_oracle_on_random_tables(seed):
+    """Embedding family rep #2: the sample-pair cosine sketch — planted
+    clusters guarantee high-cosine bins, the deterministic vec_id % 10
+    sample rule and the exact-integer dot / IEEE sqrt product chain
+    rederived from scratch."""
+    rng = random.Random(14_300 + seed)
+    dim = rng.choice((8, 16))
+    centers = [
+        [rng.randrange(-500_000, 500_000) for _ in range(dim)]
+        for _ in range(3)
+    ]
+    vecs = []
+    for vid in range(rng.randrange(40, 140)):
+        c = rng.choice(centers)
+        vecs.append(
+            (
+                vid,
+                [
+                    (c[d] + rng.randrange(-50_000, 50_000)) / 1e6
+                    for d in range(dim)
+                ],
+            )
+        )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", vecs)
+    got = sorted(
+        con.execute(ORACLES["embedding_cosine_histogram"]).fetchall()
+    )
+    sample = [
+        (vid, [round(x * 1e6) for x in emb])
+        for vid, emb in vecs
+        if vid % 10 == 0
+    ]
+    bins: dict[int, list[float]] = {}
+    for i, (va, ma) in enumerate(sample):
+        sa = sum(x * x for x in ma)
+        for vb, mb in sample[i + 1 :]:
+            sb = sum(x * x for x in mb)
+            dot = sum(x * y for x, y in zip(ma, mb))
+            cos = _rnd(dot / (math.sqrt(sa) * math.sqrt(sb)), 6)
+            bins.setdefault(math.floor((cos + 1.0) * 10), []).append(cos)
+    want = sorted(
+        (b, len(cs), min(cs), max(cs)) for b, cs in bins.items()
+    )
+    assert got == want, seed
