@@ -607,3 +607,53 @@ def test_cosine_histogram_oracle_on_random_tables(seed):
         (b, len(cs), min(cs), max(cs)) for b, cs in bins.items()
     )
     assert got == want, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_simhash_bands_oracle_on_random_tables(seed):
+    """Heavy md5 rep #2: the 64-bit SimHash — per-token md5 hi/lo u32
+    words, repeated-token votes (tok is NOT deduped), the strict
+    2·cnt > n majority rule, and the hamming ≤ 3 pair cut — all
+    rederived from scratch on planted near-duplicates (1-2 word edits)
+    and unrelated documents."""
+    rng = random.Random(14_400 + seed)
+    vocab = [f"w{i}" for i in range(40)]
+    docs, did = [], 0
+    for i in range(rng.randrange(4, 9)):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(12, 40))]
+        did += 1
+        docs.append((did, " ".join(words)))
+        if i == 0 or rng.random() < 0.8:
+            dup = list(words)
+            if i > 0:  # near-dup: edit 1-2 tokens (may or may not collide)
+                for _ in range(rng.randrange(1, 3)):
+                    dup[rng.randrange(len(dup))] = rng.choice(vocab)
+            # i == 0: one EXACT duplicate guarantees a hamming-0 pair,
+            # so the non-vacuity guard never depends on the draw
+            did += 1
+            docs.append((did, " ".join(dup)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    got = con.execute(ORACLES["dedup_simhash_bands"]).fetchall()
+
+    def simhash(tokens):
+        votes = [0] * 64
+        for w in tokens:
+            hx = hashlib.md5(w.encode()).hexdigest()
+            hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+            for b in range(64):
+                votes[b] += (lo >> b) & 1 if b < 32 else (hi >> (b - 32)) & 1
+        n = len(tokens)
+        return sum(1 << b for b in range(64) if 2 * votes[b] > n)
+
+    sig = {d: simhash(t.split(" ")) for d, t in docs}
+    ids = sorted(sig)
+    want = [
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    ]
+    assert got == want, seed
+    assert want, "no near-dup pair landed within hamming 3 — retune seeds"
