@@ -657,3 +657,60 @@ def test_simhash_bands_oracle_on_random_tables(seed):
     ]
     assert got == want, seed
     assert want, "no near-dup pair landed within hamming 3 — retune seeds"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_knn_triangle_oracle_on_random_tables(seed):
+    """Pins the shared _KNN_ORACLE spec itself (the SQL behind the
+    triangle/degree/jaccard/pagerank/assortativity oracles) on random
+    vectors: components are dyadic rationals k/64 so every product and
+    partial sum is EXACT in float64 (order-independent — no engine
+    summation-order hazard), cosines divide one exact dyadic dot by two
+    IEEE sqrts, ranking uses the ROUNDED cosine with neighbor_id ties,
+    and triangles are brute-force counted on the deduped undirected
+    edge set."""
+    rng = random.Random(14_500 + seed)
+    dim = 8
+    vecs = []
+    for vid in range(rng.randrange(15, 40)):
+        k = [rng.randrange(-64, 65) for _ in range(dim)]
+        if not any(k):
+            k[0] = 1  # no zero vectors (cosine undefined)
+        vecs.append((vid, k))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)",
+        [(vid, [x / 64.0 for x in k]) for vid, k in vecs],
+    )
+    got = con.execute(ORACLES["graph_triangle_count"]).fetchall()
+    norm2 = {vid: sum(x * x for x in k) for vid, k in vecs}
+    edges = set()
+    for vid, k in vecs:
+        scored = []
+        for wid, m in vecs:
+            if wid == vid:
+                continue
+            dot = sum(a * b for a, b in zip(k, m))
+            cos = _rnd(
+                (dot / 4096.0)
+                / (
+                    math.sqrt(norm2[vid] / 4096.0)
+                    * math.sqrt(norm2[wid] / 4096.0)
+                ),
+                6,
+            )
+            scored.append((-cos, wid))
+        for _c, wid in sorted(scored)[:3]:
+            edges.add((min(vid, wid), max(vid, wid)))
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    tri = sum(
+        1
+        for u, vs in adj.items()
+        for v in vs
+        for w in adj.get(v, ())
+        if w in adj.get(u, ())
+    )
+    assert got == [(tri, len(edges))], seed
