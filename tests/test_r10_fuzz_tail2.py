@@ -714,3 +714,47 @@ def test_knn_triangle_oracle_on_random_tables(seed):
         if w in adj.get(u, ())
     )
     assert got == [(tri, len(edges))], seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_ngram_jaccard_oracle_on_random_tables(seed):
+    """Completes the dedup-trio rederivations (MinHash, SimHash, and now
+    the EXACT bigram Jaccard): distinct adjacent-word bigrams over a
+    small vocabulary (heavy gram collisions), the threshold applied to
+    the ROUNDED value, exact copies guaranteeing pairs above the cut,
+    pure Python."""
+    rng = random.Random(14_600 + seed)
+    vocab = [f"v{i}" for i in range(12)]
+    docs, did = [], 0
+    for i in range(rng.randrange(4, 9)):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(6, 25))]
+        did += 1
+        docs.append((did, " ".join(words)))
+        if rng.random() < 0.8:
+            dup = list(words)
+            if i % 2:  # near-dup: one word edit
+                dup[rng.randrange(len(dup))] = rng.choice(vocab)
+            did += 1
+            docs.append((did, " ".join(dup)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    got = con.execute(ORACLES["dedup_ngram_jaccard"]).fetchall()
+
+    def grams(text):
+        ws = text.split(" ")
+        return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+
+    g = {d: grams(t) for d, t in docs}
+    want = []
+    ids = sorted(g)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(g[a] & g[b])
+            if inter == 0:
+                continue  # no shared gram -> no inter row at all
+            j = _rnd(inter / (len(g[a]) + len(g[b]) - inter), 6)
+            if j >= 0.6:
+                want.append((a, b, j))
+    assert got == want, seed
+    assert want, "no pair cleared the 0.6 cut — retune seed base"
