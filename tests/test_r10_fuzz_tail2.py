@@ -8,10 +8,13 @@ decomposition (Haar rep), corpus ledger rollups (token-budget rep),
 two md5-pipeline reps (hashing-trick featurization; the
 packing-ledger append audit with planted exact-chunk boundaries), and
 two count-min reps (inner-product join-size estimate; per-key point
-estimates on the exact top-10 under Pareto-skewed keys), and the
-heaviest md5 pipeline of all — the banded-MinHash estimate-error audit
-(16 affine min-hashes, 4×4 banding, exact-Jaccard comparison) on
-planted near-duplicates.
+estimates on the exact top-10 under Pareto-skewed keys), the heavy
+hash pipelines themselves — banded MinHash (16 affine min-hashes, 4×4
+banding, exact-Jaccard comparison), 64-bit SimHash (repeated-token
+votes, strict majority, hamming ≤ 3), exact bigram Jaccard — the
+sample-pair cosine histogram, and the shared _KNN_ORACLE spec on
+dyadic-rational vectors (exact float64 sums → no summation-order
+hazard).
 Same discipline as every *_oracle_fuzz file."""
 
 from __future__ import annotations
