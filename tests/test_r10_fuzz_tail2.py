@@ -761,3 +761,56 @@ def test_ngram_jaccard_oracle_on_random_tables(seed):
                 want.append((a, b, j))
     assert got == want, seed
     assert want, "no pair cleared the 0.6 cut — retune seed base"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_decontaminate_oracle_on_random_tables(seed):
+    """Curation-screen rep: benchmark-contamination by distinct-bigram
+    containment — planted train docs EMBEDDING a bench doc's text
+    (contaminated, above the shared*2 >= n cut) next to clean docs,
+    pure-Python rederivation."""
+    rng = random.Random(14_700 + seed)
+    vocab = [f"c{i}" for i in range(15)]
+
+    def mk(n):
+        return [rng.choice(vocab) for _ in range(n)]
+
+    docs, did = [], 0
+    benches = []
+    for _ in range(rng.randrange(2, 5)):  # bench docs (source src0)
+        did += 1
+        b = mk(rng.randrange(5, 15))
+        benches.append(b)
+        docs.append((did, "src0", " ".join(b)))
+    for _ in range(rng.randrange(3, 8)):  # train docs
+        did += 1
+        if rng.random() < 0.5 and benches:  # contaminated: embed a bench
+            b = rng.choice(benches)
+            text = mk(rng.randrange(0, 5)) + b + mk(rng.randrange(0, 5))
+        else:
+            text = mk(rng.randrange(5, 25))
+        docs.append((did, f"src{rng.randrange(1, 4)}", " ".join(text)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, source VARCHAR, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", docs)
+    got = con.execute(ORACLES["text_decontaminate"]).fetchall()
+
+    def grams(text):
+        ws = text.split(" ")
+        return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+
+    bench = {d: grams(t) for d, s, t in docs if s == "src0"}
+    train = {d: grams(t) for d, s, t in docs if s != "src0"}
+    want = []
+    for td in sorted(train):
+        for bd in sorted(bench):
+            shared = len(train[td] & bench[bd])
+            if shared == 0 or shared * 2 < len(bench[bd]):
+                continue
+            want.append(
+                (td, bd, shared, _rnd(shared / len(bench[bd]), 6))
+            )
+    assert got == want, seed
+    assert want, "no planted contamination cleared the cut — retune seeds"
