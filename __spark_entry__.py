@@ -19,42 +19,23 @@ import paraslice_spark.operators  # noqa: F401  (registers all queries)
 from paraslice_spark.registry import ORACLES, QUERIES
 
 # The driver grades the FIRST ~50 queries of this dict per round, so order
-# encodes grading priority.  Round-10 re-tier (VERDICT r9 next-round #2):
-# every declared name holds a post-regeneration driver verdict (the r4-r9
-# union covers 258/258 with no standing failure), so rotation remains
-# freshness maintenance.  Tier 0 (no tuple): the new r10 additions — they
-# lead the sample (budget ≤ ~6).  Tier 1: the 11 r4-graded stragglers
-# CORRECTNESS_r09's ~50 sample didn't reach — the oldest standing
-# verdicts, promoted first.  Tiers 2-5: r5-, r6-, r7-, r8-graded names in
-# verdict-age order.  Tier 6: the 50 names CORRECTNESS_r09 graded (the
-# freshest verdicts — last in line; the 33 r4-tier names it refreshed
-# moved here from the old tier 1).
-# Budget check: ≤6 tier-0 names + the 11 stragglers + ~33 of tier 2's 50
-# fill the ~50 sample, so CORRECTNESS_r10 grades every r10 addition, ends
-# the r4 era entirely, and starts refreshing the r5 tier (finish r11).
-_T1_R4_TAIL: tuple[str, ...] = (
-    "scalar_conditional_pack", "scalar_datetime_pack", "scalar_math_pack",
-    "scalar_string_pack", "set_except", "set_except_all", "set_intersect",
-    "set_intersect_all", "set_union_all", "set_union_distinct",
-    "similarity_topk_cosine",
-)
+# encodes grading priority.  Round-11 re-tier (VERDICT r10 next-round #1):
+# CORRECTNESS_r10 graded 50/50 clean — the 6 r10 tier-0 additions, all 11
+# of the old _T1_R4_TAIL, and 33 of _T2_R5_GRADED — so the r4 era is fully
+# closed (tuple deleted) and _T2 shrinks to its 17 ungraded r5 stragglers,
+# now the oldest standing verdicts and therefore tier 1.  The 50 names r10
+# graded move to _T7_R10_GRADED at the back.  Tier 0 (no tuple): new r11
+# additions lead the sample (budget ≤ ~6).
+# Budget check: ≤6 tier-0 names + the 17 r5 stragglers + ~27 of the r6
+# tier's 48 fill the ~50 sample, so CORRECTNESS_r11 grades every r11
+# addition, ends the r5 era entirely, and starts refreshing the r6 tier.
 _T2_R5_GRADED: tuple[str, ...] = (
-    "agg_mode_deterministic", "q6_forecast_revenue", "q18_large_orders",
-    "q4_priority_late_ship", "q7_volume_shipping",
-    "multimodal_feature_extract", "events_funnel", "events_retention",
-    "events_funnel_users", "events_topk_paths", "events_streaks",
-    "dedup_edit_distance", "dedup_groups_star", "embedding_gram_matrix",
-    "similarity_knn_graph", "dedup_incremental_fp", "dedup_simhash_bands",
-    "sort_limit_offset", "sort_multikey_nulls", "stream_asof_join",
-    "subquery_correlated_scalar", "subquery_in", "subquery_scalar",
-    "tensor_build_coords", "text_langid", "text_ngrams", "text_profile",
-    "text_quality", "text_tfidf", "text_wordcount", "topk_revenue",
-    "scan_events_ts", "join_time_interval", "join_asof",
-    "join_self_sequences", "stream_tumbling_counts", "stream_sliding_avg",
-    "stream_session_windows", "stream_dedup_exact", "agg_count_distinct",
-    "agg_multi_distinct", "agg_conditional", "agg_cube", "agg_global",
-    "agg_grouping_sets", "agg_histogram", "agg_max_by", "agg_percentile",
-    "agg_pivot", "agg_pricing_summary",
+    # the 17 r5-graded names CORRECTNESS_r10's sample didn't reach
+    "join_asof", "join_self_sequences", "stream_tumbling_counts",
+    "stream_sliding_avg", "stream_session_windows", "stream_dedup_exact",
+    "agg_count_distinct", "agg_multi_distinct", "agg_conditional",
+    "agg_cube", "agg_global", "agg_grouping_sets", "agg_histogram",
+    "agg_max_by", "agg_percentile", "agg_pivot", "agg_pricing_summary",
 )
 _T3_R6_GRADED: tuple[str, ...] = (
     "q3_shipping_priority", "q10_returned_revenue", "q14_promo_share",
@@ -152,6 +133,28 @@ _T6_R9_GRADED: tuple[str, ...] = (
     "events_hourly_gapfill", "join_right_outer", "multimodal_join",
     "sample_stratified_hash", "scalar_bitwise_pack", "scalar_cast_pack",
 )
+_T7_R10_GRADED: tuple[str, ...] = (
+    # the 50 names CORRECTNESS_r10 graded: the 6 r10 additions + all 11 of
+    # the old r4 tail + 33 of the r5 tier
+    "agg_kmv_intersection_error", "stats_join_cardinality_audit",
+    "events_session_watermark_audit", "dedup_survivorship_bias",
+    "pipeline_release_diff", "similarity_quantizer_append_audit",
+    "scalar_conditional_pack", "scalar_datetime_pack", "scalar_math_pack",
+    "scalar_string_pack", "set_except", "set_except_all", "set_intersect",
+    "set_intersect_all", "set_union_all", "set_union_distinct",
+    "similarity_topk_cosine",
+    "agg_mode_deterministic", "q6_forecast_revenue", "q18_large_orders",
+    "q4_priority_late_ship", "q7_volume_shipping",
+    "multimodal_feature_extract", "events_funnel", "events_retention",
+    "events_funnel_users", "events_topk_paths", "events_streaks",
+    "dedup_edit_distance", "dedup_groups_star", "embedding_gram_matrix",
+    "similarity_knn_graph", "dedup_incremental_fp", "dedup_simhash_bands",
+    "sort_limit_offset", "sort_multikey_nulls", "stream_asof_join",
+    "subquery_correlated_scalar", "subquery_in", "subquery_scalar",
+    "tensor_build_coords", "text_langid", "text_ngrams", "text_profile",
+    "text_quality", "text_tfidf", "text_wordcount", "topk_revenue",
+    "scan_events_ts", "join_time_interval",
+)
 
 
 def _rotated(d: dict) -> dict:
@@ -159,12 +162,12 @@ def _rotated(d: dict) -> dict:
     tier = {}
     for t, names in enumerate(
         (
-            _T1_R4_TAIL,
             _T2_R5_GRADED,
             _T3_R6_GRADED,
             _T4_R7_GRADED,
             _T5_R8_GRADED,
             _T6_R9_GRADED,
+            _T7_R10_GRADED,
         ),
         start=1,
     ):

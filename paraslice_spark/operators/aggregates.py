@@ -1524,7 +1524,7 @@ def _kmv_intersection_oracle() -> str:
     )
     fi = {t: i for i, t in enumerate(_KMV_PRIORITIES)}
     pair_sel = "\n      UNION ALL\n      ".join(
-        f"SELECT '{a}|{b}' AS pair, h,"
+        f"SELECT '{a}|{b}' AS pair, h, c,"
         f" (f{fi[a]} = 1 AND f{fi[b]} = 1) AS in_both"
         f" FROM flags WHERE f{fi[a]} = 1 OR f{fi[b]} = 1"
         for a, b in _KMV_PAIRS
@@ -1541,8 +1541,10 @@ def _kmv_intersection_oracle() -> str:
     p AS MATERIALIZED (
       {pair_sel}),
     r AS (
+      -- tie-break on c: an md5-u32 collision straddling rank k must pick
+      -- the same row in both engines (ADVICE r10 #1)
       SELECT pair, h, in_both,
-             row_number() OVER (PARTITION BY pair ORDER BY h) AS rk
+             row_number() OVER (PARTITION BY pair ORDER BY h, c) AS rk
       FROM p),
     sk AS (
       SELECT pair,
@@ -1552,13 +1554,16 @@ def _kmv_intersection_oracle() -> str:
     ex AS (
       SELECT pair, COUNT(CASE WHEN in_both THEN 1 END) AS exact_n
       FROM p GROUP BY 1)
+    -- GREATEST(vk, 1): md5_u32's range includes 0; a vk of 0 (k hashes all
+    -- zero) must floor-div deterministically, not raise/NULL-diverge
+    -- between engines (ADVICE r10 #2)
     SELECT ex.pair, exact_n,
            CASE WHEN vk IS NULL THEN exact_n
-                ELSE (({_KMV_K} - 1) * 4294967296 // vk) * cnt_both
-                     // {_KMV_K} END AS kmv_n,
+                ELSE (({_KMV_K} - 1) * 4294967296 // GREATEST(vk, 1))
+                     * cnt_both // {_KMV_K} END AS kmv_n,
            CASE WHEN vk IS NULL THEN CAST(0 AS BIGINT)
-                ELSE (({_KMV_K} - 1) * 4294967296 // vk) * cnt_both
-                     // {_KMV_K} - exact_n END AS err
+                ELSE (({_KMV_K} - 1) * 4294967296 // GREATEST(vk, 1))
+                     * cnt_both // {_KMV_K} - exact_n END AS err
     FROM ex JOIN sk USING (pair)
     """
 
@@ -1610,7 +1615,9 @@ def agg_kmv_intersection_error(
         for i, t in enumerate(_KMV_PRIORITIES)
     ]
     flags = u.groupBy("c").agg(*flag_aggs).select(
-        md5_u32("c").alias("h"), *[f"f{i}" for i in range(len(_KMV_PRIORITIES))]
+        md5_u32("c").alias("h"),
+        "c",
+        *[f"f{i}" for i in range(len(_KMV_PRIORITIES))],
     )
     fi = {t: i for i, t in enumerate(_KMV_PRIORITIES)}
     structs = [
@@ -1624,11 +1631,12 @@ def agg_kmv_intersection_error(
     # p feeds the exact rollup AND the sketch path (the kmv_distinct
     # multi-consumer rule) — one materialization
     p = (
-        flags.select("h", F.explode(F.array(*structs)).alias("s"))
+        flags.select("h", "c", F.explode(F.array(*structs)).alias("s"))
         .where((F.col("s.fa") == 1) | (F.col("s.fb") == 1))
         .select(
             F.col("s.pair").alias("pair"),
             "h",
+            "c",
             ((F.col("s.fa") == 1) & (F.col("s.fb") == 1)).alias("in_both"),
         )
         .localCheckpoint(eager=False)
@@ -1636,10 +1644,12 @@ def agg_kmv_intersection_error(
     ex = p.groupBy("pair").agg(
         F.count(F.when(F.col("in_both"), F.lit(1))).alias("exact_n")
     )
-    w = Window.partitionBy("pair").orderBy("h")
+    # tie-break on c: an md5-u32 collision straddling rank k must pick the
+    # same row in both engines (ADVICE r10 #1)
+    w = Window.partitionBy("pair").orderBy("h", "c")
     # the rank window stands ALONE so rk <= k plans as WindowGroupLimit
     sk = (
-        p.select("pair", "h", "in_both", F.row_number().over(w).alias("rk"))
+        p.select("pair", "h", "in_both", "c", F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= _KMV_K)
         .groupBy("pair")
         .agg(
@@ -1648,9 +1658,13 @@ def agg_kmv_intersection_error(
         )
     )
     g = ex.join(F.broadcast(sk), "pair")
+    # greatest(vk, 1): md5_u32's range includes 0; keep the 0 case a
+    # deterministic floor-div rather than an engine-divergent null/error
+    # (ADVICE r10 #2)
     est = F.when(F.col("vk").isNull(), F.col("exact_n")).otherwise(
         F.expr(
-            f"(({_KMV_K} - 1) * 4294967296 div vk) * cnt_both div {_KMV_K}"
+            f"(({_KMV_K} - 1) * 4294967296 div greatest(vk, 1))"
+            f" * cnt_both div {_KMV_K}"
         )
     )
     return g.select(

@@ -874,6 +874,12 @@ def test_novelty_curve_gated_vocab_dim(spark, monkeypatch):
     monkeypatch.setenv("PARASLICE_BROADCAST_VOCAB", "1")
     forced = plan(QUERIES["text_novelty_curve"](spark, SF_SMALL))
     assert "SortMergeJoin" not in forced, forced
+    # stand-alone ON-branch guarantee (ADVICE r10 #3): the forced plan must
+    # contain a broadcast-hash join outright.  A strict > on exchange count
+    # is impossible at this SF — the gated default ALSO broadcasts (the
+    # static planner sizes the tiny dim under the 10MB threshold, which is
+    # exactly the gate's contract: planner-chosen, not hint-forced).
+    assert "BroadcastHashJoin" in forced, forced
     assert forced.count("BroadcastExchange") >= p.count("BroadcastExchange"), (
         p, forced,
     )
