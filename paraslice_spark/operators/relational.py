@@ -725,3 +725,113 @@ def stats_join_cardinality_audit(
             "hist_under_ppm"
         ),
     )
+
+
+#: the candidate hash-sample rates the sweep prices (ppm of the corpus)
+_SAMPLE_RATES_PPM = (10_000, 50_000, 100_000, 250_000)
+
+
+@query(
+    "stats_sample_error_sweep",
+    oracle=f"""
+    WITH o AS MATERIALIZED (
+      SELECT {md5_u32_sql('o_orderkey')} % 1000000 AS r,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_full,
+                 CAST(SUM(cents) AS BIGINT) // COUNT(*) AS mean_full
+          FROM o),
+    rt AS (SELECT CAST(unnest([{', '.join(str(r) for r in _SAMPLE_RATES_PPM)}])
+                       AS BIGINT) AS rate_ppm),
+    s AS (SELECT rate_ppm,
+                 COUNT(CASE WHEN r < rate_ppm THEN 1 END) AS n_samp,
+                 CAST(SUM(CASE WHEN r < rate_ppm THEN cents ELSE 0 END)
+                      AS BIGINT) AS sum_samp
+          FROM o, rt GROUP BY 1)
+    SELECT rate_ppm, n_samp,
+           n_samp * 1000000 // rate_ppm AS est_rows, n_full,
+           ABS(n_samp * 1000000 // rate_ppm - n_full) * 1000000 // n_full
+             AS rows_err_ppm,
+           sum_samp // GREATEST(n_samp, 1) AS mean_samp_cents,
+           mean_full AS mean_full_cents,
+           ABS(sum_samp // GREATEST(n_samp, 1) - mean_full) * 1000000
+             // mean_full AS mean_err_ppm
+    FROM s, f ORDER BY rate_ppm
+    """,
+)
+def stats_sample_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLING-ERROR SWEEP — the calibration table behind every
+    "estimate it on a sample" decision at 100 TB (the watermark
+    delay-sweep discipline applied to sampling): price the candidate
+    content-hash sample rates 1% / 5% / 10% / 25% against exact ground
+    truth in ONE corpus pass — rows-scaled-up error and sample-mean
+    error (orders total price, integer cents), both in ppm.
+
+    The sample is the house md5_u32(o_orderkey) % 1e6 < rate rule —
+    deterministic, engine-portable, append-stable (a row's membership
+    never changes as the corpus grows — the sample_split_stability_audit
+    argument), and uniform: md5_u32 is 32-bit so % 1e6 wraps ~4295 full
+    cycles (remainder bias < 0.01% — dispersion sanity-checked, the r10
+    md5-modulus trap).  Expected shape (measured): errors fall roughly
+    as 1/√(rate·n) — sf0.01: mean_err ~ 1.6k-13k ppm shrinking with
+    rate; an error NOT shrinking as rates grow would fingerprint a
+    hash/metric correlation.
+
+    EXACT INTEGERS: cents via round(×100) (2-decimal money double →
+    lossless int64), means by floor division on non-negative operands
+    (GREATEST(n,1) guards the empty sample exactly like the KMV vk
+    guard), errors as |est−truth|·10⁶ div truth.
+
+    Scale shape: ZERO shuffles beyond one map-combined global agg — all
+    four rates are conditional aggregates inside ONE pass over orders
+    (the delay-sweep idiom: no per-rate re-scan, no fanout join), then a
+    4-row stack computes the report.  The oracle prices the same sweep
+    off a 4-row cross join."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        (md5_u32("o_orderkey") % 1_000_000).alias("r"),
+        cents("o_totalprice").alias("cents"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_full"),
+        F.expr("CAST(sum(cents) AS BIGINT) div count(1)").alias("mean_full"),
+    ]
+    for rp in _SAMPLE_RATES_PPM:
+        cond = F.col("r") < rp
+        aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"n{rp}"))
+        aggs.append(
+            F.sum(F.when(cond, F.col("cents")).otherwise(F.lit(0))).alias(
+                f"s{rp}"
+            )
+        )
+    t = o.agg(*aggs)
+    pairs = ", ".join(
+        f"CAST({rp} AS BIGINT), n{rp}, s{rp}" for rp in _SAMPLE_RATES_PPM
+    )
+    return (
+        t.selectExpr(
+            "n_full",
+            "mean_full",
+            f"stack({len(_SAMPLE_RATES_PPM)}, {pairs})"
+            " AS (rate_ppm, n_samp, sum_samp)",
+        )
+        .select(
+            "rate_ppm",
+            "n_samp",
+            F.expr("n_samp * 1000000 div rate_ppm").alias("est_rows"),
+            "n_full",
+            F.expr(
+                "abs(n_samp * 1000000 div rate_ppm - n_full) * 1000000"
+                " div n_full"
+            ).alias("rows_err_ppm"),
+            F.expr("sum_samp div greatest(n_samp, 1)").alias(
+                "mean_samp_cents"
+            ),
+            F.col("mean_full").alias("mean_full_cents"),
+            F.expr(
+                "abs(sum_samp div greatest(n_samp, 1) - mean_full)"
+                " * 1000000 div mean_full"
+            ).alias("mean_err_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("rate_ppm")
+    )
