@@ -442,7 +442,14 @@ def events_retention_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame
     ≤3-row broadcast join."""
     ev = load_tables(spark, sf_dir)["events"]
     day = F.expr("ts_ns div 86400000000000")
-    act = ev.select("user_id", day.alias("day")).distinct()
+    # act feeds the cohort/band chain AND the final join: checkpoint the
+    # O(users x days) reduction so events is scanned ONCE (the plan read 3
+    # parquet passes before this — the kmv multi-consumer rule)
+    act = (
+        ev.select("user_id", day.alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     u = act.groupBy("user_id").agg(
         F.min("day").alias("c"), F.count(F.lit(1)).alias("nd")
     )
@@ -861,7 +868,13 @@ def sample_split_stability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pays the windows once to prove it; production uses the hash rule.
     All counts exact integers; bucket arithmetic on non-negative
     operands."""
-    d = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    # the id column feeds the cutoff, the hash branch and BOTH ordinal
+    # windows: checkpoint it so documents is scanned ONCE (was 6 passes)
+    d = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
     cut = d.agg((F.max("doc_id") * 4).cast("long").alias("m")).select(
         F.expr("m div 5").alias("cutoff")
     )

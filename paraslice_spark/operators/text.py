@@ -1704,7 +1704,13 @@ def pipeline_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"].select(
         _pack_bucket(1).alias("shard"), "lang"
     )
-    cell = d.groupBy("shard", "lang").agg(F.count(F.lit(1)).alias("n_cell"))
+    # cell feeds shard totals, corpus totals AND the grid: checkpoint the
+    # <=(16·langs)-row rollup so documents is scanned ONCE (was 2 passes)
+    cell = (
+        d.groupBy("shard", "lang")
+        .agg(F.count(F.lit(1)).alias("n_cell"))
+        .localCheckpoint(eager=False)
+    )
     sh = cell.groupBy("shard").agg(F.sum("n_cell").alias("n_shard"))
     corp = cell.groupBy("lang").agg(F.sum("n_cell").alias("n_lang"))
     tot = corp.agg(F.sum("n_lang").alias("n"))

@@ -66,6 +66,11 @@ _REPRESENTATIVES = (
     "pipeline_release_diff",              # 256-shard then 3-key map-combined rollups
     "dedup_survivorship_bias",            # fp shuffle with min/min_by winner agg
     "agg_kmv_intersection_error",         # explode stack + WindowGroupLimit prune
+    # r11 shapes:
+    "events_retention_survivorship",      # checkpointed act + band broadcasts
+    "sample_split_stability_audit",       # two global rank windows + hash branch
+    "pipeline_shard_balance_audit",       # checkpointed cell + grid gap-fill
+    "stats_sample_error_sweep",           # zero-shuffle conditional-agg sweep
 )
 
 

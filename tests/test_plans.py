@@ -1014,3 +1014,54 @@ def test_kmv_intersection_prunes_via_window_group_limit(spark):
     # the pair frames are the one-materialization explode base (the
     # multi-consumer localCheckpoint idiom), not a join build
     assert "Scan ExistingRDD" in p, p
+
+
+def test_retention_survivorship_single_events_pass(spark):
+    """events_retention_survivorship claims the checkpointed-act shape:
+    the O(users x days) distinct table is materialized once (events
+    never re-scanned per consumer), bands come from a 1-row bounds
+    broadcast (no rank window anywhere), and cohort sizes arrive by
+    broadcast — no sort-merge join in the plan."""
+    p = plan(QUERIES["events_retention_survivorship"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
+    assert "Window [" not in p and "row_number" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastExchange") >= 2, p  # bounds + cohort sizes
+
+
+def test_split_stability_two_global_windows_and_windowless_hash_branch(spark):
+    """sample_split_stability_audit claims its OWN lesson as plan shape:
+    the ordinal branch needs exactly TWO global (unpartitioned) rank
+    windows — the full-sort evidence the docstring cites — while the
+    hash branch contributes zero windows; the doc_id column feeds all
+    consumers from one checkpoint (documents scanned once)."""
+    p = plan(QUERIES["sample_split_stability_audit"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert len(wins) == 2, p
+    # unpartitioned: the Window lines carry an ORDER spec but no
+    # partition expressions before it (global sort is the point)
+    assert all("row_number" in w for w in wins), p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_shard_balance_single_cell_rollup(spark):
+    """pipeline_shard_balance_audit claims the one-shuffle shape: the
+    <=(16·langs)-row (shard, lang) cell table is checkpointed and every
+    other frame (shard totals, corpus totals, grid, deviations) derives
+    from it — documents scanned once, no window, no sort-merge join."""
+    p = plan(QUERIES["pipeline_shard_balance_audit"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
+    assert "Window [" not in p and "SortMergeJoin" not in p, p
+
+
+def test_sample_error_sweep_zero_shuffle_single_pass(spark):
+    """stats_sample_error_sweep claims the delay-sweep shape: ONE parquet
+    pass, all four rates as conditional aggregates in one map-combined
+    global agg (zero hash exchanges), a 4-row stack after — no join, no
+    window, nothing ordered upstream of the 4-row presentation sort."""
+    p = plan(QUERIES["stats_sample_error_sweep"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("Exchange hashpartitioning") == 0, p
+    assert "Window [" not in p and "Join" not in p, p
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in p, p
