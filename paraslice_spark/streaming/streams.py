@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from paraslice_spark.registry import query
+
 #: events schema with ts as raw ns-epoch longs (synthetic replay batches and
 #: the Kafka JSON payloads are written in this shape)
 EVENTS_RAW_SCHEMA = (
@@ -887,3 +889,157 @@ def stream_countmin_counters(events: DataFrame) -> DataFrame:
     h = events.select(cms_hash().alias("h"))
     buckets = h.select(cms_buckets(F.col("h")).alias("j", "bucket"))
     return buckets.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+#: replay geometry for the DECLARED streaming query: enough micro-batches
+#: that the watermark advances (and evicts) mid-stream, few enough that the
+#: whole replay stays in the local job-floor band
+SSWR_BATCHES = 6
+
+#: (application id, sf_dir) -> checkpointed result of the declared replay —
+#: the stream executes ONCE per session+sf (the _replay_wm_cached contract);
+#: the driver's count/collect actions replay the checkpoint, not the stream
+_sswr_cache: dict = {}
+
+
+@query("stream_session_watermark_replay")
+def stream_session_watermark_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DECLARED REAL-STREAMING session×watermark replay — the first
+    declared query that executes the actual Structured Streaming engine
+    (file source → withWatermark → session_window → append-mode memory
+    sink), not a batch twin: the events fixture is replayed through
+    :func:`watermarked_sessions` under the SAME regime as the r10 batch
+    audit (reshape.events_session_watermark_audit: 12 h session gap, 2 h
+    watermark delay, md5-bounded ≤24 h ingestion disorder), and the
+    emitted-session ledger plus the engine's own late-drop counter are
+    returned as a deterministic per-day rollup.
+
+    ROWS-ONLY BY DESIGN: the output is a function of Spark's
+    session-window eviction semantics (pinned EXECUTABLE in
+    tests/test_streaming.py::test_st34_* — lag-one eviction,
+    post-eviction drop, merge-rescue), which no SQL oracle reproduces;
+    the batch audit is its conservative-bound twin (divergence stated in
+    its docstring).  Determinism is property-tested instead: batch
+    assignment is a pure function of (event_id, ts) — arrival =
+    ts_ns + (md5_u32(event_id) % 86400) s, the audit's exact disorder —
+    cut into SSWR_BATCHES equi-width arrival buckets (1-row bounds
+    broadcast), each written as exactly ONE parquet file (repartition by
+    bucket), replayed one-file-per-trigger in explicit mtime order, so
+    two replays of the same fixture produce identical ledgers
+    (tests/test_r11_streaming_replay.py runs the stream twice).
+
+    Scale shape: the replay harness is the test-rig part (one events
+    pass writes the batch files; a real deployment readStreams from its
+    real source) — the STREAMING plan itself is the 100 TB shape:
+    per-user session state, watermark-bounded, append-mode emission;
+    state size is O(open sessions), the drop counter is the engine's
+    own numRowsDroppedByWatermark.  Output: per emitted-session day —
+    sessions, users, events — plus the replay constants (batches,
+    engine-counted late drops); sessions still open at end-of-stream are
+    unemitted by append semantics (stated, not a bug)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from paraslice_spark.operators.reshape import EP_MAX_DELAY_S
+    from paraslice_spark.sources.io import _session_key, load_tables
+
+    key = (_session_key(spark), sf_dir.rstrip("/"))
+    if key in _sswr_cache:
+        return _sswr_cache[key]
+
+    from paraslice_spark.functions.canon import md5_u32
+
+    ev = load_tables(spark, sf_dir)["events"]
+    arr = (F.col("ts_ns") + (md5_u32("event_id") % EP_MAX_DELAY_S) * 1_000_000_000)
+    tagged = ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+        arr.alias("arr"),
+    )
+    bounds = tagged.agg(
+        F.min("arr").alias("mn"), F.max("arr").alias("mx")
+    )
+    # equi-width arrival buckets + a deterministic 5% straggler cohort
+    # displaced TWO batches late (md5 selection).  +2 is load-bearing: the
+    # pinned st34 lag-one semantics evict a bucket's sessions at the START
+    # of the next batch, and a row arriving in that same batch still
+    # MERGES — a one-batch displacement measured 0-2 drops at every SF
+    # (the rescue path, vacuous for the drop counter); two batches puts
+    # stragglers firmly post-eviction, so the engine's
+    # numRowsDroppedByWatermark path is genuinely exercised
+    straggler = (md5_u32("event_id") % 20 == 0).cast("long")
+    b = F.least(
+        F.lit(SSWR_BATCHES - 1),
+        F.expr(f"(arr - mn) * {SSWR_BATCHES} div (mx - mn + 1)")
+        + straggler * 2,
+    )
+    stage = tempfile.mkdtemp(prefix="paraslice_sswr_stage_")
+    replay = tempfile.mkdtemp(prefix="paraslice_sswr_replay_")
+    name = "sswr_" + uuid.uuid4().hex[:12]
+    try:
+        (
+            tagged.crossJoin(F.broadcast(bounds))
+            .select(
+                b.alias("b"),
+                "event_id", "ts", "user_id", "event_type", "value", "props",
+            )
+            .repartition(SSWR_BATCHES, F.col("b"))
+            .write.partitionBy("b")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        for i in range(SSWR_BATCHES):
+            parts = sorted(glob.glob(f"{stage}/b={i}/part-*.parquet"))
+            if not parts:  # an arrival bucket can be empty at tiny SFs
+                continue
+            assert len(parts) == 1, parts  # repartition-by-b contract
+            dst = f"{replay}/batch-{i:03d}.parquet"
+            shutil.move(parts[0], dst)
+            t = 1_700_000_000 + i * 60
+            os.utime(dst, (t, t))
+        stream = events_file_stream(spark, replay, max_files_per_trigger=1)
+        agg = watermarked_sessions(stream, watermark="2 hours", gap="12 hours")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for so in (p["stateOperators"] or [])
+        )
+        day = F.expr("unix_micros(session_start) div 86400000000")
+        res = (
+            spark.table(name)
+            .groupBy(day.alias("session_day"))
+            .agg(
+                F.count(F.lit(1)).alias("n_sessions"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum("n_events").alias("n_events"),
+            )
+            .select(
+                "session_day", "n_sessions", "n_users", "n_events",
+                F.lit(SSWR_BATCHES).cast("long").alias("n_batches"),
+                F.lit(int(dropped)).cast("long").alias("dropped_late"),
+            )
+            .repartition(1)
+            .sortWithinPartitions("session_day")
+            .localCheckpoint(eager=True)  # seal before the dirs vanish
+        )
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass  # sink view never materialized (stream failed early)
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(replay, ignore_errors=True)
+    _sswr_cache[key] = res
+    return res
