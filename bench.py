@@ -143,6 +143,13 @@ def main() -> None:
                 "tensor_mode_skew_profile", "tensor_slices",
                 "tucker_hosvd_core",
             ],
+            # the declared real-streaming replay executes its stream ONCE
+            # per session+sf and checkpoints the ledger: its best-of-N row
+            # is the checkpoint replay; the stream's own cost (~6-16 s)
+            # lands in wallclock_all_runs on the first run
+            "streaming_replay_result": [
+                "stream_session_watermark_replay",
+            ],
         },
     }
     print(json.dumps(payload))
