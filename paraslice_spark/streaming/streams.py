@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from paraslice_spark.functions.canon import md5_u32_sql
 from paraslice_spark.registry import query
 
 #: events schema with ts as raw ns-epoch longs (synthetic replay batches and
@@ -939,54 +940,99 @@ def stream_session_watermark_replay(
     sessions, users, events — plus the replay constants (batches,
     engine-counted late drops); sessions still open at end-of-stream are
     unemitted by append semantics (stated, not a bug)."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-    import uuid
+    return _run_replay(
+        spark,
+        sf_dir,
+        _sswr_cache,
+        lambda stream: watermarked_sessions(
+            stream, watermark="2 hours", gap="12 hours"
+        ),
+        _sswr_summarize,
+    )
 
-    from paraslice_spark.operators.reshape import EP_MAX_DELAY_S
-    from paraslice_spark.sources.io import _session_key, load_tables
 
-    key = (_session_key(spark), sf_dir.rstrip("/"))
-    if key in _sswr_cache:
-        return _sswr_cache[key]
+def _sswr_summarize(sink: DataFrame, dropped: int) -> DataFrame:
+    day = F.expr("unix_micros(session_start) div 86400000000")
+    return (
+        sink.groupBy(day.alias("session_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(
+            "session_day", "n_sessions", "n_users", "n_events",
+            F.lit(SSWR_BATCHES).cast("long").alias("n_batches"),
+            F.lit(int(dropped)).cast("long").alias("dropped_late"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("session_day")
+    )
 
+
+def replay_batch_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SINGLE batched-arrival definition shared by every declared
+    replay (the _replay_arrival_frame discipline): arrival = ts +
+    md5-bounded ≤24 h ingestion disorder, cut into SSWR_BATCHES
+    equi-width arrival buckets, plus a deterministic 5% straggler cohort
+    displaced TWO batches late (md5 selection).  +2 is load-bearing: the
+    pinned st34 lag-one semantics evict state at the start of the next
+    batch and a row arriving in that same batch still MERGES — a
+    one-batch displacement measured 0-2 drops at every SF (the rescue
+    path, vacuous for the drop counter); two batches puts stragglers
+    firmly post-eviction, so the engine's numRowsDroppedByWatermark path
+    is genuinely exercised.  Returns the events columns plus the bucket
+    ``b`` — a pure function of (event_id, ts), so two replays of the
+    same fixture see identical micro-batches."""
     from paraslice_spark.functions.canon import md5_u32
+    from paraslice_spark.operators.reshape import EP_MAX_DELAY_S
+    from paraslice_spark.sources.io import load_tables
 
     ev = load_tables(spark, sf_dir)["events"]
-    arr = (F.col("ts_ns") + (md5_u32("event_id") % EP_MAX_DELAY_S) * 1_000_000_000)
+    arr = (
+        F.col("ts_ns") + (md5_u32("event_id") % EP_MAX_DELAY_S) * 1_000_000_000
+    )
     tagged = ev.select(
         "event_id", "ts", "user_id", "event_type", "value", "props",
         arr.alias("arr"),
     )
-    bounds = tagged.agg(
-        F.min("arr").alias("mn"), F.max("arr").alias("mx")
-    )
-    # equi-width arrival buckets + a deterministic 5% straggler cohort
-    # displaced TWO batches late (md5 selection).  +2 is load-bearing: the
-    # pinned st34 lag-one semantics evict a bucket's sessions at the START
-    # of the next batch, and a row arriving in that same batch still
-    # MERGES — a one-batch displacement measured 0-2 drops at every SF
-    # (the rescue path, vacuous for the drop counter); two batches puts
-    # stragglers firmly post-eviction, so the engine's
-    # numRowsDroppedByWatermark path is genuinely exercised
+    bounds = tagged.agg(F.min("arr").alias("mn"), F.max("arr").alias("mx"))
     straggler = (md5_u32("event_id") % 20 == 0).cast("long")
     b = F.least(
         F.lit(SSWR_BATCHES - 1),
         F.expr(f"(arr - mn) * {SSWR_BATCHES} div (mx - mn + 1)")
         + straggler * 2,
     )
-    stage = tempfile.mkdtemp(prefix="paraslice_sswr_stage_")
-    replay = tempfile.mkdtemp(prefix="paraslice_sswr_replay_")
-    name = "sswr_" + uuid.uuid4().hex[:12]
+    return tagged.crossJoin(F.broadcast(bounds)).select(
+        b.alias("b"),
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    )
+
+
+def _run_replay(spark, sf_dir, cache, agg_of_stream, result_of_sink):
+    """Shared declared-replay harness: write one parquet file per
+    non-empty arrival bucket (repartition-by-bucket → exactly one file),
+    replay one-file-per-trigger in pinned mtime order through the given
+    streaming agg, summarize the memory sink plus the engine's
+    numRowsDroppedByWatermark into a checkpointed result, memoized per
+    (session, sf)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from paraslice_spark.sources.io import _session_key
+
+    key = (_session_key(spark), sf_dir.rstrip("/"))
+    if key in cache:
+        return cache[key]
+    stage = tempfile.mkdtemp(prefix="paraslice_replay_stage_")
+    replay = tempfile.mkdtemp(prefix="paraslice_replay_dir_")
+    name = "replay_" + uuid.uuid4().hex[:12]
     try:
         (
-            tagged.crossJoin(F.broadcast(bounds))
-            .select(
-                b.alias("b"),
-                "event_id", "ts", "user_id", "event_type", "value", "props",
-            )
+            replay_batch_frame(spark, sf_dir)
             .repartition(SSWR_BATCHES, F.col("b"))
             .write.partitionBy("b")
             .mode("overwrite")
@@ -1002,9 +1048,9 @@ def stream_session_watermark_replay(
             t = 1_700_000_000 + i * 60
             os.utime(dst, (t, t))
         stream = events_file_stream(spark, replay, max_files_per_trigger=1)
-        agg = watermarked_sessions(stream, watermark="2 hours", gap="12 hours")
         q = (
-            agg.writeStream.format("memory")
+            agg_of_stream(stream)
+            .writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
             .trigger(availableNow=True)
@@ -1016,23 +1062,8 @@ def stream_session_watermark_replay(
             for p in q.recentProgress
             for so in (p["stateOperators"] or [])
         )
-        day = F.expr("unix_micros(session_start) div 86400000000")
-        res = (
-            spark.table(name)
-            .groupBy(day.alias("session_day"))
-            .agg(
-                F.count(F.lit(1)).alias("n_sessions"),
-                F.countDistinct("user_id").alias("n_users"),
-                F.sum("n_events").alias("n_events"),
-            )
-            .select(
-                "session_day", "n_sessions", "n_users", "n_events",
-                F.lit(SSWR_BATCHES).cast("long").alias("n_batches"),
-                F.lit(int(dropped)).cast("long").alias("dropped_late"),
-            )
-            .repartition(1)
-            .sortWithinPartitions("session_day")
-            .localCheckpoint(eager=True)  # seal before the dirs vanish
+        res = result_of_sink(spark.table(name), dropped).localCheckpoint(
+            eager=True  # seal before the dirs vanish
         )
     finally:
         try:
@@ -1041,5 +1072,156 @@ def stream_session_watermark_replay(
             pass  # sink view never materialized (stream failed early)
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(replay, ignore_errors=True)
-    _sswr_cache[key] = res
+    cache[key] = res
     return res
+
+
+#: watermark delay of the DECLARED tumbling replay, in engine milliseconds
+#: (Spark parses "2 hours" to exactly this; the oracle must use the same
+#: unit because the engine floors event-time stats to ms)
+SSWR_DELAY_MS = 7_200_000
+
+_stwr_cache: dict = {}
+
+
+def _stwr_oracle() -> str:
+    # the replay_batch_frame rule, restated in SQL: same md5 jitter, same
+    # 6 equi-width arrival buckets, same 5% +2-batch stragglers
+    from paraslice_spark.operators.reshape import EP_MAX_DELAY_S
+
+    h = md5_u32_sql("event_id")
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT event_id,
+             epoch_ns(ts) AS ts_ns,
+             epoch_ns(ts) // 1000000 AS ts_ms,
+             CAST(round(value * 1000000) AS BIGINT) AS vmic,
+             epoch_ns(ts) + ({h} % {EP_MAX_DELAY_S}) * 1000000000 AS arr,
+             CASE WHEN {h} % 20 = 0 THEN 1 ELSE 0 END AS strag
+      FROM events),
+    bd AS (SELECT MIN(arr) AS mn, MAX(arr) AS mx FROM e),
+    tagged AS MATERIALIZED (
+      SELECT event_id, ts_ns, ts_ms, vmic,
+             LEAST({SSWR_BATCHES - 1},
+                   (arr - mn) * {SSWR_BATCHES} // (mx - mn + 1) + 2 * strag)
+               AS b
+      FROM e, bd),
+    -- only non-empty buckets become replay files: micro-batch index =
+    -- dense position of the bucket among observed buckets
+    batches AS (SELECT b, ROW_NUMBER() OVER (ORDER BY b) - 1 AS i
+                FROM (SELECT DISTINCT b FROM tagged)),
+    pb AS (SELECT t.b, i, MAX(ts_ms) AS m
+           FROM tagged t JOIN batches USING (b) GROUP BY 1, 2),
+    -- the engine's operative watermark for batch i is the ms-floored max
+    -- event time over batches <= i-2, minus the delay (the pinned lag:
+    -- stats from batch i-1 reach the filter one batch later, which is
+    -- exactly the st34 same-batch merge-rescue)
+    wm AS (SELECT b,
+                  MAX(m) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 2 PRECEDING) - {SSWR_DELAY_MS} AS wm_ms
+           FROM pb),
+    fin AS (SELECT MAX(ts_ms) - {SSWR_DELAY_MS} AS final_wm FROM e),
+    kept AS MATERIALIZED (
+      SELECT t.b, ts_ns // 3600000000000 AS hr,
+             (ts_ns // 3600000000000 + 1) * 3600000 AS end_ms,
+             CASE WHEN wm_ms IS NOT NULL AND wm_ms >= end_ms
+                  THEN 1 ELSE 0 END AS is_drop,
+             vmic
+      FROM tagged t JOIN wm w ON w.b = t.b),
+    -- the engine's numRowsDroppedByWatermark counts POST-PARTIAL-AGG rows:
+    -- same-window rows within a micro-batch combine map-side before the
+    -- state operator's late filter, so drops count once per
+    -- (batch, window) — pinned by per-batch probe (engine 6/10/7/19 ==
+    -- distinct windows, not the 6/10/8/20 raw rows, at sf0.001)
+    tot AS (SELECT CAST(COUNT(DISTINCT (b, hr)) AS BIGINT) AS dropped
+            FROM kept WHERE is_drop = 1)
+    SELECT hr, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(vmic) AS BIGINT) AS value_micros,
+           CAST({SSWR_BATCHES} AS BIGINT) AS n_batches,
+           dropped AS dropped_late
+    FROM kept, fin, tot
+    WHERE is_drop = 0 AND final_wm >= end_ms
+    GROUP BY hr, dropped
+    ORDER BY hr
+    """
+
+
+@query("stream_tumbling_watermark_replay", oracle=_stwr_oracle())
+def stream_tumbling_watermark_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HASH-ORACLED REAL-STREAMING tumbling×watermark replay — the
+    engine's own watermark semantics cross-checked against DuckDB: the
+    same batched replay as stream_session_watermark_replay
+    (:func:`replay_batch_frame` — one disorder definition for all
+    declared replays) drives withWatermark("2 hours") + 1-hour tumbling
+    windows in append mode, and the DECLARED output (per emitted hour:
+    kept-event count + exact value-micros sum, plus the engine-counted
+    late drops as a constant column) hash-matches a pure-SQL model of
+    Spark's micro-batch watermark machinery.
+
+    Unlike session windows (merge semantics — rows-only), tumbling
+    windows make the engine EXACTLY modelable, so this converts the
+    streaming class from rows-only to hash-oracled.  The model encodes
+    three engine behaviors pinned by crafted-batch probes
+    (tests/test_streaming.py::test_st4*, test_r11 replay probes):
+
+    - the operative watermark for micro-batch i is the ms-FLOORED max
+      event time over batches ≤ i−2, minus the delay — the one-batch
+      stats lag that makes a row arriving WITH the eviction still merge
+      (st34's rescue), so a row drops iff that lagged watermark ≥ its
+      window end (boundary: ≥, measured — equality evicts);
+    - availableNow runs a finalize batch under the FULL watermark, so a
+      window is emitted iff ms-floored global max event time − delay ≥
+      its end (measured: the last data batch's advance does emit);
+    - emitted counts include rescued rows and exclude dropped ones; and
+      numRowsDroppedByWatermark counts POST-PARTIAL-AGGREGATION rows —
+      same-window rows within a micro-batch combine map-side before the
+      state operator's late filter, so the counter is the number of
+      distinct (batch, window) drop pairs, not dropped input rows
+      (pinned per-batch: engine 6/10/7/19 vs 6/10/8/20 raw rows at
+      sf0.001; exact at sf0.01: 232 == 232).  This holds because the
+      replay's batch files are single-partition-sized (MBs); a file
+      split across input partitions would partial-agg separately.
+
+    Scale shape: identical to the session replay (per-window state,
+    append emission, O(open windows) state) — the oracle prices the
+    model off one window over a ≤6-row batch frame."""
+    return _run_replay(
+        spark,
+        sf_dir,
+        _stwr_cache,
+        _tumbling_micros_agg,
+        _stwr_summarize,
+    )
+
+
+def _tumbling_micros_agg(stream: DataFrame) -> DataFrame:
+    """Hour windows under the declared 2 h watermark, aggregating exact
+    integer micro-units (float sums would break the cross-engine hash)."""
+    from paraslice_spark.functions.canon import micros_units
+
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(micros_units("value")).alias("value_micros"),
+        )
+        .select(F.col("win.start").alias("hour_start"), "n_events", "value_micros")
+    )
+
+
+def _stwr_summarize(sink: DataFrame, dropped: int) -> DataFrame:
+    hr = F.expr("unix_micros(hour_start) div 3600000000")
+    return (
+        sink.select(
+            hr.alias("hr"),
+            "n_events",
+            "value_micros",
+            F.lit(SSWR_BATCHES).cast("long").alias("n_batches"),
+            F.lit(int(dropped)).cast("long").alias("dropped_late"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("hr")
+    )

@@ -71,6 +71,8 @@ _REPRESENTATIVES = (
     "sample_split_stability_audit",       # two global rank windows + hash branch
     "pipeline_shard_balance_audit",       # checkpointed cell + grid gap-fill
     "stats_sample_error_sweep",           # zero-shuffle conditional-agg sweep
+    "stream_session_watermark_replay",    # REAL streaming engine replay
+    "stream_tumbling_watermark_replay",   # REAL streaming engine, hash-oracled
 )
 
 
@@ -80,6 +82,7 @@ def _clear_memo_caches() -> None:
     data instead of exercising its build stage under cluster confs —
     exactly the 'works under my confs' blind spot this pack guards."""
     from paraslice_spark.operators import relational, reshape, similarity, tensor
+    from paraslice_spark.streaming import streams
 
     # release the dropped frames' executor blocks (ADVICE r7) — clearing the
     # dict alone leaves eager-checkpoint storage orphaned until Python GC
@@ -91,6 +94,8 @@ def _clear_memo_caches() -> None:
         relational._col_hist_cache,
         reshape._replay_wm_cache,
         tensor._coords_cache,  # .cache()d, not checkpointed → unpersist path
+        streams._sswr_cache,   # checkpointed replay ledgers: the stream
+        streams._stwr_cache,   # itself must re-execute under cluster confs
     ):
         for v in cache.values():
             for df in v if isinstance(v, tuple) else (v,):
@@ -111,6 +116,8 @@ _MEMOIZED = {
     "stats_join_cardinality_audit",
     "graph_degree_assortativity",
     "tensor_mode_skew_profile",
+    "stream_session_watermark_replay",
+    "stream_tumbling_watermark_replay",
 }
 
 

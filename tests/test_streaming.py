@@ -989,3 +989,59 @@ def test_stream_countmin_split_replay(spark, tmp_path):
         }
     assert final[one] == final[two]
     assert sum(final[one].values()) == 4 * len(rows)  # d buckets per event
+
+
+def test_st4_drop_counter_combines_same_window_rows(spark, tmp_path):
+    """numRowsDroppedByWatermark for streaming AGGREGATION counts
+    post-partial-aggregation rows: two late rows of the SAME window
+    arriving in one micro-batch combine map-side before the state
+    operator's late filter, so they count ONCE (two late rows of
+    DIFFERENT windows count twice).  Pinned r11 — this is why the
+    declared stream_tumbling_watermark_replay oracle models the counter
+    as COUNT(DISTINCT (batch, window)), not dropped input rows."""
+    import datetime
+
+    d = str(tmp_path / "combine")
+    base = int(datetime.datetime(2024, 6, 1).timestamp()) * 1_000_000_000
+
+    def ns(sec):
+        return base + int(sec * 1e9)
+
+    # b1 advances the wm to 10900s: hour-0 (end 3600) AND hour-1 (end
+    # 7200) are both late for every batch >= 3 (operative wm = stats
+    # through batch i-2, the pinned lag)
+    _write_batch(spark, d, 0, [(1, ns(10), 1, "c", 1.0, "{}")])
+    _write_batch(spark, d, 1, [(2, ns(11500), 1, "c", 1.0, "{}")])
+    _write_batch(spark, d, 2, [(3, ns(12000), 1, "c", 1.0, "{}")])  # pad
+    _write_batch(
+        spark,
+        d,
+        3,
+        [
+            # two late rows in hour-0 (same window) + one in hour-1
+            (4, ns(20), 1, "c", 1.0, "{}"),
+            (5, ns(30), 1, "c", 1.0, "{}"),
+            (6, ns(3700), 1, "c", 1.0, "{}"),
+        ],
+    )
+    _write_batch(spark, d, 4, [(9, ns(40000), 1, "c", 1.0, "{}")])
+
+    stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+    agg = streams.watermarked_tumbling(stream, "10 minutes")
+    name = _mem_name()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in (p["stateOperators"] or [])
+    )
+    # 3 late input rows, but hour-0's pair partial-aggregates into one
+    # state-operator row -> counter reads 2, not 3
+    assert dropped == 2, dropped
