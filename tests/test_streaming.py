@@ -1045,3 +1045,61 @@ def test_st4_drop_counter_combines_same_window_rows(spark, tmp_path):
     # 3 late input rows, but hour-0's pair partial-aggregates into one
     # state-operator row -> counter reads 2, not 3
     assert dropped == 2, dropped
+
+
+def test_st4_watermark_ms_floor_and_equality_boundary(spark, tmp_path):
+    """Two boundary semantics the stream_tumbling_watermark_replay oracle
+    encodes, pinned executable (probed r11):
+
+    - EQUALITY EVICTS: an operative watermark exactly EQUAL to a window
+      end drops a late row for that window (>=, not >);
+    - MS FLOOR: event-time stats are tracked in ms, so a max event time
+      0.9 ms past the value that would put the watermark exactly at the
+      window end floors DOWN to it — sub-ms precision cannot rescue or
+      doom a row.
+    """
+    import datetime
+
+    base = int(datetime.datetime(2024, 6, 1).timestamp()) * 1_000_000_000
+
+    def ns(sec):
+        return base + int(round(sec * 1e9))
+
+    def run(advancer_sec):
+        d = str(tmp_path / f"b{advancer_sec}")
+        # advancer in b1; pad b2 (operative wm lags two batches); late
+        # row for hour-0 (end 3600s) in b3; flush b4
+        _write_batch(spark, d, 0, [(1, ns(10), 1, "c", 1.0, "{}")])
+        _write_batch(spark, d, 1, [(2, ns(advancer_sec), 1, "c", 1.0, "{}")])
+        _write_batch(spark, d, 2, [(8, ns(4100), 1, "c", 1.0, "{}")])
+        _write_batch(spark, d, 3, [(3, ns(20), 1, "c", 1.0, "{}")])
+        _write_batch(spark, d, 4, [(9, ns(20000), 1, "c", 1.0, "{}")])
+        stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+        agg = streams.watermarked_tumbling(stream, "10 minutes")
+        name = _mem_name()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for so in (p["stateOperators"] or [])
+        )
+        hour0 = [
+            r["n_events"]
+            for r in spark.table(name).collect()
+            if r["hour_start"] == datetime.datetime(2024, 6, 1, 0, 0)
+        ]
+        return dropped, hour0
+
+    # wm after advancer = 4200 - 600 = 3600.000 == hour-0 end -> drops
+    assert run(4200) == (1, [1])
+    # max ts 0.9 ms higher floors to the same ms watermark -> same drop
+    assert run(4200.0009) == (1, [1])
+    # 1 ms below the boundary: wm 3599.999 < end -> late row still merges
+    assert run(4199.999) == (0, [2])
