@@ -183,7 +183,6 @@ def test_tumbling_replay_engine_matches_oracle_on_random_tables(spark, tmp_path)
     import os
     import random
 
-    import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -239,4 +238,72 @@ def test_tumbling_replay_engine_matches_oracle_on_random_tables(spark, tmp_path)
         ]
         assert got == tumbling_replay_python(rows), seed
         # keep the shared loader cache from pinning the fuzz dir's tables
+        pio._cache.pop((pio._session_key(spark), str(d).rstrip("/")), None)
+
+
+def test_tumbling_replay_engine_matches_oracle_on_degenerate_geometry(
+    spark, tmp_path
+):
+    """Crafted corner geometries random fuzz rarely produces: (a) one
+    EVENT TIME shared by every row — the whole batch spread comes from
+    the md5 jitter, every row targets the same window, and the finalize
+    watermark sits exactly delay behind that single ms; (b) a 3-row
+    corpus (most buckets empty → dense batch reindexing, nothing ever
+    drops, finalize does all emission).  Engine vs oracle vs simulator
+    on each."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from paraslice_spark.registry import ORACLES
+    from paraslice_spark.sources import io as pio
+    from paraslice_spark.streaming import streams
+    from tests.oracle_harness import run_compare
+
+    base_ns = int(datetime.datetime(2024, 3, 1).timestamp()) * 10**9
+    same_ts = [(eid, base_ns, 1.0) for eid in (11, 12, 13, 14, 15)]
+    tiny = [
+        (1, base_ns, 0.25),
+        (2, base_ns + 86_400 * 10**9, 0.5),
+        (3, base_ns + 2 * 86_400 * 10**9, 0.75),
+    ]
+    for tag, rows in (("same_ts", same_ts), ("tiny", tiny)):
+        n = len(rows)
+        d = tmp_path / tag
+        os.makedirs(d)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [r[1] // 1000 for r in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([1] * n, pa.int64()),
+                    "event_type": pa.array(["c"] * n, pa.string()),
+                    "value": pa.array([r[2] for r in rows], pa.float64()),
+                    "props": pa.array(["{}"] * n, pa.string()),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"):
+            os.symlink(f"{SF_SMALL}/{t}.parquet", str(d / f"{t}.parquet"))
+        streams._stwr_cache.clear()
+        problems = run_compare(
+            spark,
+            QUERIES["stream_tumbling_watermark_replay"],
+            ORACLES["stream_tumbling_watermark_replay"],
+            str(d),
+        )
+        assert not problems, (tag, problems)
+        got = [
+            tuple(r)
+            for r in QUERIES["stream_tumbling_watermark_replay"](
+                spark, str(d)
+            ).collect()
+        ]
+        assert got == tumbling_replay_python(rows), tag
         pio._cache.pop((pio._session_key(spark), str(d).rstrip("/")), None)
