@@ -104,7 +104,9 @@ def tumbling_replay_python(rows, k=6, delay_ms=7_200_000):
         return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
 
     def mic(x):
-        return int(-((-x * 1e6) // 1) if x < 0 else (x * 1e6 + 0.5) // 1)
+        # half-away-from-zero, the engines' round() (the r9b discipline)
+        q = int((abs(x) * 1e6 + 0.5) // 1)
+        return -q if x < 0 else q
 
     recs = []
     for eid, ts_ns, val in rows:
