@@ -309,3 +309,80 @@ def test_tumbling_replay_engine_matches_oracle_on_degenerate_geometry(
         ]
         assert got == tumbling_replay_python(rows), tag
         pio._cache.pop((pio._session_key(spark), str(d).rstrip("/")), None)
+
+
+def test_session_replay_properties_on_random_tables(spark, tmp_path):
+    """The session replay's property set (determinism across two full
+    stream executions, event conservation, session split bound) on
+    seeded random event tables — the rows-only twin of the tumbling
+    engine fuzz (sessions merge, so no SQL oracle; properties instead)."""
+    import datetime
+    import os
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from paraslice_spark.sources import io as pio
+    from paraslice_spark.sources.io import load_tables
+    from paraslice_spark.streaming import streams
+
+    base_ns = int(datetime.datetime(2024, 3, 1).timestamp()) * 10**9
+    for seed in range(2):
+        rng = random.Random(32_000 + seed)
+        n = rng.randrange(60, 300)
+        rows = []
+        for eid in range(1, n + 1):
+            ts_ns = base_ns + rng.randrange(0, 20 * 86_400) * 10**9 \
+                + rng.randrange(0, 10**9)
+            rows.append((eid, ts_ns, rng.randrange(1, 6)))
+        d = tmp_path / f"sess{seed}"
+        os.makedirs(d)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [r[1] // 1000 for r in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array(["c"] * n, pa.string()),
+                    "value": pa.array([1.0] * n, pa.float64()),
+                    "props": pa.array(["{}"] * n, pa.string()),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"):
+            os.symlink(f"{SF_SMALL}/{t}.parquet", str(d / f"{t}.parquet"))
+
+        def run():
+            streams._sswr_cache.clear()
+            return [
+                tuple(r)
+                for r in QUERIES["stream_session_watermark_replay"](
+                    spark, str(d)
+                ).collect()
+            ]
+
+        a, b = run(), run()
+        assert a == b, seed  # full-stream determinism on random data
+        dropped = a[0][5] if a else 0
+        emitted_events = sum(r[3] for r in a)
+        assert emitted_events + dropped <= n, seed
+        n_batch = (
+            load_tables(spark, str(d))["events"]
+            .groupBy(
+                "user_id",
+                F.session_window(F.col("ts"), "12 hours").alias("w"),
+            )
+            .count()
+            .count()
+        )
+        emitted_sessions = sum(r[1] for r in a)
+        assert emitted_sessions <= n_batch + dropped, (
+            seed, emitted_sessions, n_batch, dropped,
+        )
+        pio._cache.pop((pio._session_key(spark), str(d).rstrip("/")), None)
