@@ -1333,6 +1333,131 @@ def pipeline_pack_chunk_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: context lengths the packing-waste sweep prices (tokens per chunk)
+_PACK_CTX_SWEEP = (256, 512, 1024, 2048)
+
+
+@query(
+    "pipeline_pack_waste_sweep",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+             len(string_split(text, ' ')) AS tok
+      FROM documents),
+    c AS MATERIALIZED (
+      SELECT bucket, doc_id, tok,
+             CAST(SUM(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - tok AS BIGINT) AS s
+      FROM t),
+    k AS MATERIALIZED (
+      SELECT CAST(unnest([{', '.join(str(c) for c in _PACK_CTX_SWEEP)}])
+                  AS BIGINT) AS ctx),
+    bt AS (SELECT bucket, CAST(SUM(tok) AS BIGINT) AS total FROM c GROUP BY 1),
+    pads AS (
+      SELECT ctx, CAST(SUM((total + ctx - 1) // ctx) AS BIGINT) AS n_chunks,
+             CAST(SUM((ctx - total % ctx) % ctx) AS BIGINT) AS pad_tokens
+      FROM bt, k GROUP BY 1),
+    cr AS (
+      SELECT ctx,
+             COUNT(CASE WHEN s // ctx <> (s + tok - 1) // ctx THEN 1 END)
+               AS n_split_docs,
+             CAST(SUM((s + tok - 1) // ctx - s // ctx) AS BIGINT)
+               AS n_crossings
+      FROM c, k GROUP BY 1)
+    SELECT p.ctx, n_chunks, pad_tokens,
+           pad_tokens * 1000000 // (n_chunks * p.ctx) AS waste_ppm,
+           n_split_docs, n_crossings
+    FROM pads p JOIN cr ON cr.ctx = p.ctx ORDER BY p.ctx
+    """,
+)
+def pipeline_pack_waste_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKING CONTEXT-LENGTH SWEEP — the knob table behind
+    pipeline_sequence_pack (the stats_sample_error_sweep calibration
+    discipline applied to packing): for each candidate training context
+    length, what the GPT concat-then-split layout costs — chunk count,
+    final-chunk padding (the ONLY padding this layout has: streams are
+    contiguous per bucket, so waste = one partial chunk per bucket),
+    padding in ppm of emitted tokens, and the document-integrity price:
+    docs split across a chunk boundary and total boundary crossings.
+
+    Measured (sf0.01): the tradeoff is MONOTONE BOTH WAYS — waste_ppm
+    rises 77k → 302k from ctx 256 → 2048 (16 partial chunks amortize
+    worse as chunks grow) while split docs fall 98 → 3; the fixture's
+    docs (10-99 tokens) never exceed any candidate ctx, so
+    n_split_docs == n_crossings at every SF here — the two columns
+    diverge exactly when documents exceed the context (exercised in the
+    random-table fuzz, where tok > ctx plants multi-crossing docs).
+
+    EXACT INTEGERS throughout: offsets are the shared
+    :func:`_pack_offsets` int64 layout (this table can never disagree
+    with the manifest/reader), ceil-div via (x + ctx − 1) // ctx on
+    non-negative operands, waste as ppm integer division.
+
+    Scale shape: ONE corpus pass — the offsets window (the pack family's
+    per-bucket exchange, checkpointed because the sweep consumes it
+    twice) feeds (a) a 16-row bucket-total rollup and (b) a global
+    conditional-agg over docs, each pricing all four ctx values in one
+    map-combined pass (the delay-sweep idiom; no per-ctx re-scan), then
+    two 4-row stacks join broadcast."""
+    d = load_tables(spark, sf_dir)["documents"]
+    off = _pack_offsets(d).withColumnRenamed("start_off", "s").localCheckpoint(
+        eager=False  # feeds the bucket rollup AND the crossing agg
+    )
+    bt = off.groupBy("bucket").agg(F.sum("tok").alias("total"))
+    pad_aggs = []
+    for ctx in _PACK_CTX_SWEEP:
+        pad_aggs.append(
+            F.expr(f"CAST(sum((total + {ctx} - 1) div {ctx}) AS BIGINT)")
+            .alias(f"nc{ctx}")
+        )
+        pad_aggs.append(
+            F.expr(f"CAST(sum(({ctx} - total % {ctx}) % {ctx}) AS BIGINT)")
+            .alias(f"pd{ctx}")
+        )
+    pads = bt.agg(*pad_aggs).selectExpr(
+        f"stack({len(_PACK_CTX_SWEEP)}, "
+        + ", ".join(
+            f"CAST({c} AS BIGINT), nc{c}, pd{c}" for c in _PACK_CTX_SWEEP
+        )
+        + ") AS (ctx, n_chunks, pad_tokens)"
+    )
+    cr_aggs = []
+    for ctx in _PACK_CTX_SWEEP:
+        split = f"s div {ctx} != (s + tok - 1) div {ctx}"
+        cr_aggs.append(
+            F.expr(f"count(CASE WHEN {split} THEN 1 END)").alias(f"sd{ctx}")
+        )
+        cr_aggs.append(
+            F.expr(
+                f"CAST(sum((s + tok - 1) div {ctx} - s div {ctx}) AS BIGINT)"
+            ).alias(f"cx{ctx}")
+        )
+    cr = off.agg(*cr_aggs).selectExpr(
+        f"stack({len(_PACK_CTX_SWEEP)}, "
+        + ", ".join(
+            f"CAST({c} AS BIGINT), sd{c}, cx{c}" for c in _PACK_CTX_SWEEP
+        )
+        + ") AS (ctx, n_split_docs, n_crossings)"
+    )
+    return (
+        pads.join(F.broadcast(cr), "ctx")
+        .select(
+            "ctx",
+            "n_chunks",
+            "pad_tokens",
+            F.expr("pad_tokens * 1000000 div (n_chunks * ctx)").alias(
+                "waste_ppm"
+            ),
+            "n_split_docs",
+            "n_crossings",
+        )
+        .repartition(1)
+        .sortWithinPartitions("ctx")
+    )
+
+
 @query(
     "pipeline_pack_append_audit",
     oracle="""

@@ -73,6 +73,7 @@ _REPRESENTATIVES = (
     "stats_sample_error_sweep",           # zero-shuffle conditional-agg sweep
     "stream_session_watermark_replay",    # REAL streaming engine replay
     "stream_tumbling_watermark_replay",   # REAL streaming engine, hash-oracled
+    "pipeline_pack_waste_sweep",          # checkpointed offsets + dual ctx-sweep aggs
 )
 
 

@@ -1065,3 +1065,16 @@ def test_sample_error_sweep_zero_shuffle_single_pass(spark):
     assert p.count("Exchange hashpartitioning") == 0, p
     assert "Window [" not in p and "Join" not in p, p
     assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in p, p
+
+
+def test_pack_waste_sweep_single_offsets_pass(spark):
+    """pipeline_pack_waste_sweep claims the sweep shape: the offsets
+    layout (window + its per-bucket exchange) is built once inside the
+    checkpoint; the visible plan is two map-combined aggs over the
+    checkpointed frame (all four ctx values as conditional aggregates —
+    no per-ctx re-scan), a 4-row broadcast combine, and nothing else —
+    no parquet re-scan, no sort-merge join, no window."""
+    p = plan(QUERIES["pipeline_pack_waste_sweep"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
+    assert "Window [" not in p and "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p

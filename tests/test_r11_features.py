@@ -257,3 +257,54 @@ def test_sample_error_sweep_matches_python(spark):
     for rate, n_s, *_ in [(r[0], r[1]) for r in got]:
         expect = len(rows) * rate / 1_000_000
         assert n_s <= 5 * expect + 5, (rate, n_s, expect)
+
+
+# ---- pipeline_pack_waste_sweep ---------------------------------------------
+
+
+def pack_waste_python(
+    docs: list[tuple[int, int]], ctxs=(256, 512, 1024, 2048)
+) -> list[tuple]:
+    """(doc_id, n_tokens) -> the declared 6-column sweep rows, from
+    scratch (concat-then-split per md5-hex bucket, doc_id order)."""
+    buckets: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, tok in docs:
+        buckets.setdefault(_md5_hex(doc_id)[0], []).append((doc_id, tok))
+    spans = []  # (start, tok) per doc, per its bucket stream
+    totals = []
+    for b, ds in buckets.items():
+        off = 0
+        for _, tok in sorted(ds):
+            spans.append((off, tok))
+            off += tok
+        totals.append(off)
+    out = []
+    for ctx in ctxs:
+        n_chunks = sum((t + ctx - 1) // ctx for t in totals)
+        pad = sum((ctx - t % ctx) % ctx for t in totals)
+        n_split = sum(1 for s, t in spans if s // ctx != (s + t - 1) // ctx)
+        crossings = sum((s + t - 1) // ctx - s // ctx for s, t in spans)
+        out.append(
+            (ctx, n_chunks, pad, pad * 1_000_000 // (n_chunks * ctx),
+             n_split, crossings)
+        )
+    return out
+
+
+def test_pack_waste_sweep_matches_python(spark):
+    rows = _fetch(
+        "SELECT doc_id, len(string_split(text, ' ')) "
+        f"FROM '{SF_SMALL}/documents.parquet'"
+    )
+    want = pack_waste_python(rows)
+    got = [
+        tuple(r)
+        for r in QUERIES["pipeline_pack_waste_sweep"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    # non-vacuity + the measured tradeoff: padding share rises with ctx,
+    # split docs fall; every ctx splits at least one doc on this fixture
+    wastes = [r[3] for r in got]
+    splits = [r[4] for r in got]
+    assert wastes == sorted(wastes) and splits == sorted(splits, reverse=True)
+    assert all(s > 0 for s in splits[:2]), got

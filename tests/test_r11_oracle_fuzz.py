@@ -117,3 +117,31 @@ def test_sample_error_sweep_oracle_on_random_tables(seed):
     con.executemany("INSERT INTO orders VALUES (?, ?)", rows)
     got = con.execute(ORACLES["stats_sample_error_sweep"]).fetchall()
     assert got == sample_error_python(rows), seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_pack_waste_sweep_oracle_on_random_tables(seed):
+    """Token counts up to 6000 plant docs LONGER than every candidate
+    ctx, so multi-boundary crossings diverge from split-doc counts (the
+    fixture can't exercise that — its docs are <= 99 tokens); doc text
+    is synthesized with exactly the drawn whitespace token count."""
+    from tests.test_r11_features import pack_waste_python
+
+    rng = random.Random(24_000 + seed)
+    docs = []
+    for doc_id in range(1, rng.randrange(10, 200)):
+        tok = rng.choice(
+            [rng.randrange(1, 120), rng.randrange(200, 6000)]
+        )
+        docs.append((doc_id, tok))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(i, " ".join(["x"] * t)) for i, t in docs],
+    )
+    got = con.execute(ORACLES["pipeline_pack_waste_sweep"]).fetchall()
+    want = pack_waste_python(docs)
+    assert got == want, seed
+    # the divergence the fixture can't show: some doc crosses >1 boundary
+    assert any(r[5] > r[4] for r in want), seed
