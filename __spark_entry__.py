@@ -19,35 +19,19 @@ import paraslice_spark.operators  # noqa: F401  (registers all queries)
 from paraslice_spark.registry import ORACLES, QUERIES
 
 # The driver grades the FIRST ~50 queries of this dict per round, so order
-# encodes grading priority.  Round-11 re-tier (VERDICT r10 next-round #1):
-# CORRECTNESS_r10 graded 50/50 clean — the 6 r10 tier-0 additions, all 11
-# of the old _T1_R4_TAIL, and 33 of _T2_R5_GRADED — so the r4 era is fully
-# closed (tuple deleted) and _T2 shrinks to its 17 ungraded r5 stragglers,
-# now the oldest standing verdicts and therefore tier 1.  The 50 names r10
-# graded move to _T7_R10_GRADED at the back.  Tier 0 (no tuple): new r11
-# additions lead the sample (budget ≤ ~6).
-# Budget check: ≤6 tier-0 names + the 17 r5 stragglers + ~27 of the r6
-# tier's 48 fill the ~50 sample, so CORRECTNESS_r11 grades every r11
-# addition, ends the r5 era entirely, and starts refreshing the r6 tier.
-_T2_R5_GRADED: tuple[str, ...] = (
-    # the 17 r5-graded names CORRECTNESS_r10's sample didn't reach
-    "join_asof", "join_self_sequences", "stream_tumbling_counts",
-    "stream_sliding_avg", "stream_session_windows", "stream_dedup_exact",
-    "agg_count_distinct", "agg_multi_distinct", "agg_conditional",
-    "agg_cube", "agg_global", "agg_grouping_sets", "agg_histogram",
-    "agg_max_by", "agg_percentile", "agg_pivot", "agg_pricing_summary",
-)
+# encodes grading priority.  Round-12 re-tier (VERDICT r11 next-round #2):
+# CORRECTNESS_r11 graded 50/50 clean — the 7 r11 tier-0 additions, all 17
+# of the old _T2_R5_GRADED, and 26 of _T3_R6_GRADED — so the r5 era is
+# fully closed (tuple deleted) and _T3 shrinks to its 22 ungraded r6
+# stragglers, now the oldest standing verdicts and therefore tier 1.  The
+# 50 names r11 graded move to _T8_R11_GRADED at the back.  Tier 0 (no
+# tuple): new r12 additions lead the sample (budget ≤ ~6).
+# Budget check: ≤6 tier-0 names + the 22 r6 stragglers + ~22 of the r7
+# tier's 51 fill the ~50 sample, so CORRECTNESS_r12 grades every r12
+# addition, ends the r6 era entirely, and starts refreshing the r7 tier.
 _T3_R6_GRADED: tuple[str, ...] = (
-    "q3_shipping_priority", "q10_returned_revenue", "q14_promo_share",
-    "scan_parquet", "scan_projection", "join_star_5way",
-    "join_broadcast_inner", "join_sortmerge_inner", "join_left_outer",
-    "join_full_outer", "join_semi", "join_anti", "join_cross",
-    "join_range_theta", "agg_rollup", "agg_stats",
-    "q2_min_cost_supplier", "q8_market_share", "q9_product_type_profit",
-    "q11_important_parts", "q12_late_lines_priority",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q19_discounted_revenue", "q20_bulk_shippers", "q21_waiting_suppliers",
+    # the 22 r6-graded names CORRECTNESS_r11's sample didn't reach
+    "q20_bulk_shippers", "q21_waiting_suppliers",
     "q22_dormant_balances", "join_salted_skew", "multimodal_phash_pairs",
     "audit_constraints", "events_sessionized_funnel", "events_anomaly_zscore",
     "sample_split_train_val_test", "text_decontaminate",
@@ -155,6 +139,29 @@ _T7_R10_GRADED: tuple[str, ...] = (
     "text_quality", "text_tfidf", "text_wordcount", "topk_revenue",
     "scan_events_ts", "join_time_interval",
 )
+_T8_R11_GRADED: tuple[str, ...] = (
+    # the 50 names CORRECTNESS_r11 graded: the 7 r11 additions + all 17 of
+    # the old r5 tier + 26 of the r6 tier
+    "events_retention_survivorship", "pipeline_pack_waste_sweep",
+    "pipeline_shard_balance_audit", "sample_split_stability_audit",
+    "stats_sample_error_sweep", "stream_session_watermark_replay",
+    "stream_tumbling_watermark_replay",
+    "join_asof", "join_self_sequences", "stream_tumbling_counts",
+    "stream_sliding_avg", "stream_session_windows", "stream_dedup_exact",
+    "agg_count_distinct", "agg_multi_distinct", "agg_conditional",
+    "agg_cube", "agg_global", "agg_grouping_sets", "agg_histogram",
+    "agg_max_by", "agg_percentile", "agg_pivot", "agg_pricing_summary",
+    "q3_shipping_priority", "q10_returned_revenue", "q14_promo_share",
+    "scan_parquet", "scan_projection", "join_star_5way",
+    "join_broadcast_inner", "join_sortmerge_inner", "join_left_outer",
+    "join_full_outer", "join_semi", "join_anti", "join_cross",
+    "join_range_theta", "agg_rollup", "agg_stats",
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_type_profit",
+    "q11_important_parts", "q12_late_lines_priority",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+)
 
 
 def _rotated(d: dict) -> dict:
@@ -162,12 +169,12 @@ def _rotated(d: dict) -> dict:
     tier = {}
     for t, names in enumerate(
         (
-            _T2_R5_GRADED,
             _T3_R6_GRADED,
             _T4_R7_GRADED,
             _T5_R8_GRADED,
             _T6_R9_GRADED,
             _T7_R10_GRADED,
+            _T8_R11_GRADED,
         ),
         start=1,
     ):

@@ -143,12 +143,17 @@ def main() -> None:
                 "tensor_mode_skew_profile", "tensor_slices",
                 "tucker_hosvd_core",
             ],
-            # the declared real-streaming replay executes its stream ONCE
+            # each declared real-streaming replay executes its stream ONCE
             # per session+sf and checkpoints the ledger: its best-of-N row
-            # is the checkpoint replay; the stream's own cost (~6-16 s)
-            # lands in wallclock_all_runs on the first run
-            "streaming_replay_result": [
+            # is the checkpoint replay; the stream's own cost (~5-16 s)
+            # lands in wallclock_all_runs on the first run.  The two
+            # replays do NOT share a build (separate memo caches), so each
+            # gets its own entry (ADVICE r11 #1).
+            "session_stream_replay_result": [
                 "stream_session_watermark_replay",
+            ],
+            "tumbling_stream_replay_result": [
+                "stream_tumbling_watermark_replay",
             ],
         },
     }

@@ -1009,6 +1009,19 @@ def replay_batch_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """Session conf value in bytes, accepting Spark's '128MB'-style units."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    for suf, mult in (
+        ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+        ("kb", 1 << 10), ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+        ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
+    ):
+        if raw.endswith(suf):
+            return int(float(raw[: -len(suf)]) * mult)
+    return int(raw)
+
+
 def _run_replay(spark, sf_dir, cache, agg_of_stream, result_of_sink):
     """Shared declared-replay harness: write one parquet file per
     non-empty arrival bucket (repartition-by-bucket → exactly one file),
@@ -1038,11 +1051,39 @@ def _run_replay(spark, sf_dir, cache, agg_of_stream, result_of_sink):
             .mode("overwrite")
             .parquet(stage)
         )
+        # The oracle's dense batch-index/watermark model requires each
+        # bucket to replay as exactly ONE micro-batch read as exactly ONE
+        # input partition.  Both contracts fail loudly here (never via
+        # `assert`, which vanishes under python -O — ADVICE r11 #2/#3):
+        # multiple part files per bucket would replay as extra batches;
+        # a file at/above Spark's split threshold
+        # min(files.maxPartitionBytes, files.openCostInBytes) could split
+        # across input partitions, making same-window rows partial-agg
+        # separately and the engine's numRowsDroppedByWatermark exceed the
+        # COUNT(DISTINCT (batch, window)) model.
+        split_floor = min(
+            _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20),
+            _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20),
+        )
         for i in range(SSWR_BATCHES):
             parts = sorted(glob.glob(f"{stage}/b={i}/part-*.parquet"))
             if not parts:  # an arrival bucket can be empty at tiny SFs
                 continue
-            assert len(parts) == 1, parts  # repartition-by-b contract
+            if len(parts) != 1:  # repartition-by-b contract
+                raise RuntimeError(
+                    f"replay bucket b={i} staged {len(parts)} parquet files "
+                    f"(expected exactly 1 from repartition-by-b): {parts}"
+                )
+            size = os.path.getsize(parts[0])
+            if size >= split_floor:
+                raise RuntimeError(
+                    f"replay batch file b={i} is {size} bytes >= the "
+                    f"input-split floor {split_floor} "
+                    "(min of spark.sql.files.maxPartitionBytes / "
+                    "openCostInBytes) — it could split across input "
+                    "partitions and break the replay oracle's "
+                    "one-partition-per-batch drop-counter model"
+                )
             dst = f"{replay}/batch-{i:03d}.parquet"
             shutil.move(parts[0], dst)
             t = 1_700_000_000 + i * 60
