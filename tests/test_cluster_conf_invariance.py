@@ -74,6 +74,8 @@ _REPRESENTATIVES = (
     "stream_session_watermark_replay",    # REAL streaming engine replay
     "stream_tumbling_watermark_replay",   # REAL streaming engine, hash-oracled
     "pipeline_pack_waste_sweep",          # checkpointed offsets + dual ctx-sweep aggs
+    # r12 shapes:
+    "embedding_cosine_histogram",         # TakeOrdered fixed-size sample + BNLJ pairs
 )
 
 

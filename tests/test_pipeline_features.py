@@ -211,14 +211,14 @@ def test_int8_quant_matches_numpy(spark):
 def test_cosine_histogram_accounts_for_all_pairs(spark):
     """Bin counts sum to C(sample, 2) and every bin sits inside [-1, 1]
     with min <= max; the corpus-calibration claim (no bin above cos 0.9
-    on this fixture) holds."""
-    from paraslice_spark.operators.similarity import _COSHIST_MOD
+    on this fixture) holds.  The sample is fixed-SIZE (hash-ordered
+    LIMIT _COSHIST_K — VERDICT r11 #1), so the pair count is
+    C(min(K, corpus), 2) at any corpus."""
+    from paraslice_spark.operators.similarity import _COSHIST_K
     from paraslice_spark.sources.io import load_tables
 
-    n_sample = (
-        load_tables(spark, SF_SMALL)["embeddings"]
-        .where(F.col("vec_id") % _COSHIST_MOD == 0)
-        .count()
+    n_sample = min(
+        _COSHIST_K, load_tables(spark, SF_SMALL)["embeddings"].count()
     )
     rows = QUERIES["embedding_cosine_histogram"](spark, SF_SMALL).collect()
     assert sum(r["n_pairs"] for r in rows) == n_sample * (n_sample - 1) // 2

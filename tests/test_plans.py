@@ -538,12 +538,19 @@ def test_gini_windows_partition_by_nation(spark):
 
 
 def test_cosine_histogram_broadcasts_sample(spark):
-    """embedding_cosine_histogram: the modulus sample broadcasts onto the
-    pair self-join (never a shuffle of pair rows), and the sample filter
-    is pushed into the scan-side projection before the checkpoint."""
+    """embedding_cosine_histogram: the fixed-size hash-ordered sample cut
+    plans as TakeOrderedAndProject (per-partition top-K, never a global
+    Sort+Exchange — VERDICT r11 #1; asserted on the pre-checkpoint sample
+    tree, which the query's localCheckpoint hides) and broadcasts onto
+    the pair self-join (never a shuffle of pair rows)."""
+    from paraslice_spark.operators.similarity import _coshist_sample
+
     p = plan(QUERIES["embedding_cosine_histogram"](spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" in p, p
     assert "SortMergeJoin" not in p, p
+    ps = plan(_coshist_sample(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in ps, ps
+    assert "rangepartitioning" not in ps.lower(), ps
 
 
 def test_int8_quant_audit_is_map_side_only(spark):

@@ -566,9 +566,13 @@ def _md5u32_s(s: str) -> int:
 @pytest.mark.parametrize("seed", range(6))
 def test_cosine_histogram_oracle_on_random_tables(seed):
     """Embedding family rep #2: the sample-pair cosine sketch — planted
-    clusters guarantee high-cosine bins, the deterministic vec_id % 10
-    sample rule and the exact-integer dot / IEEE sqrt product chain
-    rederived from scratch."""
+    clusters guarantee high-cosine bins, the deterministic fixed-SIZE
+    hash-ordered sample rule (md5-u32 order, LIMIT _COSHIST_K — VERDICT
+    r11 #1; corpus sizes straddle K so the cut binds on some seeds) and
+    the exact-integer dot / IEEE sqrt product chain rederived from
+    scratch."""
+    from paraslice_spark.operators.similarity import _COSHIST_K
+
     rng = random.Random(14_300 + seed)
     dim = rng.choice((8, 16))
     centers = [
@@ -576,7 +580,7 @@ def test_cosine_histogram_oracle_on_random_tables(seed):
         for _ in range(3)
     ]
     vecs = []
-    for vid in range(rng.randrange(40, 140)):
+    for vid in range(rng.randrange(120, 320)):
         c = rng.choice(centers)
         vecs.append(
             (
@@ -593,10 +597,14 @@ def test_cosine_histogram_oracle_on_random_tables(seed):
     got = sorted(
         con.execute(ORACLES["embedding_cosine_histogram"]).fetchall()
     )
+    cohort = sorted(
+        (vid for vid, _ in vecs), key=lambda v: (_md5u32_s(str(v)), v)
+    )[:_COSHIST_K]
+    keep = set(cohort)
     sample = [
         (vid, [round(x * 1e6) for x in emb])
         for vid, emb in vecs
-        if vid % 10 == 0
+        if vid in keep
     ]
     bins: dict[int, list[float]] = {}
     for i, (va, ma) in enumerate(sample):

@@ -280,3 +280,47 @@ def test_ann_recall_audit_floors_and_contract(spark):
         assert 0 <= r["n_hits"] <= r["n_truth"]
         assert abs(r["recall"] - r["n_hits"] / r["n_truth"]) < 1e-6
         assert r["recall"] >= floors[m], (m, r["recall"])
+
+
+def test_ann_recall_cohort_mode_never_builds_knn_graph(spark, monkeypatch):
+    """Cohort mode (VERDICT r11 #1, PARASLICE_ANN_RECALL_COHORT): with the
+    env set, the cosine truth comes from one broadcast-cohort corpus scan
+    — STRUCTURALLY never the O(n²) exact k-NN graph (its builder is
+    monkeypatched to raise) — and with the cohort covering every query
+    (k >= _N_QUERIES) the audit matches the graph path row-for-row."""
+    import paraslice_spark.operators.similarity as sim
+    from paraslice_spark.registry import QUERIES
+
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["similarity_ann_recall"](spark, SF_SMALL).collect()
+    )
+
+    def boom(*a, **k):  # the full-graph path must be unreachable
+        raise AssertionError("cohort mode built the O(n²) kNN graph")
+
+    monkeypatch.setattr(sim, "_knn_graph_cached", boom)
+    monkeypatch.setenv(sim._ANN_COHORT_ENV, str(sim._N_QUERIES))
+    df = QUERIES["similarity_ann_recall"](spark, SF_SMALL)
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == want and got
+
+
+def test_ann_recall_cohort_plan_has_no_pair_join(spark, monkeypatch):
+    """The cohort-mode plan's only corpus-wide join shape is a
+    BroadcastNestedLoopJoin of the corpus scan against the broadcast
+    cohort — no tile-matmul MapInPandas, no CartesianProduct (the
+    'bounded queries × full corpus = linear' claim, plan-asserted)."""
+    import paraslice_spark.operators.similarity as sim
+    from paraslice_spark.registry import QUERIES
+    from tests.test_plans import plan
+
+    monkeypatch.setattr(
+        sim, "_knn_graph_cached",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("graph built")),
+    )
+    monkeypatch.setenv(sim._ANN_COHORT_ENV, "3")
+    p = plan(QUERIES["similarity_ann_recall"](spark, SF_SMALL))
+    assert "MapInPandas" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
