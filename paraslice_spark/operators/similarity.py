@@ -2798,7 +2798,50 @@ def knn_label_propagation(
     return labels
 
 
-@query("graph_lpa_communities")  # rows-only: labels are loop-internal
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    """DuckDB twin of the FULL 3-round LPA loop (VERDICT r11 #3): the
+    iteration count is a fixed literal, so the loop unrolls to three
+    chained mode-label CTEs — no recursion, no loop re-implementation
+    hazard.  Edges restate the engine's symmetrize-then-distinct rule on
+    the proven _KNN_ORACLE spec; each round is the engine's exact mode
+    rule (COUNT per (node, nbr-label), tie-break count DESC then label
+    ASC).  knn/edges are MATERIALIZED (multi-ref — the inlining trap)."""
+    rounds = "".join(
+        f"""
+    l{i} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, lbl) AS rn
+        FROM (SELECT e.s AS node, p.lbl, COUNT(*) AS cnt
+              FROM edges e JOIN l{i - 1} p ON p.node = e.t
+              GROUP BY 1, 2))
+      WHERE rn = 1),"""
+        for i in range(1, _LPA_ITERS + 1)
+    )
+    return f"""
+    WITH knn AS MATERIALIZED (
+      SELECT vec_id, neighbor_id FROM ({_KNN_ORACLE})),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT s, t FROM (
+        SELECT vec_id AS s, neighbor_id AS t FROM knn
+        UNION ALL
+        SELECT neighbor_id AS s, vec_id AS t FROM knn)),
+    l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM edges),{rounds}
+    sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+              FROM l{_LPA_ITERS} GROUP BY lbl)
+    SELECT community_size,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(community_size * COUNT(*) AS BIGINT) AS n_nodes
+    FROM sizes GROUP BY community_size
+    ORDER BY community_size
+    """
+
+
+@query("graph_lpa_communities", oracle=_lpa_oracle())
 def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LPA COMMUNITY-SIZE HISTOGRAM — the declared report card of
     :func:`knn_label_propagation` (the dedup_group_size_histogram shape
@@ -2808,10 +2851,14 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive) and LPA communities (denser neighborhoods) for curriculum
     bucketing.
 
-    Rows-only by design: the per-node labels are the output of an
-    iterative loop (a DuckDB twin would re-implement it — the CP-ALS
-    precedent); determinism invariants (mode tie-breaks, iteration
-    stability, no-rescan plan shape) live in tests/test_graph_lpa.py.
+    HASH-ORACLED as of r12 (VERDICT r11 #3 — previously rows-only): with
+    a FIXED iteration count the loop is finitely unrollable, so the
+    DuckDB twin chains three mode-label CTEs over the _KNN_ORACLE edge
+    spec (:func:`_lpa_oracle`) — integer labels, exact counts, the
+    count-DESC/label-ASC tie-break; nothing float touches the declared
+    values (the k-core recursive-CTE precedent, minus the recursion).
+    Determinism invariants (mode tie-breaks, iteration stability,
+    no-rescan plan shape) stay in tests/test_graph_lpa.py.
     Scale: two cardinality-bounded aggs over the (node, lbl) pairs on
     top of the memoized kNN base."""
     labels = knn_label_propagation(spark, sf_dir, iters=3)

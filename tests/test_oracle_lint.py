@@ -183,6 +183,11 @@ _ACCEPTED: frozenset[tuple[str, str]] = frozenset(
         ("graph_knn_jaccard", "base"),
         ("graph_knn_jaccard", "deg"),
         ("graph_knn_jaccard", "e"),
+        # base inside the embedded _KNN_ORACLE subquery: the knn wrapper
+        # CTE is MATERIALIZED, so the double-inlined cast-scan runs at most
+        # twice within ONE knn evaluation (the same conscious accept as
+        # every other _KNN_ORACLE consumer above/below)
+        ("graph_lpa_communities", "base"),
         ("graph_pagerank_knn", "base"),
         ("graph_pagerank_knn", "e"),
         ("graph_pagerank_knn", "nodes"),
