@@ -155,6 +155,9 @@ def main() -> None:
             "tumbling_stream_replay_result": [
                 "stream_tumbling_watermark_replay",
             ],
+            "update_mode_stream_replay_result": [
+                "stream_update_mode_replay",
+            ],
         },
     }
     print(json.dumps(payload))

@@ -1171,6 +1171,109 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: candidate dup-bigram-fraction caps the sweep prices, in ppm (micro-units
+#: of the rounded(6) fraction) — bracketing the measured fixture
+#: distribution (dbf p90 ≈ 0.065) and the funnel's chosen QF_DBF_MAX 0.09
+_DBF_CAPS_PPM = (30_000, 60_000, 90_000, 150_000)
+
+
+@query(
+    "text_repetition_cap_sweep",
+    oracle=f"""
+    WITH t AS (SELECT text, {WORDS_SQL} AS words FROM documents),
+    b AS (SELECT len(words) AS nw, {BIGRAMS_SQL} AS bigrams FROM t),
+    m AS MATERIALIZED (
+      SELECT nw,
+             CAST(round({DUP_BIGRAM_FRAC_SQL} * 1000000) AS BIGINT) AS dmic
+      FROM b),
+    ct AS (SELECT CAST(unnest([{', '.join(str(c) for c in _DBF_CAPS_PPM)}])
+                       AS BIGINT) AS cap_ppm),
+    s AS (SELECT cap_ppm,
+                 COUNT(CASE WHEN dmic <= cap_ppm THEN 1 END) AS n_docs_kept,
+                 CAST(SUM(CASE WHEN dmic <= cap_ppm THEN nw ELSE 0 END)
+                      AS BIGINT) AS tokens_kept
+          FROM m, ct GROUP BY 1),
+    f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(nw) AS BIGINT) AS tokens_total FROM m)
+    SELECT cap_ppm, n_docs_kept, n_docs,
+           n_docs_kept * 1000000 // GREATEST(n_docs, 1) AS docs_kept_ppm,
+           tokens_kept, tokens_total,
+           tokens_kept * 1000000 // GREATEST(tokens_total, 1)
+             AS tokens_kept_ppm
+    FROM s, f ORDER BY cap_ppm
+    """,
+)
+def text_repetition_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPETITION-CAP CALIBRATION SWEEP — the table a pipeline owner reads
+    before picking pipeline_quality_filter's dup-bigram cap (the sweep
+    discipline of stats_sample_error_sweep applied to the Gopher
+    repetition knob): price four candidate caps against the corpus in
+    ONE pass — documents retained and TOKENS retained (the quantity a
+    pre-training data budget actually spends), exact counts plus ppm
+    retention, per cap.  Caps bracket the measured fixture distribution
+    (dbf p90 ≈ 0.065; the funnel ships 0.09), so the rows show the real
+    tradeoff curve, not four copies of 100%.
+
+    DETERMINISM: the metric is the SHARED dup-bigram fraction definition
+    (dup_frac/doc_bigrams = DUP_BIGRAM_FRAC_SQL — same objects the
+    funnel and text_repetition_profile gate on), rounded(6) in both
+    engines, then lifted to exact integer micro-units
+    (round(dbf·10⁶) — within 1 ulp of integral, so half-away rounding
+    is engine-identical) and compared against integer caps: no float
+    boundary can flake.  Sub-2-word docs have NULL dbf → NULL micros →
+    rejected by every cap in both engines (SQL NULL-comparison
+    semantics, stated not accidental).  Retention ppm are non-negative
+    integer divisions (house div contract).
+
+    Scale shape: ZERO shuffles beyond one map-combined global agg — all
+    four caps are conditional aggregates inside ONE documents pass
+    (words/bigrams/distinct are per-row codegen array ops, the
+    repetition-profile no-shuffle regime), then a 4-row stack prices the
+    report; the oracle prices the same sweep off a 4-row cross join.
+    At 100 TB this runs at parquet-scan speed — which is the point: the
+    calibration table costs one pass, the WRONG cap costs the corpus."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = doc_words()
+    nw = F.size(words)
+    dmic = F.round(dup_frac(doc_bigrams(words)) * 1_000_000).cast("long")
+    m = d.select(nw.alias("nw"), dmic.alias("dmic"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nw").alias("tokens_total"),
+    ]
+    for c in _DBF_CAPS_PPM:
+        cond = F.col("dmic") <= c
+        aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"k{c}"))
+        aggs.append(
+            F.sum(F.when(cond, F.col("nw")).otherwise(F.lit(0))).alias(f"t{c}")
+        )
+    a = m.agg(*aggs)
+    pairs = ", ".join(f"CAST({c} AS BIGINT), k{c}, t{c}" for c in _DBF_CAPS_PPM)
+    return (
+        a.selectExpr(
+            "n_docs",
+            "tokens_total",
+            f"stack({len(_DBF_CAPS_PPM)}, {pairs})"
+            " AS (cap_ppm, n_docs_kept, tokens_kept)",
+        )
+        .select(
+            "cap_ppm",
+            "n_docs_kept",
+            "n_docs",
+            F.expr("n_docs_kept * 1000000 div greatest(n_docs, 1)").alias(
+                "docs_kept_ppm"
+            ),
+            "tokens_kept",
+            "tokens_total",
+            F.expr(
+                "tokens_kept * 1000000 div greatest(tokens_total, 1)"
+            ).alias("tokens_kept_ppm"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("cap_ppm")
+    )
+
+
 @query(
     "pipeline_sequence_pack",
     oracle="""

@@ -1022,13 +1022,17 @@ def _bytes_conf(spark, key: str, default: int) -> int:
     return int(raw)
 
 
-def _run_replay(spark, sf_dir, cache, agg_of_stream, result_of_sink):
+def _run_replay(
+    spark, sf_dir, cache, agg_of_stream, result_of_sink, output_mode="append"
+):
     """Shared declared-replay harness: write one parquet file per
     non-empty arrival bucket (repartition-by-bucket → exactly one file),
     replay one-file-per-trigger in pinned mtime order through the given
     streaming agg, summarize the memory sink plus the engine's
     numRowsDroppedByWatermark into a checkpointed result, memoized per
-    (session, sf)."""
+    (session, sf).  ``output_mode`` is the sink mode under test (append
+    emits closed windows once; update appends a snapshot row per changed
+    window per batch — the ST8 surface stream_update_mode_replay prices)."""
     import glob
     import os
     import shutil
@@ -1093,7 +1097,7 @@ def _run_replay(spark, sf_dir, cache, agg_of_stream, result_of_sink):
             agg_of_stream(stream)
             .writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -1260,6 +1264,128 @@ def _stwr_summarize(sink: DataFrame, dropped: int) -> DataFrame:
             hr.alias("hr"),
             "n_events",
             "value_micros",
+            F.lit(SSWR_BATCHES).cast("long").alias("n_batches"),
+            F.lit(int(dropped)).cast("long").alias("dropped_late"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("hr")
+    )
+
+
+_sumr_cache: dict = {}
+
+
+def _sumr_oracle() -> str:
+    # the tumbling replay model WITHOUT the append-mode final-watermark
+    # emission gate: update mode emits a snapshot per (batch, window) the
+    # batch changed, so every window with >=1 kept row appears — open or
+    # closed — with n_updates = #touching batches and finals = cumulative
+    # kept aggregates; the drop model is the same lagged watermark
+    from paraslice_spark.operators.reshape import EP_MAX_DELAY_S
+
+    h = md5_u32_sql("event_id")
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT event_id,
+             epoch_ns(ts) AS ts_ns,
+             epoch_ns(ts) // 1000000 AS ts_ms,
+             CAST(round(value * 1000000) AS BIGINT) AS vmic,
+             epoch_ns(ts) + ({h} % {EP_MAX_DELAY_S}) * 1000000000 AS arr,
+             CASE WHEN {h} % 20 = 0 THEN 1 ELSE 0 END AS strag
+      FROM events),
+    bd AS (SELECT MIN(arr) AS mn, MAX(arr) AS mx FROM e),
+    tagged AS MATERIALIZED (
+      SELECT event_id, ts_ns, ts_ms, vmic,
+             LEAST({SSWR_BATCHES - 1},
+                   (arr - mn) * {SSWR_BATCHES} // (mx - mn + 1) + 2 * strag)
+               AS b
+      FROM e, bd),
+    batches AS (SELECT b, ROW_NUMBER() OVER (ORDER BY b) - 1 AS i
+                FROM (SELECT DISTINCT b FROM tagged)),
+    pb AS (SELECT t.b, i, MAX(ts_ms) AS m
+           FROM tagged t JOIN batches USING (b) GROUP BY 1, 2),
+    wm AS (SELECT b,
+                  MAX(m) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 2 PRECEDING) - {SSWR_DELAY_MS} AS wm_ms
+           FROM pb),
+    kept AS MATERIALIZED (
+      SELECT t.b, ts_ns // 3600000000000 AS hr,
+             (ts_ns // 3600000000000 + 1) * 3600000 AS end_ms,
+             CASE WHEN wm_ms IS NOT NULL AND wm_ms >= end_ms
+                  THEN 1 ELSE 0 END AS is_drop,
+             vmic
+      FROM tagged t JOIN wm w ON w.b = t.b),
+    tot AS (SELECT CAST(COUNT(DISTINCT (b, hr)) AS BIGINT) AS dropped
+            FROM kept WHERE is_drop = 1)
+    SELECT hr,
+           CAST(COUNT(DISTINCT b) AS BIGINT) AS n_updates,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(vmic) AS BIGINT) AS value_micros,
+           CAST({SSWR_BATCHES} AS BIGINT) AS n_batches,
+           dropped AS dropped_late
+    FROM kept, tot
+    WHERE is_drop = 0
+    GROUP BY hr, dropped
+    ORDER BY hr
+    """
+
+
+@query("stream_update_mode_replay", oracle=_sumr_oracle())
+def stream_update_mode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-ORACLED REAL-STREAMING replay in UPDATE output mode — ST8's
+    last undeclared sink behavior (VERDICT r11 #6), priced by the engine
+    itself: the SAME batched replay as the append-mode twin
+    (stream_tumbling_watermark_replay; one :func:`replay_batch_frame`
+    disorder definition for every declared replay) drives the identical
+    withWatermark("2 hours") + 1-hour tumbling aggregate, but the memory
+    sink runs in UPDATE mode, so each micro-batch appends one SNAPSHOT
+    row per window it changed.  The declared per-hour ledger — number of
+    update emissions, final event count, final exact value-micros sum,
+    plus the engine-counted late drops — hash-matches a pure-SQL model
+    of Spark's update-mode emission semantics in DuckDB.
+
+    The model is the proven append-mode watermark machinery (lag-one
+    ms-floored stats, the +2-batch straggler displacement, POST-PARTIAL-
+    AGG drop counting) with TWO update-mode differences, both verified
+    by exact engine probes at sf0.001 (522 windows, drops 42==42) and
+    sf0.01 (720 windows, 873 snapshot rows, drops 232==232):
+
+    - NO final-watermark emission gate: update mode emits windows as
+      they change, so open windows appear too (the append twin's
+      `fin` CTE is exactly the clause this oracle drops);
+    - n_updates per window = COUNT(DISTINCT touching batch): a batch
+      emits a window's snapshot iff it contributed >=1 kept row, and
+      each snapshot's running count strictly grows, so the final
+      (max-count) snapshot carries the cumulative kept aggregate —
+      which is why max/max_by summarization below is deterministic.
+
+    Scale shape: identical to the append replay — per-window state,
+    O(changed windows) emission per batch, the engine's own
+    numRowsDroppedByWatermark; update mode trades append's exactly-once
+    closed-window ledger for earlier visibility, and THIS query is the
+    calibration table for that tradeoff (n_updates is the write
+    amplification a downstream upsert sink would absorb)."""
+    return _run_replay(
+        spark,
+        sf_dir,
+        _sumr_cache,
+        _tumbling_micros_agg,
+        _sumr_summarize,
+        output_mode="update",
+    )
+
+
+def _sumr_summarize(sink: DataFrame, dropped: int) -> DataFrame:
+    hr = F.expr("unix_micros(hour_start) div 3600000000")
+    return (
+        sink.groupBy(hr.alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_updates"),
+            F.max("n_events").alias("n_events"),
+            F.expr("max_by(value_micros, n_events)").alias("value_micros"),
+        )
+        .select(
+            "hr", "n_updates", "n_events", "value_micros",
             F.lit(SSWR_BATCHES).cast("long").alias("n_batches"),
             F.lit(int(dropped)).cast("long").alias("dropped_late"),
         )

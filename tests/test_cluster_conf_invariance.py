@@ -76,6 +76,9 @@ _REPRESENTATIVES = (
     "pipeline_pack_waste_sweep",          # checkpointed offsets + dual ctx-sweep aggs
     # r12 shapes:
     "embedding_cosine_histogram",         # TakeOrdered fixed-size sample + BNLJ pairs
+    "similarity_signlsh_band_sweep",      # checkpointed sig + 3-arm band collide
+    "stream_update_mode_replay",          # REAL streaming engine, update mode
+    "text_repetition_cap_sweep",          # zero-shuffle conditional-agg sweep
 )
 
 
@@ -99,6 +102,7 @@ def _clear_memo_caches() -> None:
         tensor._coords_cache,  # .cache()d, not checkpointed → unpersist path
         streams._sswr_cache,   # checkpointed replay ledgers: the stream
         streams._stwr_cache,   # itself must re-execute under cluster confs
+        streams._sumr_cache,
     ):
         for v in cache.values():
             for df in v if isinstance(v, tuple) else (v,):
@@ -121,6 +125,7 @@ _MEMOIZED = {
     "tensor_mode_skew_profile",
     "stream_session_watermark_replay",
     "stream_tumbling_watermark_replay",
+    "stream_update_mode_replay",
 }
 
 

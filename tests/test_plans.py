@@ -1085,3 +1085,37 @@ def test_pack_waste_sweep_single_offsets_pass(spark):
     assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
     assert "Window [" not in p and "SortMergeJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_signlsh_band_sweep_plan_shape(spark):
+    """similarity_signlsh_band_sweep claims: the signature frame is ONE
+    parquet scan with zero exchanges (quantize + self-dot codegen, all
+    14 buckets from one Arrow batch matmul — asserted on the
+    pre-checkpoint tree the query's localCheckpoint hides); the declared
+    plan rides checkpoints only (no parquet re-scan), every join is a
+    broadcast (band-collision equi-join + the tiny grid combines), and
+    pair rows are never sort-merge-joined or cartesian-producted."""
+    from paraslice_spark.operators.similarity import _sl_sweep_sig
+    from paraslice_spark.sources.io import load_tables
+
+    ps = plan(_sl_sweep_sig(load_tables(spark, SF_SMALL)["embeddings"]))
+    assert ps.count("Scan parquet") == 1, ps
+    assert "Exchange" not in ps, ps
+    assert "ArrowEvalPython" in ps, ps
+
+    p = plan(QUERIES["similarity_signlsh_band_sweep"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_repetition_cap_sweep_zero_shuffle_single_pass(spark):
+    """text_repetition_cap_sweep claims the sweep shape: ONE documents
+    pass, all four caps as conditional aggregates in one map-combined
+    global agg (zero hash exchanges), a 4-row stack after — no join, no
+    window, and only the two needed columns read."""
+    p = plan(QUERIES["text_repetition_cap_sweep"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("Exchange hashpartitioning") == 0, p
+    assert "Window [" not in p and "Join" not in p, p
+    assert "ReadSchema: struct<text:string>" in p, p

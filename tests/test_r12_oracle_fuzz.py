@@ -90,3 +90,152 @@ def test_lpa_communities_oracle_on_random_tables(seed):
     assert got == want, seed
     # non-vacuity: propagation must have actually merged something
     assert any(size > 1 for size, _n, _t in want), seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_signlsh_band_sweep_oracle_on_random_tables(seed):
+    """similarity_signlsh_band_sweep (r12 tier-0): micro-unit plane signs,
+    per-width bucket packing, band-collision candidates, exact rounded-
+    cosine top-5 truth, and every integer division — rederived from
+    scratch on dyadic-rational 64-dim vectors (x = k/64 ⇒ mv = 15625·k
+    exactly; 64-dim micro dots ≤ 6.4e13 < 2^53, so every engine sums
+    exact integers)."""
+    from paraslice_spark.operators.similarity import (
+        _N_QUERIES,
+        _SL_PLANES,
+        _SL_SWEEP,
+        _TOP_K,
+    )
+
+    rng = random.Random(16_000 + seed)
+    dim = 64
+    vecs = []
+    for vid in range(rng.randrange(12, 40)):
+        k = [rng.randrange(-64, 65) for _ in range(dim)]
+        if not any(k):
+            k[0] = 1
+        vecs.append((vid, k))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)",
+        [(vid, [x / 64.0 for x in k]) for vid, k in vecs],
+    )
+    got = con.execute(ORACLES["similarity_signlsh_band_sweep"]).fetchall()
+
+    # from-scratch model: mv is exactly 15625*k, bits are strict dot signs
+    mv = {vid: [x * 15625 for x in k] for vid, k in vecs}
+    bits = {
+        vid: [
+            1 if sum(a * b for a, b in zip(m, p)) > 0 else 0
+            for p in _SL_PLANES
+        ]
+        for vid, m in mv.items()
+    }
+
+    def buckets(vid, w, nb):
+        return [
+            sum(bits[vid][b * w + j] << j for j in range(w)) for b in range(nb)
+        ]
+
+    # exact truth: rounded cosine DESC, neighbor_id ASC, top 5 per query
+    sd = {vid: sum(x * x for x in m) for vid, m in mv.items()}
+    truth = set()
+    n_truth = 0
+    qids = set()
+    for qid, qm in mv.items():
+        if qid >= _N_QUERIES:
+            continue
+        scored = []
+        for cid, cm in mv.items():
+            if cid == qid:
+                continue
+            dot = sum(a * b for a, b in zip(qm, cm))
+            cos = _rnd(dot / (math.sqrt(sd[qid]) * math.sqrt(sd[cid])), 6)
+            scored.append((-cos, cid))
+        top = sorted(scored)[:_TOP_K]
+        for _c, cid in top:
+            truth.add((qid, cid))
+        n_truth += len(top)
+        if top:
+            qids.add(qid)
+    nq = len(qids)
+
+    want = []
+    for w, nb in _SL_SWEEP:
+        cand = set()
+        for qid in mv:
+            if qid >= _N_QUERIES:
+                continue
+            qb = buckets(qid, w, nb)
+            for cid in mv:
+                if cid == qid:
+                    continue
+                cb = buckets(cid, w, nb)
+                if any(a == b for a, b in zip(qb, cb)):
+                    cand.add((qid, cid))
+        hits = len(cand & truth)
+        want.append(
+            (
+                w,
+                nb,
+                len(cand),
+                nq,
+                n_truth,
+                hits,
+                hits * 1_000_000 // max(n_truth, 1),
+                len(cand) // max(nq, 1),
+            )
+        )
+    assert got == sorted(want), seed
+    # non-vacuity: the permissive arm must generate candidates and the
+    # sweep must separate the arms (monotone candidate counts)
+    counts = [row[2] for row in sorted(want)]
+    assert counts[0] > 0 and counts[0] >= counts[1] >= counts[2], seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_repetition_cap_sweep_oracle_on_random_tables(seed):
+    """text_repetition_cap_sweep (r12 tier-0): dup-bigram fraction →
+    micro-unit lift → conditional cap counts → integer retention ppm,
+    rederived from scratch on random small-vocab corpora (duplicate
+    bigrams guaranteed), including sub-2-word docs whose NULL fraction
+    every cap must reject."""
+    from paraslice_spark.operators.text import _DBF_CAPS_PPM
+
+    rng = random.Random(17_000 + seed)
+    vocab = [f"w{i}" for i in range(rng.randrange(3, 9))]
+    docs = []
+    for did in range(rng.randrange(20, 60)):
+        n = rng.choice((1, 2, rng.randrange(2, 40)))  # force degenerate docs
+        docs.append((did, " ".join(rng.choice(vocab) for _ in range(n))))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    got = con.execute(ORACLES["text_repetition_cap_sweep"]).fetchall()
+
+    stats = []  # (n_words, dmic-or-None)
+    for _did, text in docs:
+        words = text.split(" ")
+        nw = len(words)
+        bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        if not bigrams:
+            stats.append((nw, None))
+            continue
+        dbf = _rnd((len(bigrams) - len(set(bigrams))) / len(bigrams), 6)
+        stats.append((nw, int(_rnd(dbf * 1_000_000, 0))))
+    n_docs = len(stats)
+    tok_total = sum(nw for nw, _ in stats)
+    want = []
+    for cap in _DBF_CAPS_PPM:
+        kept = [(nw, d) for nw, d in stats if d is not None and d <= cap]
+        nk = len(kept)
+        tk = sum(nw for nw, _ in kept)
+        want.append(
+            (cap, nk, n_docs, nk * 1_000_000 // max(n_docs, 1),
+             tk, tok_total, tk * 1_000_000 // max(tok_total, 1))
+        )
+    assert got == want, seed
+    # non-vacuity: retention must be monotone in the cap and not flat
+    keeps = [w[1] for w in want]
+    assert keeps == sorted(keeps) and keeps[0] < n_docs, seed
