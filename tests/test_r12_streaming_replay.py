@@ -239,3 +239,29 @@ def test_update_replay_engine_on_degenerate_geometry(spark, tmp_path):
     assert got == update_replay_python(rows)
     assert len(got) == 3 and all(r[5] == 0 for r in got)
     pio._cache.pop((pio._session_key(spark), str(d).rstrip("/")), None)
+
+
+def test_gram_sweep_n2_arm_equals_production_decontaminate(spark):
+    """Cross-query law (batch side, parked in this r12 file): the sweep's
+    n=2 row must equal text_decontaminate's declared output — same pair
+    count, same distinct train/bench doc counts — because both gate the
+    identical containment rule on identical bigrams."""
+    from pyspark.sql import functions as F
+
+    sweep = {
+        r["gram_n"]: r
+        for r in QUERIES["text_decontaminate_gram_sweep"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    prod = QUERIES["text_decontaminate"](spark, SF_SMALL)
+    agg = prod.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("train_doc").alias("nt"),
+        F.countDistinct("bench_doc").alias("nb"),
+    ).collect()[0]
+    row = sweep[2]
+    assert (row["n_pairs"], row["n_train_docs"], row["n_bench_docs"]) == (
+        agg["n_pairs"], agg["nt"], agg["nb"],
+    )
+    assert row["n_pairs"] > 0
