@@ -158,6 +158,9 @@ def main() -> None:
             "update_mode_stream_replay_result": [
                 "stream_update_mode_replay",
             ],
+            "complete_mode_stream_replay_result": [
+                "stream_complete_mode_replay",
+            ],
         },
     }
     print(json.dumps(payload))

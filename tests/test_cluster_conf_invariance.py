@@ -80,6 +80,7 @@ _REPRESENTATIVES = (
     "stream_update_mode_replay",          # REAL streaming engine, update mode
     "text_repetition_cap_sweep",          # zero-shuffle conditional-agg sweep
     "text_decontaminate_gram_sweep",      # checkpointed 4-size gram stream
+    "stream_complete_mode_replay",        # REAL streaming engine, complete mode
 )
 
 
@@ -104,6 +105,7 @@ def _clear_memo_caches() -> None:
         streams._sswr_cache,   # checkpointed replay ledgers: the stream
         streams._stwr_cache,   # itself must re-execute under cluster confs
         streams._sumr_cache,
+        streams._scmr_cache,
     ):
         for v in cache.values():
             for df in v if isinstance(v, tuple) else (v,):
@@ -127,6 +129,7 @@ _MEMOIZED = {
     "stream_session_watermark_replay",
     "stream_tumbling_watermark_replay",
     "stream_update_mode_replay",
+    "stream_complete_mode_replay",
 }
 
 

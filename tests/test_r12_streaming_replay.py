@@ -265,3 +265,107 @@ def test_gram_sweep_n2_arm_equals_production_decontaminate(spark):
         agg["n_pairs"], agg["nt"], agg["nb"],
     )
     assert row["n_pairs"] > 0
+
+
+def test_complete_replay_trilogy_laws(spark):
+    """The ST8 sink-mode trilogy on one fixture: COMPLETE equals the plain
+    batch aggregate with ZERO engine drops (the no-drop/no-evict pin);
+    per shared hour UPDATE finals never exceed COMPLETE (update excludes
+    dropped rows), strictly less somewhere (drops are live); APPEND is
+    the watermark-gated subset of both."""
+    from pyspark.sql import functions as F
+
+    from paraslice_spark.sources.io import load_tables
+    from paraslice_spark.streaming import streams
+
+    streams._scmr_cache.clear()
+    comp = {
+        r[0]: (r[1], r[2], r[4])
+        for r in QUERIES["stream_complete_mode_replay"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert comp and all(d == 0 for _n, _v, d in comp.values())
+    ev = load_tables(spark, SF_SMALL)["events"]
+    batch = {
+        r[0]: (r[1], r[2])
+        for r in ev.groupBy(
+            F.expr("unix_micros(ts) div 3600000000").alias("hr")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("cast(round(value * 1000000) as long)")).alias("v"),
+        )
+        .collect()
+    }
+    assert {h: (n, v) for h, (n, v, _d) in comp.items()} == batch
+
+    upd = {
+        r[0]: (r[2], r[3])
+        for r in QUERIES["stream_update_mode_replay"](spark, SF_SMALL).collect()
+    }
+    assert set(upd) <= set(comp)
+    assert all(upd[h][0] <= comp[h][0] for h in upd)
+    assert any(upd[h][0] < comp[h][0] for h in upd)  # drops are live
+    app = {
+        r[0]
+        for r in QUERIES["stream_tumbling_watermark_replay"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert app <= set(upd) <= set(comp)
+
+
+def test_complete_replay_engine_matches_oracle_on_random_tables(spark, tmp_path):
+    """ENGINE fuzz: random event tables through the ACTUAL engine in
+    complete mode must hash-match the batch-aggregate oracle with zero
+    drops — on inputs where the update-mode twin DOES drop."""
+    import datetime
+    import os
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from paraslice_spark.sources import io as pio
+    from paraslice_spark.streaming import streams
+    from tests.oracle_harness import run_compare
+
+    base_ns = int(datetime.datetime(2024, 3, 1).timestamp()) * 10**9
+    for seed in range(2):
+        rng = random.Random(33_000 + seed)
+        n = rng.randrange(60, 300)
+        rows = []
+        for eid in range(1, n + 1):
+            ts_ns = base_ns + rng.randrange(0, 10 * 86_400) * 10**9 \
+                + rng.randrange(0, 10**9)
+            rows.append((eid, ts_ns, rng.randrange(0, 10**7) / 1e6))
+        d = tmp_path / f"cfuzz{seed}"
+        os.makedirs(d)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [r[1] // 1000 for r in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([r[0] % 7 for r in rows], pa.int64()),
+                    "event_type": pa.array(["c"] * n, pa.string()),
+                    "value": pa.array([r[2] for r in rows], pa.float64()),
+                    "props": pa.array(["{}"] * n, pa.string()),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"):
+            os.symlink(f"{SF_SMALL}/{t}.parquet", str(d / f"{t}.parquet"))
+        streams._scmr_cache.clear()
+        problems = run_compare(
+            spark,
+            QUERIES["stream_complete_mode_replay"],
+            ORACLES["stream_complete_mode_replay"],
+            str(d),
+        )
+        assert not problems, (seed, problems)
+        pio._cache.pop((pio._session_key(spark), str(d).rstrip("/")), None)
