@@ -866,25 +866,41 @@ def text_decontaminate_gram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     DETERMINISM: everything is exact integers (distinct-gram counts,
     the shared*2 >= n integer threshold) — no floats anywhere.
 
-    Scale shape: ONE documents scan explodes all four gram sizes into a
-    tagged (size, gram) stream (checkpointed — bench and train branches
-    partition it without re-scanning); the benchmark side stays TINY by
-    construction (eval suites are KBs), so its per-size inverted index
-    BROADCASTS onto the train stream exactly like production — no
-    shuffle ever carries corpus text, and the 4× gram volume is the
-    sweep's honest price (still linear, one pass).  The oracle prices
-    the same four rules off one lateral unnest."""
+    Scale shape: the explode is PARTITIONED BY ROLE, never materialized
+    (the first cut checkpointed one tagged 4-size gram stream for both
+    branches — at sf0.1 that wrote+read ~5M gram rows and benched 8.3 s,
+    15x the production n=2 pipeline; scans are cheaper than gram
+    checkpoints): the benchmark side explodes ONLY the src0 docs (TINY
+    by construction — eval suites are KBs — so its per-size inverted
+    index BROADCASTS), and the train side explodes the rest STREAMING
+    straight into the broadcast join + partial agg, exactly the
+    production text_decontaminate shape — at 100 TB nothing ever holds
+    the 4x gram volume, no shuffle carries corpus text.  The oracle
+    prices the same four rules off one lateral unnest."""
     d = load_tables(spark, sf_dir)["documents"]
-    # ONE scan feeds bench + train branches
-    g = _decon_sweep_grams(d).localCheckpoint(eager=True)
-    bench = g.where(F.col("source") == "src0").select(
-        F.col("doc_id").alias("bench_doc"), "gn", "gram"
+    # the bench gram table is TINY (eval-suite sized) and consumed twice
+    # (index + per-size totals): checkpoint it — unlike the full tagged
+    # stream, this materialization is KBs-scale by construction
+    bench = (
+        _decon_sweep_grams(d.where(F.col("source") == "src0"))
+        .select(F.col("doc_id").alias("bench_doc"), "gn", "gram")
+        .localCheckpoint(eager=True)
     )
     bench_idx = bench.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("bench_doc", "gn"))
     )
-    train = g.where(F.col("source") != "src0").select(
-        F.col("doc_id").alias("train_doc"), "gn", "gram"
+    # The fixture is ONE parquet file -> one input partition, and the
+    # 4-size explode expression costs ~6 us/row single-core (measured
+    # 6.2 s at sf0.1) — spread the docs across cores BEFORE exploding
+    # (a shuffle of doc rows, cheap; at 100 TB input splits provide this
+    # parallelism for free and the repartition coalesces away under AQE).
+    train = (
+        _decon_sweep_grams(
+            d.where(F.col("source") != "src0").repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        )
+        .select(F.col("doc_id").alias("train_doc"), "gn", "gram")
     )
     flagged = (
         train.join(F.broadcast(bench_idx), ["gn", "gram"])
@@ -899,8 +915,8 @@ def text_decontaminate_gram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     bt = bench.groupBy("gn").agg(F.count(F.lit(1)).alias("n_grams_bench"))
     sizes = ", ".join(f"{n}L" for n in _DECON_GRAM_NS)
-    # grid rows come off the checkpoint, not a second parquet scan
-    grid = g.agg(F.count(F.lit(1)).alias("_n")).selectExpr(
+    # grid rows need no table at all
+    grid = spark.range(1).selectExpr(
         f"stack({len(_DECON_GRAM_NS)}, {sizes}) AS gram_n"
     )
     return (

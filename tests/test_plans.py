@@ -1122,12 +1122,13 @@ def test_repetition_cap_sweep_zero_shuffle_single_pass(spark):
 
 
 def test_decontaminate_gram_sweep_plan_shape(spark):
-    """text_decontaminate_gram_sweep claims: the tagged gram stream is
-    ONE documents scan (all four sizes from one explode — asserted on
-    the pre-checkpoint tree), and the declared plan rides the checkpoint
-    only, broadcasting the bench index onto the train stream (the
-    production decontamination shape) — no parquet re-scan, no
-    sort-merge join, no cartesian product."""
+    """text_decontaminate_gram_sweep claims the role-partitioned shape:
+    exactly TWO documents scans (tiny bench side; train side
+    round-robin-repartitioned across cores before the measured-hot
+    4-size explode, then STREAMING into the broadcast containment join —
+    the first cut checkpointed one shared gram stream and benched 8.3 s
+    at sf0.1; this shape is 2.3 s), the bench index broadcasts, and no
+    sort-merge join or cartesian product anywhere."""
     from paraslice_spark.operators.text import _decon_sweep_grams
     from paraslice_spark.sources.io import load_tables
 
@@ -1136,6 +1137,8 @@ def test_decontaminate_gram_sweep_plan_shape(spark):
     assert "Exchange" not in ps and "Join" not in ps, ps
 
     p = plan(QUERIES["text_decontaminate_gram_sweep"](spark, SF_SMALL))
-    assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
+    assert p.count("Scan parquet") == 1, p  # train side; bench rides its ckpt
+    assert "Scan ExistingRDD" in p, p
+    assert "REPARTITION_BY_NUM" in p, p  # the explode-parallelism spread
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
