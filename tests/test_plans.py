@@ -1142,3 +1142,17 @@ def test_decontaminate_gram_sweep_plan_shape(spark):
     assert "REPARTITION_BY_NUM" in p, p  # the explode-parallelism spread
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_quant_bits_sweep_zero_shuffle_single_pass(spark):
+    """embedding_quant_bits_sweep claims the int8-audit regime times
+    three: ONE embeddings scan, all three widths as per-row array
+    codegen inside one map-combined global agg (zero hash exchanges),
+    a 3-row stack after — no join, no window, no explode."""
+    p = plan(QUERIES["embedding_quant_bits_sweep"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("Exchange hashpartitioning") == 0, p
+    assert "Join" not in p and "Window [" not in p, p
+    # the only Generate is the 3-row presentation stack, never an explode
+    assert "Generate explode" not in p, p
+    assert "ReadSchema: struct<embedding:array<float>>" in p, p

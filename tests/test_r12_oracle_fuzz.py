@@ -302,3 +302,57 @@ def test_decontaminate_gram_sweep_oracle_on_random_tables(seed):
     # non-vacuity: flagged pairs exist and never increase with gram size
     np_ = [w[2] for w in sorted(want)]
     assert np_[0] > 0 and all(a >= b for a, b in zip(np_, np_[1:])), seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_quant_bits_sweep_oracle_on_random_tables(seed):
+    """embedding_quant_bits_sweep (r12 tier-0): absmax ternary/int4/int8
+    quantization distortion in exact L-micro units, rederived from
+    scratch on dyadic-rational vectors — per-element q = half-away
+    round of one float quotient, integer residuals, the two rounded
+    ratio columns, and the zero-vector exclusion."""
+    from paraslice_spark.operators.similarity import _QB_SWEEP
+
+    rng = random.Random(19_000 + seed)
+    dim = rng.randrange(4, 12)
+    vecs = []
+    for vid in range(rng.randrange(10, 30)):
+        k = [rng.randrange(-64, 65) for _ in range(dim)]
+        if vid == 0:
+            k = [0] * dim  # plant an all-zero vector: must be excluded
+        vecs.append((vid, k))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)",
+        [(vid, [x / 64.0 for x in k]) for vid, k in vecs],
+    )
+    got = con.execute(ORACLES["embedding_quant_bits_sweep"]).fetchall()
+
+    mvs = [
+        [x * 15625 for x in k]  # 1e6/64 = 15625 exactly
+        for _vid, k in vecs
+        if any(k)
+    ]
+    n_vecs = len(mvs)
+    l1 = sum(abs(x) for mv in mvs for x in mv)
+    energy = sum(x * x for mv in mvs for x in mv)
+    want = []
+    for b, lv in _QB_SWEEP:
+        sa = sse = 0
+        for mv in mvs:
+            s = max(abs(x) for x in mv)
+            for x in mv:
+                q = int(_rnd(lv * x / s, 0))
+                e = abs(lv * x - q * s)
+                sa += e
+                sse += e * e
+        want.append(
+            (b, lv, n_vecs, l1, energy, sa, sse,
+             _rnd(sa / (lv * l1), 6),
+             _rnd(math.sqrt(sse) / (lv * math.sqrt(energy)), 6))
+        )
+    assert got == sorted(want), seed
+    # non-vacuity: distortion strictly decreasing in bit width
+    rr = [w[8] for w in sorted(want)]
+    assert rr[0] > rr[1] > rr[2] > 0, seed
