@@ -2143,8 +2143,61 @@ def _knn_graph_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (_session_key(spark), sf_dir.rstrip("/"))
     if key not in _knn_cache:
-        _knn_cache[key] = _knn_graph(spark, sf_dir).localCheckpoint(eager=True)
+        # The build leaves the tile grid's B² (=64) partitions on an
+        # O(n·k)-row edge table; re-key the CHECKPOINT by vec_id at the
+        # session's shuffle-partition count (conf-tuned: 32 locally,
+        # 200+ on a cluster — scale-honest for an edge table that grows
+        # with the corpus) so the 8 downstream consumers scan
+        # appropriately-sized partitions already hashed on their join/
+        # agg key.  (Most of the r12 consumer win came from the
+        # _knn_uedges_cached layer below; this re-key makes the
+        # checkpoint itself conf-sized rather than tile-grid-sized.)
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        _knn_cache[key] = (
+            _knn_graph(spark, sf_dir)
+            .repartition(n_shuffle, F.col("vec_id"))
+            .localCheckpoint(eager=True)
+        )
     return _knn_cache[key]
+
+
+#: (session, sf) -> checkpointed CANONICAL UNDIRECTED edge table (u < v,
+#: distinct) of the kNN graph — the second memoization layer (added r12
+#: after the task-latency diagnosis): SIX graph consumers re-derived the
+#: same canonicalize/symmetrize+distinct SHUFFLE from the edge checkpoint
+#: on every materialization, and LPA's 3-round plan compiled it three
+#: times inside one action.  At 100 TB this is also the production
+#: shape — materialize the undirected edge list once, serve every
+#: analytics query from it.
+_knn_uedges_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def _knn_uedges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paraslice_spark.sources.io import _session_key
+
+    key = (_session_key(spark), sf_dir.rstrip("/"))
+    if key not in _knn_uedges_cache:
+        knn = _knn_graph_cached(spark, sf_dir)
+        _knn_uedges_cache[key] = (
+            knn.select(
+                F.least("vec_id", "neighbor_id").alias("u"),
+                F.greatest("vec_id", "neighbor_id").alias("v"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return _knn_uedges_cache[key]
+
+
+def _knn_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized directed (s, t) edge view off the canonical memo —
+    both directions of a (u < v)-distinct table are distinct by
+    construction, so this is a NARROW union of two checkpoint scans
+    (no shuffle, nothing to memoize)."""
+    e = _knn_uedges_cached(spark, sf_dir)
+    return e.select(F.col("u").alias("s"), F.col("v").alias("t")).unionByName(
+        e.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
 
 
 @query("similarity_knn_graph", oracle=_KNN_ORACLE)
@@ -2829,11 +2882,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered a never-released InMemoryRelation per invocation): each
     of the four consumers recomputes the cheap select+distinct from the
     kNN table's localCheckpoint, which already bounds recomputation."""
-    knn = _knn_graph_cached(spark, sf_dir)
-    e = knn.select(
-        F.least("vec_id", "neighbor_id").alias("u"),
-        F.greatest("vec_id", "neighbor_id").alias("v"),
-    ).distinct()
+    e = _knn_uedges_cached(spark, sf_dir)
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
@@ -2888,11 +2937,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors many others consider near).  Canonical u<v edges from the
     memoized kNN table, one explode-both-endpoints agg, a histogram agg —
     all integer, O(n·k) rows through the shuffles."""
-    knn = _knn_graph_cached(spark, sf_dir)
-    e = knn.select(
-        F.least("vec_id", "neighbor_id").alias("u"),
-        F.greatest("vec_id", "neighbor_id").alias("v"),
-    ).distinct()
+    e = _knn_uedges_cached(spark, sf_dir)
     nodes = e.select(F.col("u").alias("node")).unionAll(
         e.select(F.col("v").alias("node"))
     )
@@ -2947,18 +2992,10 @@ def graph_knn_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND(,6) engine-stable.  All shuffles carry id pairs only; edges
     come from the memoized kNN localCheckpoint (no persist — the
     ADVICE r6 hygiene rule)."""
-    knn = _knn_graph_cached(spark, sf_dir)
     # e feeds three subplans directly and three more through adj (no
-    # shared subplan): one materialization of the canonicalize+distinct
-    # shuffle instead of six (persist-hygiene pattern)
-    e = (
-        knn.select(
-            F.least("vec_id", "neighbor_id").alias("u"),
-            F.greatest("vec_id", "neighbor_id").alias("v"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # shared subplan): the shared per-session canonical-edge checkpoint
+    # serves all six (one materialization per session, not per call)
+    e = _knn_uedges_cached(spark, sf_dir)
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
@@ -3011,12 +3048,7 @@ def knn_label_propagation(
     no convergence probes).  Test-only: community assignments are
     engine-internal (a DuckDB twin would re-implement the whole loop);
     invariants live in tests/test_graph_lpa.py."""
-    knn = _knn_graph_cached(spark, sf_dir)
-    fwd = knn.select(F.col("vec_id").alias("s"), F.col("neighbor_id").alias("t"))
-    edges = (
-        fwd.unionByName(fwd.select(F.col("t").alias("s"), F.col("s").alias("t")))
-        .distinct()
-    )
+    edges = _knn_sym_edges(spark, sf_dir)
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
@@ -3508,13 +3540,7 @@ def knn_kcore_decomposition(
     rounds freed).  Test-only: core numbers are loop-internal (a DuckDB
     twin would re-implement the peel); invariants in
     tests/test_graph_kcore.py."""
-    knn = _knn_graph_cached(spark, sf_dir)
-    fwd = knn.select(F.col("vec_id").alias("s"), F.col("neighbor_id").alias("t"))
-    edges = (
-        fwd.unionByName(fwd.select(F.col("t").alias("s"), F.col("s").alias("t")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _knn_sym_edges(spark, sf_dir)
     core = edges.select(F.col("s").alias("node")).distinct().withColumn(
         "core", F.lit(1)
     )
@@ -3995,11 +4021,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub table joins the degree dim TWICE by node key (both
     broadcast-able — |nodes| rows), then a 1-row rollup.  O(n·k) rows
     end to end; nothing quadratic."""
-    knn = _knn_graph_cached(spark, sf_dir)
-    e = knn.select(
-        F.least("vec_id", "neighbor_id").alias("u"),
-        F.greatest("vec_id", "neighbor_id").alias("v"),
-    ).distinct()
+    e = _knn_uedges_cached(spark, sf_dir)
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )

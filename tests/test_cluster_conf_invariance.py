@@ -100,6 +100,7 @@ def _clear_memo_caches() -> None:
         similarity._mh_base_cache,  # values are (shingles, signatures) tuples
         similarity._emb_base_cache,
         similarity._knn_cache,
+        similarity._knn_uedges_cache,
         relational._col_hist_cache,
         reshape._replay_wm_cache,
         tensor._coords_cache,  # .cache()d, not checkpointed → unpersist path
