@@ -19,54 +19,28 @@ import paraslice_spark.operators  # noqa: F401  (registers all queries)
 from paraslice_spark.registry import ORACLES, QUERIES
 
 # The driver grades the FIRST ~50 queries of this dict per round, so order
-# encodes grading priority.  Round-12 re-tier (VERDICT r11 next-round #2):
-# CORRECTNESS_r11 graded 50/50 clean — the 7 r11 tier-0 additions, all 17
-# of the old _T2_R5_GRADED, and 26 of _T3_R6_GRADED — so the r5 era is
-# fully closed (tuple deleted) and _T3 shrinks to its 22 ungraded r6
+# encodes grading priority.  Round-13 re-tier (VERDICT r12 next-round #1):
+# CORRECTNESS_r12 graded 50/50 clean — the 6 r12 tier-0 additions, all 22
+# of the old _T3_R6_GRADED, and 22 of _T4_R7_GRADED — so the r6 era is
+# fully closed (tuple deleted) and _T4 shrinks to its 27 ungraded r7
 # stragglers, now the oldest standing verdicts and therefore tier 1.  The
-# 50 names r11 graded move to _T8_R11_GRADED at the back.  Tier 0 (no
-# tuple): new r12 additions lead the sample (budget ≤ ~6).
-# Budget check: ≤6 tier-0 names + the 22 r6 stragglers + ~22 of the r7
-# tier's 51 fill the ~50 sample, so CORRECTNESS_r12 grades every r12
-# addition, ends the r6 era entirely, and starts refreshing the r7 tier.
-_T3_R6_GRADED: tuple[str, ...] = (
-    # the 22 r6-graded names CORRECTNESS_r11's sample didn't reach
-    "q20_bulk_shippers", "q21_waiting_suppliers",
-    "q22_dormant_balances", "join_salted_skew", "multimodal_phash_pairs",
-    "audit_constraints", "events_sessionized_funnel", "events_anomaly_zscore",
-    "sample_split_train_val_test", "text_decontaminate",
-    "pipeline_dataset_build", "graph_pagerank_knn", "graph_triangle_count",
-    "similarity_signlsh_ann", "events_ab_test", "events_ab_cuped",
-    "events_scd2_status", "agg_incremental_merge",
-    "events_chi2_independence", "events_forecast_backtest",
-    "text_zipf_fit", "window_cumulative_distinct",
-)
+# 50 names r12 graded move to _T9_R12_GRADED at the back.  Tier 0 (no
+# tuple): new r13 additions lead the sample (budget ≤ ~6).
+# Budget check: ≤6 tier-0 names + the 27 r7 stragglers + ~17 of the r8
+# tier's 50 fill the ~50 sample, so CORRECTNESS_r13 grades every r13
+# addition, ends the r7 era entirely, and starts refreshing the r8 tier.
 _T4_R7_GRADED: tuple[str, ...] = (
-    # the r7 tier-0 additions (minus customer_revenue_deciles, re-planned
-    # in r8 and back in tier 0) …
-    "agg_percentile_histogram", "agg_countmin_topk_error",
-    "events_forecast_backtest_by_type", "supplier_scorecard",
-    "market_basket_pairs", "events_active_users", "events_heavy_hitters",
-    "sample_bottom_k", "dedup_minhash_estimate_error",
-    "dedup_group_size_histogram", "graph_knn_jaccard", "text_bpe_pairs",
-    "text_repetition_profile", "pipeline_sequence_pack",
-    "text_bloom_prefilter",
-    # … the r7 T1 refresh …
-    "events_markov_transitions", "customer_rfm_segments",
-    "part_abc_analysis", "graph_degree_distribution",
-    "events_anomaly_mad", "events_seasonality_profile", "text_vocab_growth",
+    # the 27 r7-graded names CORRECTNESS_r12's sample didn't reach
     "text_boilerplate_grams", "text_collocations_pmi",
     "events_interarrival_profile",
     "agg_string_concat", "multimodal_decode_meta", "project_arithmetic",
     "reshape_unpivot", "filter_between_in_like", "filter_compound",
     "filter_null_semantics", "filter_regexp", "udf_grouped_map",
     "udf_pandas_vectorized", "udf_scalar_py", "udf_udtf_tokenize",
-    # … the r7 rows-only refresh …
     "agg_approx_distinct", "agg_approx_quantile", "dedup_embedding_cosine",
     "parafac_cp_als", "parafac_cp_als_dist",
     "parafac_factors_a", "sample_bernoulli", "similarity_ivf_ann",
     "similarity_lsh_ann", "tucker_hosvd_core",
-    # … and the two same-round spillovers.
     "tensor_slices", "dedup_minhash_pairs",
 )
 _T5_R8_GRADED: tuple[str, ...] = (
@@ -162,6 +136,32 @@ _T8_R11_GRADED: tuple[str, ...] = (
     "q16_supplier_part_counts", "q17_small_quantity_revenue",
     "q19_discounted_revenue",
 )
+_T9_R12_GRADED: tuple[str, ...] = (
+    # the 50 names CORRECTNESS_r12 graded: the 6 r12 additions + all 22 of
+    # the old r6 tier + 22 of the r7 tier
+    "stream_update_mode_replay", "stream_complete_mode_replay",
+    "similarity_signlsh_band_sweep", "embedding_quant_bits_sweep",
+    "text_decontaminate_gram_sweep", "text_repetition_cap_sweep",
+    "q20_bulk_shippers", "q21_waiting_suppliers",
+    "q22_dormant_balances", "join_salted_skew", "multimodal_phash_pairs",
+    "audit_constraints", "events_sessionized_funnel", "events_anomaly_zscore",
+    "sample_split_train_val_test", "text_decontaminate",
+    "pipeline_dataset_build", "graph_pagerank_knn", "graph_triangle_count",
+    "similarity_signlsh_ann", "events_ab_test", "events_ab_cuped",
+    "events_scd2_status", "agg_incremental_merge",
+    "events_chi2_independence", "events_forecast_backtest",
+    "text_zipf_fit", "window_cumulative_distinct",
+    "agg_percentile_histogram", "agg_countmin_topk_error",
+    "events_forecast_backtest_by_type", "supplier_scorecard",
+    "market_basket_pairs", "events_active_users", "events_heavy_hitters",
+    "sample_bottom_k", "dedup_minhash_estimate_error",
+    "dedup_group_size_histogram", "graph_knn_jaccard", "text_bpe_pairs",
+    "text_repetition_profile", "pipeline_sequence_pack",
+    "text_bloom_prefilter",
+    "events_markov_transitions", "customer_rfm_segments",
+    "part_abc_analysis", "graph_degree_distribution",
+    "events_anomaly_mad", "events_seasonality_profile", "text_vocab_growth",
+)
 
 
 def _rotated(d: dict) -> dict:
@@ -169,12 +169,12 @@ def _rotated(d: dict) -> dict:
     tier = {}
     for t, names in enumerate(
         (
-            _T3_R6_GRADED,
             _T4_R7_GRADED,
             _T5_R8_GRADED,
             _T6_R9_GRADED,
             _T7_R10_GRADED,
             _T8_R11_GRADED,
+            _T9_R12_GRADED,
         ),
         start=1,
     ):

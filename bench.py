@@ -61,6 +61,25 @@ def main() -> None:
     materialize(tables["orders"])
     materialize(tables["events"])
 
+    # Scheduler probe (VERDICT r12 #3): this container drifts between
+    # ~2 ms/task and ~12 ms/task of PURE task-launch overhead (empty
+    # tasks, zero data) at near-zero /proc/stat steal — a mode steal%
+    # cannot see.  Task-count-heavy queries (iterative graph/kNN
+    # consumers, Python-worker families) inflate proportionally while
+    # data-bound plans don't.  Recording best/median ms-per-empty-task
+    # NEXT TO the timings makes each window's drift attribution in-file.
+    sc = spark.sparkContext
+    sc.parallelize(range(64), 64).count()  # probe warm-up
+    probe = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sc.parallelize(range(64), 64).count()
+        probe.append(time.perf_counter() - t0)
+    sched_probe = {
+        "ms_per_empty_task_best": round(min(probe) / 64 * 1000, 2),
+        "ms_per_empty_task_median": round(sorted(probe)[2] / 64 * 1000, 2),
+    }
+
     # best-of-N per query, matching BASELINE.md's best-of-3 protocol — this
     # container shows roaming multi-second noisy-neighbor stalls that would
     # otherwise land on one arbitrary query per run
@@ -100,6 +119,7 @@ def main() -> None:
         "wallclock_all_runs": wallclock,
         "suite_steal_pct": steal_pct(cpu_suite0, cpu_sample()),
         "steal_suspect_queries": noisy,
+        "sched_probe": sched_probe,
         # ADVICE r6: per-query timings for memoized families are
         # run-order-dependent — the FIRST consumer (alphabetical) pays the
         # shared build; later consumers read the localCheckpoint for ~0 s.
