@@ -128,8 +128,10 @@ def main() -> None:
                 "graph_degree_assortativity", "graph_degree_distribution",
                 "graph_knn_jaccard",
                 "graph_lpa_communities", "graph_pagerank_knn",
-                "graph_triangle_count", "similarity_ann_recall",
-                "similarity_knn_graph",
+                "graph_triangle_count", "similarity_knn_graph",
+                # similarity_ann_recall left r13: its default truth is now
+                # the linear broadcast-cohort scan (VERDICT r12 #2), so it
+                # no longer consumes the memoized kNN graph.
             ],
             "decontamination_pair_table": [
                 "pipeline_dataset_build", "text_decontaminate",

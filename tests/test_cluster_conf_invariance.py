@@ -79,7 +79,7 @@ _REPRESENTATIVES = (
     "similarity_signlsh_band_sweep",      # checkpointed sig + 3-arm band collide
     "stream_update_mode_replay",          # REAL streaming engine, update mode
     "text_repetition_cap_sweep",          # zero-shuffle conditional-agg sweep
-    "text_decontaminate_gram_sweep",      # checkpointed 4-size gram stream
+    "text_decontaminate_gram_sweep",      # role-partitioned gram explode + broadcast bench index (only bench side checkpointed)
     "stream_complete_mode_replay",        # REAL streaming engine, complete mode
     "embedding_quant_bits_sweep",         # zero-shuffle 3-width array codegen
 )

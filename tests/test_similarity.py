@@ -282,35 +282,37 @@ def test_ann_recall_audit_floors_and_contract(spark):
         assert r["recall"] >= floors[m], (m, r["recall"])
 
 
-def test_ann_recall_cohort_mode_never_builds_knn_graph(spark, monkeypatch):
-    """Cohort mode (VERDICT r11 #1, PARASLICE_ANN_RECALL_COHORT): with the
-    env set, the cosine truth comes from one broadcast-cohort corpus scan
-    — STRUCTURALLY never the O(n²) exact k-NN graph (its builder is
-    monkeypatched to raise) — and with the cohort covering every query
-    (k >= _N_QUERIES) the audit matches the graph path row-for-row."""
+def test_ann_recall_default_cohort_never_builds_knn_graph(spark, monkeypatch):
+    """Cohort truth is the DEFAULT (VERDICT r12 #2): with the env UNSET the
+    cosine truth comes from one broadcast-cohort corpus scan —
+    STRUCTURALLY never the O(n²) exact k-NN graph (its builder is
+    monkeypatched to raise) — and matches the opt-back graph path
+    (PARASLICE_ANN_RECALL_COHORT=0) row-for-row."""
     import paraslice_spark.operators.similarity as sim
     from paraslice_spark.registry import QUERIES
 
+    monkeypatch.setenv(sim._ANN_COHORT_ENV, "0")  # legacy graph truth
     want = sorted(
         tuple(r)
         for r in QUERIES["similarity_ann_recall"](spark, SF_SMALL).collect()
     )
+    monkeypatch.delenv(sim._ANN_COHORT_ENV)
 
     def boom(*a, **k):  # the full-graph path must be unreachable
-        raise AssertionError("cohort mode built the O(n²) kNN graph")
+        raise AssertionError("default path built the O(n²) kNN graph")
 
     monkeypatch.setattr(sim, "_knn_graph_cached", boom)
-    monkeypatch.setenv(sim._ANN_COHORT_ENV, str(sim._N_QUERIES))
     df = QUERIES["similarity_ann_recall"](spark, SF_SMALL)
     got = sorted(tuple(r) for r in df.collect())
     assert got == want and got
 
 
-def test_ann_recall_cohort_plan_has_no_pair_join(spark, monkeypatch):
-    """The cohort-mode plan's only corpus-wide join shape is a
+def test_ann_recall_default_plan_has_no_pair_join(spark, monkeypatch):
+    """The DEFAULT plan's only corpus-wide join shape is a
     BroadcastNestedLoopJoin of the corpus scan against the broadcast
     cohort — no tile-matmul MapInPandas, no CartesianProduct (the
-    'bounded queries × full corpus = linear' claim, plan-asserted)."""
+    'bounded queries × full corpus = linear' claim, plan-asserted with
+    the env unset, i.e. exactly what a 100 TB run gets)."""
     import paraslice_spark.operators.similarity as sim
     from paraslice_spark.registry import QUERIES
     from tests.test_plans import plan
@@ -319,8 +321,12 @@ def test_ann_recall_cohort_plan_has_no_pair_join(spark, monkeypatch):
         sim, "_knn_graph_cached",
         lambda *a, **k: (_ for _ in ()).throw(AssertionError("graph built")),
     )
-    monkeypatch.setenv(sim._ANN_COHORT_ENV, "3")
+    monkeypatch.delenv(sim._ANN_COHORT_ENV, raising=False)
     p = plan(QUERIES["similarity_ann_recall"](spark, SF_SMALL))
     assert "MapInPandas" not in p, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" in p, p
+    # a shrunken cohort keeps the same linear shape
+    monkeypatch.setenv(sim._ANN_COHORT_ENV, "3")
+    p = plan(QUERIES["similarity_ann_recall"](spark, SF_SMALL))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" in p, p
