@@ -183,6 +183,9 @@ def main() -> None:
             "complete_mode_stream_replay_result": [
                 "stream_complete_mode_replay",
             ],
+            "session_complete_stream_replay_result": [
+                "stream_session_complete_replay",
+            ],
         },
     }
     print(json.dumps(payload))

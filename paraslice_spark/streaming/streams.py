@@ -1023,16 +1023,26 @@ def _bytes_conf(spark, key: str, default: int) -> int:
 
 
 def _run_replay(
-    spark, sf_dir, cache, agg_of_stream, result_of_sink, output_mode="append"
+    spark, sf_dir, cache, agg_of_stream, result_of_sink, output_mode="append",
+    sink="memory",
 ):
     """Shared declared-replay harness: write one parquet file per
     non-empty arrival bucket (repartition-by-bucket → exactly one file),
     replay one-file-per-trigger in pinned mtime order through the given
-    streaming agg, summarize the memory sink plus the engine's
+    streaming agg, summarize the sink plus the engine's
     numRowsDroppedByWatermark into a checkpointed result, memoized per
     (session, sf).  ``output_mode`` is the sink mode under test (append
     emits closed windows once; update appends a snapshot row per changed
-    window per batch — the ST8 surface stream_update_mode_replay prices)."""
+    window per batch — the ST8 surface stream_update_mode_replay prices).
+    ``sink`` chooses the capture mechanism: "memory" (the in-memory
+    table the tumbling trilogy uses) or "snapshot" — foreachBatch
+    overwriting one parquet dir per trigger, so the final dir is the
+    last trigger's full emission.  Snapshot is the capture for
+    complete-mode SESSION replays: it is the production complete-sink
+    shape (replace-table-per-trigger), and it bypasses the test-only
+    memory sink, whose truncate+insert was observed ONCE (r13 probe, 1
+    of ~8 runs, never reproduced in 6 back-to-back trials) returning a
+    snapshot missing one state partition."""
     import glob
     import os
     import shutil
@@ -1047,6 +1057,7 @@ def _run_replay(
     stage = tempfile.mkdtemp(prefix="paraslice_replay_stage_")
     replay = tempfile.mkdtemp(prefix="paraslice_replay_dir_")
     name = "replay_" + uuid.uuid4().hex[:12]
+    snapdir = None
     try:
         (
             replay_batch_frame(spark, sf_dir)
@@ -1093,21 +1104,34 @@ def _run_replay(
             t = 1_700_000_000 + i * 60
             os.utime(dst, (t, t))
         stream = events_file_stream(spark, replay, max_files_per_trigger=1)
-        q = (
-            agg_of_stream(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
+        if sink == "snapshot":
+            snapdir = tempfile.mkdtemp(prefix="paraslice_replay_snap_")
+            snap = os.path.join(snapdir, "snap")
+
+            def _overwrite_snapshot(df, _epoch_id, _snap=snap):
+                df.write.mode("overwrite").parquet(_snap)
+
+            writer = agg_of_stream(stream).writeStream.foreachBatch(
+                _overwrite_snapshot
+            )
+        else:
+            writer = (
+                agg_of_stream(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+            )
+        q = writer.outputMode(output_mode).trigger(availableNow=True).start()
         q.awaitTermination()
         dropped = sum(
             so.get("numRowsDroppedByWatermark", 0)
             for p in q.recentProgress
             for so in (p["stateOperators"] or [])
         )
-        res = result_of_sink(spark.table(name), dropped).localCheckpoint(
+        emitted = (
+            spark.read.parquet(snap) if sink == "snapshot"
+            else spark.table(name)
+        )
+        res = result_of_sink(emitted, dropped).localCheckpoint(
             eager=True  # seal before the dirs vanish
         )
     finally:
@@ -1117,6 +1141,8 @@ def _run_replay(
             pass  # sink view never materialized (stream failed early)
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(replay, ignore_errors=True)
+        if sink == "snapshot" and snapdir is not None:
+            shutil.rmtree(snapdir, ignore_errors=True)
     cache[key] = res
     return res
 
@@ -1444,4 +1470,153 @@ def stream_complete_mode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tumbling_micros_agg,
         _stwr_summarize,  # same (hr, n, vmic, batches, drops) ledger shape
         output_mode="complete",
+    )
+
+
+#: session gap of the declared session replays in µs (Spark parses
+#: "12 hours" to exactly this; sessionization merges at FULL µs event-time
+#: precision — only the watermark comparison is ms-floored)
+SSCR_GAP_US = 43_200_000_000
+
+_sscr_cache: dict = {}
+
+
+def _sscr_oracle() -> str:
+    # the replay_batch_frame rule + the session late filter + global
+    # sessionization of survivors, rolled up per session-start day
+    from paraslice_spark.operators.reshape import EP_MAX_DELAY_S
+
+    h = md5_u32_sql("event_id")
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT event_id, user_id,
+             epoch_ns(ts) // 1000 AS ts_us,
+             epoch_ns(ts) // 1000000 AS ts_ms,
+             epoch_ns(ts) + ({h} % {EP_MAX_DELAY_S}) * 1000000000 AS arr,
+             CASE WHEN {h} % 20 = 0 THEN 1 ELSE 0 END AS strag
+      FROM events),
+    bd AS (SELECT MIN(arr) AS mn, MAX(arr) AS mx FROM e),
+    tagged AS MATERIALIZED (
+      SELECT event_id, user_id, ts_us, ts_ms,
+             LEAST({SSWR_BATCHES - 1},
+                   (arr - mn) * {SSWR_BATCHES} // (mx - mn + 1) + 2 * strag)
+               AS b
+      FROM e, bd),
+    batches AS (SELECT b, ROW_NUMBER() OVER (ORDER BY b) - 1 AS i
+                FROM (SELECT DISTINCT b FROM tagged)),
+    pb AS (SELECT t.b, i, MAX(ts_ms) AS m
+           FROM tagged t JOIN batches USING (b) GROUP BY 1, 2),
+    wm AS (SELECT b,
+                  MAX(m) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 2 PRECEDING) - {SSWR_DELAY_MS} AS wm_ms
+           FROM pb),
+    -- the session late filter is PER ROW (no in-batch merge rescue —
+    -- micro-pinned in test_st35): a row drops iff the lagged watermark
+    -- has reached its own candidate window end ts + gap (>= at the
+    -- boundary, like tumbling eviction)
+    kept AS MATERIALIZED (
+      SELECT t.user_id, t.ts_us,
+             CASE WHEN wm_ms IS NOT NULL
+                       AND wm_ms * 1000 >= ts_us + {SSCR_GAP_US}
+                  THEN 1 ELSE 0 END AS is_drop
+      FROM tagged t JOIN wm w ON w.b = t.b),
+    gmarks AS (
+      SELECT user_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                       IS NULL
+                  OR ts_us >= LAG(ts_us) OVER (PARTITION BY user_id
+                                               ORDER BY ts_us) + {SSCR_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM kept WHERE is_drop = 0),
+    gsess AS (SELECT user_id, ts_us,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us)
+                       AS sid
+              FROM gmarks),
+    sess AS (SELECT user_id, MIN(ts_us) AS s_us, CAST(COUNT(*) AS BIGINT)
+               AS n_ev
+             FROM gsess GROUP BY user_id, sid),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS dropped
+           FROM kept WHERE is_drop = 1)
+    SELECT s_us // 86400000000 AS session_day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST({SSWR_BATCHES} AS BIGINT) AS n_batches,
+           dropped AS dropped_late
+    FROM sess, nd
+    GROUP BY session_day, dropped
+    ORDER BY session_day
+    """
+
+
+@query("stream_session_complete_replay", oracle=_sscr_oracle())
+def stream_session_complete_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-ORACLED REAL-STREAMING session×COMPLETE replay — the cell
+    that finishes the sink-mode × window-type matrix (tumbling has the
+    full append/update/complete trilogy; session append is the r11
+    rows-only replay; session UPDATE is engine-impossible —
+    STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION, pinned executable in
+    tests/test_streaming.py).  The same :func:`replay_batch_frame`
+    disorder drives withWatermark("2 hours") + session_window(12 hours)
+    with a COMPLETE-mode snapshot sink, and the declared per-day ledger
+    of the FINAL snapshot hash-matches a pure-SQL model of the engine's
+    session machinery in DuckDB.
+
+    The model pins an engine asymmetry the tumbling trilogy cannot see:
+    complete mode does NOT disable the watermark for session windows
+    the way it does for tumbling aggregates
+    (stream_complete_mode_replay pins drops == 0; HERE drops are live —
+    43/303/3279 at sf0.001/0.01/0.1, engine == model).  Spark's
+    MergingSessionsExec filters late input BEFORE merging, per ROW, in
+    every output mode — r13 micro-probes (test_st35_*) pinned:
+
+    - a late row drops iff the lag-TWO ms-floored watermark ≥ its own
+      candidate window end ts + gap (>= at the boundary: end == wm
+      drops, end == wm + 1 ms keeps) — even when it would have merged
+      with a kept row in the SAME batch (no in-batch merge rescue for
+      the filter; the drop counter is therefore raw dropped rows, not
+      the tumbling trilogy's post-partial-agg distinct pairs);
+    - state is never evicted in complete mode (numRowsRemoved == 0;
+      every batch re-emits every session ever formed from kept rows),
+      so the final snapshot is EXACTLY the batch sessionization of the
+      surviving rows — which is what the oracle computes.
+
+    Capture uses the harness's snapshot sink (foreachBatch overwriting
+    one parquet dir per trigger — the production complete-sink shape,
+    replace-table-per-trigger) rather than the test-only memory sink.
+
+    Scale shape: the O(all sessions ever) state and full re-emission
+    per trigger are complete mode's real cost — this ledger is the
+    measured price table next to the bounded-state append twin, and the
+    session column now has every mode graded: append rows-only (merge
+    semantics), update impossible (engine), complete hash-oracled."""
+    return _run_replay(
+        spark,
+        sf_dir,
+        _sscr_cache,
+        lambda stream: watermarked_sessions(
+            stream, watermark="2 hours", gap="12 hours"
+        ),
+        _sscr_summarize,
+        output_mode="complete",
+        sink="snapshot",
+    )
+
+
+def _sscr_summarize(sink: DataFrame, dropped: int) -> DataFrame:
+    day = F.expr("unix_micros(session_start) div 86400000000")
+    return (
+        sink.groupBy(day.alias("session_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(
+            "session_day", "n_sessions", "n_users", "n_events",
+            F.lit(SSWR_BATCHES).cast("long").alias("n_batches"),
+            F.lit(int(dropped)).cast("long").alias("dropped_late"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("session_day")
     )

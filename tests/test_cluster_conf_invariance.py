@@ -82,6 +82,8 @@ _REPRESENTATIVES = (
     "text_decontaminate_gram_sweep",      # role-partitioned gram explode + broadcast bench index (only bench side checkpointed)
     "stream_complete_mode_replay",        # REAL streaming engine, complete mode
     "embedding_quant_bits_sweep",         # zero-shuffle 3-width array codegen
+    # r13 shapes:
+    "stream_session_complete_replay",     # REAL engine, session x complete, snapshot sink
 )
 
 
@@ -108,6 +110,7 @@ def _clear_memo_caches() -> None:
         streams._stwr_cache,   # itself must re-execute under cluster confs
         streams._sumr_cache,
         streams._scmr_cache,
+        streams._sscr_cache,
     ):
         for v in cache.values():
             for df in v if isinstance(v, tuple) else (v,):

@@ -235,6 +235,106 @@ def test_st34_same_batch_coalescing_rescues_late_row(spark, tmp_path):
     assert dropped == 0, dropped
 
 
+def test_st35_update_mode_sessions_rejected(spark, tmp_path):
+    """The one impossible sink-mode × window-type cell, pinned as the
+    engine's own error: session-window aggregation rejects UPDATE output
+    mode at analysis (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION on
+    Spark 4.1.2), which is why the declared session column is
+    append (rows-only) / complete (hash-oracled) only."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    d = str(tmp_path / "sess_upd")
+    _write_batch(spark, d, 0, [(1, _ns(0), 1, "click", 1.0, "{}")])
+    stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+    agg = streams.watermarked_sessions(stream)
+    with pytest.raises(AnalysisException, match="STREAMING_OUTPUT_MODE"):
+        (
+            agg.writeStream.format("memory")
+            .queryName(_mem_name())
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+def test_st35_complete_mode_session_semantics(spark, tmp_path):
+    """The engine behaviors the stream_session_complete_replay oracle
+    models, pinned on crafted batches (Spark 4.1.2, complete mode,
+    wm 10 min / gap 30 min):
+
+    - the late filter is PER ROW against the lag-2 watermark, with no
+      in-batch merge rescue: u1@2:10 (end 2:40 < wm_3 2:50) drops even
+      though it overlaps kept u1@2:25 in the SAME batch;
+    - the boundary is >= : u2@2:25:00.000 (end 2:55:00.000 == wm_4)
+      drops, u4@2:25:00.001 (end 1 ms past the watermark) survives —
+      which also pins the operative watermark as the LAG-2 stats
+      (lag-1 would be 2:55 and drop the control row too);
+    - complete mode never evicts session state (numRowsRemoved == 0)
+      and the final emission carries every session ever formed from
+      surviving rows (u1's batch-0 session, long past the watermark,
+      is still present) — unlike tumbling complete, drops are LIVE."""
+    d = str(tmp_path / "sess_complete")
+    _write_batch(spark, d, 0, [(1, _ns(0), 1, "click", 1.0, "{}")])
+    _write_batch(spark, d, 1, [(2, _ns(180), 3, "click", 1.0, "{}")])
+    _write_batch(spark, d, 2, [(3, _ns(185), 3, "click", 1.0, "{}")])
+    # wm_3 = lag-2 stats (through b1: max 3:00) - 10 min = 2:50
+    _write_batch(
+        spark, d, 3,
+        [
+            (4, _ns(130), 1, "click", 1.0, "{}"),  # end 2:40 < 2:50: drop
+            (5, _ns(145), 1, "click", 1.0, "{}"),  # end 2:55 > 2:50: keep
+        ],
+    )
+    # wm_4 = lag-2 stats (through b2: max 3:05) - 10 min = 2:55
+    _write_batch(
+        spark, d, 4,
+        [
+            (6, _ns(145), 2, "click", 1.0, "{}"),        # end == wm: drop
+            (7, _ns(145) + 1_000_000, 4, "click", 1.0, "{}"),  # +1 ms: keep
+        ],
+    )
+    _write_batch(spark, d, 5, [(8, _ns(360), 3, "click", 1.0, "{}")])
+    stream = streams.events_file_stream(spark, d, max_files_per_trigger=1)
+    agg = streams.watermarked_sessions(stream)
+    name = _mem_name()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in (p["stateOperators"] or [])
+    )
+    removed = sum(
+        so.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for so in (p["stateOperators"] or [])
+    )
+    got = _rows(
+        spark.table(name), "session_start", "session_end", "user_id", "n_events"
+    )
+    base = datetime.datetime(2024, 6, 1)
+
+    def t(m, ms=0):
+        return base + datetime.timedelta(minutes=m, milliseconds=ms)
+
+    assert got == [
+        (t(0), t(30), 1, 1),          # batch-0 session survives complete
+        (t(145), t(175), 1, 1),       # kept despite its dropped batchmate
+        (t(145, 1), t(175, 1), 4, 1),  # 1 ms past the boundary survives
+        (t(180), t(215), 3, 2),
+        (t(360), t(390), 3, 1),
+    ], got
+    assert dropped == 2, dropped
+    assert removed == 0, removed
+
+
 def test_st5_dedup_within_watermark(spark, tmp_path):
     d = str(tmp_path / "dup")
     _write_batch(spark, d, 0, [(1, _ns(0), 1, "click", 1.0, "{}")])
