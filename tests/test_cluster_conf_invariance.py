@@ -84,6 +84,7 @@ _REPRESENTATIVES = (
     "embedding_quant_bits_sweep",         # zero-shuffle 3-width array codegen
     # r13 shapes:
     "stream_session_complete_replay",     # REAL engine, session x complete, snapshot sink
+    "events_binseg_changepoint",          # one scan + 3-gran series windows
 )
 
 

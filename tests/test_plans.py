@@ -1156,3 +1156,20 @@ def test_quant_bits_sweep_zero_shuffle_single_pass(spark):
     # the only Generate is the 3-row presentation stack, never an explode
     assert "Generate explode" not in p, p
     assert "ReadSchema: struct<embedding:array<float>>" in p, p
+
+
+def test_binseg_changepoint_single_scan_tiny_tail(spark):
+    """events_binseg_changepoint claims the cusum discipline at three
+    granularities for ONE scan: raw events hash-aggregate once to the
+    per-(type, hour) series, the 1/4/24-hour sweep re-aggregates that
+    tiny series (explode AFTER the first agg, so the scan is never
+    tripled), and every window partitions by (type, g) — no global
+    single-partition sort before the declared 1-partition tail."""
+    p = plan(QUERIES["events_binseg_changepoint"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 1, p
+    assert "Generate explode" in p, p  # the 3-granularity fan-out
+    # the explode must sit ABOVE the first hash aggregate (series, not rows)
+    scan_pos = p.index("Scan parquet")
+    assert p.index("Generate explode") < scan_pos, p  # formatted plan: ops print top-down
+    assert "Join" not in p, p
+    assert "ReadSchema: struct<ts:timestamp_ntz,event_type:string>" in p, p

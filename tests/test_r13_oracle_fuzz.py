@@ -1,0 +1,152 @@
+"""Round-13 oracle fuzz: from-scratch third-engine rederivations of the
+oracles added this round, on RANDOM tables (the house bar — an oracle
+must be right because its math is right, not because it happens to
+match the fixture).
+
+events_binseg_changepoint: the exact binary-segmentation split (BSS via
+the D = n·S_L − n_L·S identity) is rederived in pure Python with exact
+integer prefix sums; the IEEE divisions coincide because D² and every
+denominator sit below 2^53 (operands exactly representable ⇒ one
+correctly-rounded division in Python, Spark, and DuckDB alike).  A
+planted-level-shift test checks the VALUE, not just cross-engine
+agreement (the events_overdispersion lesson: both engines can agree on
+a wrong formula)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import random
+from collections import defaultdict
+
+import duckdb
+import pytest
+
+import paraslice_spark.operators  # noqa: F401
+from paraslice_spark.operators.reshape import BINSEG_GRANS
+from paraslice_spark.registry import ORACLES
+
+
+def _rnd(x: float, n: int) -> float:
+    # ROUND half-away-from-zero, matching Spark/DuckDB (Python round()
+    # is banker's and diverges on exactly-dyadic ratios)
+    p = 10**n
+    return math.floor(abs(x) * p + 0.5) / p * (1 if x >= 0 else -1)
+
+
+def binseg_python(rows):
+    """From-scratch reference: rows = (ts_ns, event_type).  Returns the
+    declared 8-tuple per (event_type, gran)."""
+    out = []
+    hourly = defaultdict(int)
+    for ts_ns, et in rows:
+        hourly[(et, ts_ns // 3_600_000_000_000)] += 1
+    types = sorted({et for et, _ in hourly})
+    for et in types:
+        for g in BINSEG_GRANS:
+            buckets = defaultdict(int)
+            for (e, hr), c in hourly.items():
+                if e == et:
+                    buckets[hr // g] += c
+            series = sorted(buckets.items())
+            n = len(series)
+            tot = sum(y for _, y in series)
+            sy2 = sum(y * y for _, y in series)
+            if n < 2:
+                continue
+            best = None  # (bss, i, bucket)
+            pre = 0
+            for i, (bucket, y) in enumerate(series[:-1], start=1):
+                pre += y
+                d = n * pre - i * tot
+                b = (d * d) / (n * i * (n - i))
+                if best is None or b > best[0]:
+                    best = (b, i, bucket)
+            bss, i, bucket = best
+            tss = sy2 - (tot * tot) / n
+            r2 = 0.0 if sy2 * n == tot * tot else bss / tss
+            out.append(
+                (
+                    et, g, n, tot, (bucket + 1) * g,
+                    _rnd(i / n, 6), _rnd(bss / n, 6), _rnd(r2, 6),
+                )
+            )
+    return out
+
+
+def _run_oracle(rows):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP,"
+        " user_id BIGINT, event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?, ?, ?)",
+        [
+            (i + 1, datetime.datetime(1970, 1, 1)
+             + datetime.timedelta(microseconds=ts_ns // 1000), 1, et, 1.0)
+            for i, (ts_ns, et) in enumerate(rows)
+        ],
+    )
+    return [tuple(r) for r in con.execute(
+        ORACLES["events_binseg_changepoint"]
+    ).fetchall()]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_binseg_oracle_on_random_tables(seed):
+    """Random event tables with deliberate boundary traps: empty hours
+    (observed-bucket series), single-bucket types (no valid split —
+    group must vanish), and constant series (TSS = 0 → r2 = 0)."""
+    rng = random.Random(17_000 + seed)
+    base_ns = int(datetime.datetime(2024, 4, 1).timestamp()) * 10**9
+    rows = []
+    for _ in range(rng.randrange(50, 400)):
+        rows.append(
+            (
+                base_ns + rng.randrange(0, 6 * 86_400) * 10**9
+                + rng.randrange(0, 10**9),
+                rng.choice(["a", "b", "c"]),
+            )
+        )
+    # a type confined to ONE hour: n = 1 at every granularity → no rows
+    one_hr = base_ns + 3 * 86_400 * 10**9
+    for _ in range(5):
+        rows.append((one_hr + rng.randrange(0, 3_600) * 10**9, "solo"))
+    # a constant series: exactly one event per hour for 48 h → TSS = 0
+    # at g = 1 (r2 must be 0 there, not NULL/inf)
+    for h in range(48):
+        rows.append((base_ns + h * 3_600 * 10**9 + 500 * 10**9, "flat"))
+    got = _run_oracle(rows)
+    want = binseg_python(rows)
+    assert got == want, seed
+    assert not any(et == "solo" for et, *_ in got), seed
+    flat_g1 = [r for r in got if r[0] == "flat" and r[1] == 1]
+    assert flat_g1 and flat_g1[0][7] == 0.0, flat_g1
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_binseg_recovers_planted_changepoint(seed):
+    """VALUE check: a strong planted level shift (rate 2/hour → 20/hour
+    at a known day boundary) must be located exactly at every
+    granularity, with r2 dominated by the split."""
+    rng = random.Random(18_000 + seed)
+    base = datetime.datetime(2024, 4, 1)  # UTC midnight → day-aligned
+    base_ns = int(base.replace(tzinfo=datetime.timezone.utc).timestamp()) * 10**9
+    cp_day = 4  # shift at the start of day 4 (hour 96)
+    rows = []
+    for h in range(8 * 24):
+        rate = 2 if h < cp_day * 24 else 20
+        for _ in range(rate):
+            rows.append(
+                (base_ns + h * 3_600 * 10**9
+                 + rng.randrange(0, 3_600 * 10**9), "x")
+            )
+    got = {r[1]: r for r in _run_oracle(rows)}
+    want = binseg_python(rows)
+    assert sorted(got.values()) == sorted(want), seed
+    cp_abs_hour = base_ns // 3_600_000_000_000 + cp_day * 24
+    for g in BINSEG_GRANS:
+        et, gg, n, tot, cp_hour, frac, bss, r2 = got[g]
+        assert cp_hour == cp_abs_hour, (g, cp_hour, cp_abs_hour)
+        assert r2 > 0.8, (g, r2)
