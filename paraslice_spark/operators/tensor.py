@@ -952,3 +952,125 @@ def tensor_unfold_gram_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("type_a", "type_b")
     )
+
+
+@query(
+    "tensor_hosvd_energy_audit",
+    oracle="""
+    WITH c AS MATERIALIZED (
+      SELECT user_id AS iu, event_type AS jt,
+             epoch_us(date_trunc('microseconds', ts)) // 3600000000 AS kh,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cm
+      FROM events GROUP BY 1, 2, 3
+      HAVING SUM(CAST(round(value * 100) AS BIGINT)) <> 0),
+    sl AS MATERIALIZED (
+      SELECT mode, idx, CAST(SUM(e2) AS BIGINT) AS e FROM (
+        SELECT 'i' AS mode, CAST(iu AS VARCHAR) AS idx, cm * cm AS e2 FROM c
+        UNION ALL SELECT 'j', jt, cm * cm FROM c
+        UNION ALL SELECT 'k', CAST(kh AS VARCHAR), cm * cm FROM c)
+      GROUP BY 1, 2),
+    w AS (
+      SELECT mode, e,
+             row_number() OVER (PARTITION BY mode ORDER BY e DESC, idx)
+               AS rn,
+             CAST(SUM(e) OVER (PARTITION BY mode ORDER BY e DESC, idx)
+                  AS BIGINT) AS cum,
+             CAST(SUM(e) OVER (PARTITION BY mode) AS BIGINT) AS tot,
+             COUNT(*) OVER (PARTITION BY mode) AS n
+      FROM sl)
+    SELECT mode,
+           CAST(MAX(n) AS BIGINT) AS n_slices,
+           MAX(tot) AS total_c2,
+           MAX(CASE WHEN rn = 1 THEN e END) AS max_slice_c2,
+           ROUND(CAST(MAX(CASE WHEN rn = 1 THEN e END) AS DOUBLE)
+                 / MAX(tot), 6) AS top_share,
+           CAST(MIN(CASE WHEN cum >= (tot + 1) // 2 THEN rn END)
+                AS BIGINT) AS r50,
+           CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN rn END)
+                AS BIGINT) AS r90
+    FROM w GROUP BY mode ORDER BY mode
+    """,
+)
+def tensor_hosvd_energy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOSVD ENERGY-CONCENTRATION AUDIT, ALL THREE MODES — the exact
+    rank-selection table a Tucker user reads BEFORE running
+    tucker_hosvd_core (which is rows-only: LAPACK eigenvector signs),
+    putting a hash-graded query next to the float factorization the way
+    tensor_unfold_gram_type does for ALS (VERDICT r12 #5's suggested
+    tensor direction).
+
+    Per mode, each slice's energy E_a = Σ cm² over its cells is exactly
+    the a-th DIAGONAL of that mode's unfolding Gram X₍ₘ₎X₍ₘ₎ᵀ, and the
+    slice axes form an orthonormal (standard) basis — so the sorted
+    cumulative slice energies are a LOWER bound on what rank-r HOSVD
+    captures, making r50/r90 (slices needed for ≥50 %/≥90 % of total
+    energy, exact nearest-rank integer selection) UPPER bounds on the
+    Tucker rank needed per mode.  trace(G) = Σ all cells cm² is
+    mode-independent (Parseval over the standard basis): total_c2 MUST
+    be equal across the three output rows — a cross-mode invariant the
+    hash oracle pins for free and the fuzz asserts.
+
+    EXACT INTEGERS: cents cells (the unfold-gram rule — micro units
+    would overflow at the first product); cm² ≤ ~3e9, total_c2 ≈ 5e12
+    at sf0.1, and the 90 % threshold comparison cum·10 ≥ tot·9 stays
+    int64-safe to ~10⁴× that (DuckDB's HUGEINT is the overflow canary;
+    past that rescale to whole units).  The only float is the
+    top_share display division → ROUND(,6).
+
+    Scale shape: one map-combined agg to the sparse cell table, a 3×
+    mode stack collapsing to per-(mode, slice) energies — O(slices)
+    rows — then per-mode windows over slices and a 3-row output; the
+    scan is the only data-proportional stage."""
+    ev = load_tables(spark, sf_dir)["events"]
+    c = (
+        ev.groupBy(
+            "user_id",
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("kh"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cm"))
+        .where(F.col("cm") != 0)
+    )
+    sl = (
+        c.selectExpr(
+            "stack(3, 'i', cast(user_id as string),"
+            " 'j', event_type,"
+            " 'k', cast(kh as string)) AS (mode, idx)",
+            "cm * cm AS e2",
+        )
+        .groupBy("mode", "idx")
+        .agg(F.sum("e2").alias("e"))
+    )
+    wo = Window.partitionBy("mode").orderBy(F.desc("e"), "idx")
+    wp = Window.partitionBy("mode")
+    w = sl.select(
+        "mode",
+        "e",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("e").over(wo).alias("cum"),
+        F.sum("e").over(wp).alias("tot"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return (
+        w.groupBy("mode")
+        .agg(
+            F.max("n").cast("long").alias("n_slices"),
+            F.max("tot").alias("total_c2"),
+            F.max(F.when(F.col("rn") == 1, F.col("e"))).alias("max_slice_c2"),
+            F.round(
+                F.max(F.when(F.col("rn") == 1, F.col("e"))).cast("double")
+                / F.max("tot"),
+                6,
+            ).alias("top_share"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(tot + 1) div 2"), F.col("rn")
+                )
+            ).cast("long").alias("r50"),
+            F.min(
+                F.when(F.col("cum") * 10 >= F.col("tot") * 9, F.col("rn"))
+            ).cast("long").alias("r90"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("mode")
+    )

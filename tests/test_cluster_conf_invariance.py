@@ -85,6 +85,7 @@ _REPRESENTATIVES = (
     # r13 shapes:
     "stream_session_complete_replay",     # REAL engine, session x complete, snapshot sink
     "events_binseg_changepoint",          # one scan + 3-gran series windows
+    "tensor_hosvd_energy_audit",          # cell agg + 3-mode stack + slice windows
 )
 
 

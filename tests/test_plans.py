@@ -1173,3 +1173,16 @@ def test_binseg_changepoint_single_scan_tiny_tail(spark):
     assert p.index("Generate explode") < scan_pos, p  # formatted plan: ops print top-down
     assert "Join" not in p, p
     assert "ReadSchema: struct<ts:timestamp_ntz,event_type:string>" in p, p
+
+
+def test_hosvd_energy_single_scan_slice_windows(spark):
+    """tensor_hosvd_energy_audit claims one data-proportional stage: a
+    single events scan map-combines to the sparse cents cell table, the
+    3-mode stack collapses to per-(mode, slice) energies, and every
+    window partitions by mode over SLICES (never cells) — no join, one
+    scan, a 3-row tail."""
+    p = plan(QUERIES["tensor_hosvd_energy_audit"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 1, p
+    assert "Join" not in p, p
+    wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wins and all("mode" in ln for ln in wins), p

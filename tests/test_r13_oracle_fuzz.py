@@ -150,3 +150,113 @@ def test_binseg_recovers_planted_changepoint(seed):
         et, gg, n, tot, cp_hour, frac, bss, r2 = got[g]
         assert cp_hour == cp_abs_hour, (g, cp_hour, cp_abs_hour)
         assert r2 > 0.8, (g, r2)
+
+
+def hosvd_energy_python(cells):
+    """From-scratch reference: cells = dict[(iu, jt, kh)] -> cm (cents,
+    nonzero).  Returns the declared 7-tuple per mode."""
+    out = []
+    for mode, pick in (
+        ("i", lambda c: str(c[0])), ("j", lambda c: c[1]),
+        ("k", lambda c: str(c[2])),
+    ):
+        sl = defaultdict(int)
+        for cell, cm in cells.items():
+            sl[pick(cell)] += cm * cm
+        series = sorted(sl.items(), key=lambda kv: (-kv[1], kv[0]))
+        tot = sum(e for _, e in series)
+        n = len(series)
+        cum, r50, r90, top = 0, None, None, series[0][1]
+        for rn, (_idx, e) in enumerate(series, start=1):
+            cum += e
+            if r50 is None and cum >= (tot + 1) // 2:
+                r50 = rn
+            if r90 is None and cum * 10 >= tot * 9:
+                r90 = rn
+        out.append((mode, n, tot, top, _rnd(top / tot, 6), r50, r90))
+    return out
+
+
+def _run_hosvd_oracle(rows):
+    """rows = (event_id, ts, user_id, event_type, value)."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP,"
+        " user_id BIGINT, event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?)", rows)
+    return [tuple(r) for r in con.execute(
+        ORACLES["tensor_hosvd_energy_audit"]
+    ).fetchall()]
+
+
+def _cents(v):
+    # cents quantization, half away from zero (Spark/DuckDB round())
+    return int(math.floor(abs(v) * 100 + 0.5)) * (1 if v >= 0 else -1)
+
+
+def _cells_of(rows):
+    cells = defaultdict(int)
+    for _eid, ts, u, et, v in rows:
+        hr = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp()
+                 * 1_000_000) // 3_600_000_000
+        cells[(u, et, hr)] += _cents(v)
+    return {k: v for k, v in cells.items() if v != 0}
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_hosvd_energy_oracle_on_random_tables(seed):
+    """Random signed-value event tables (negative values exercise the
+    sign-safe cm^2 path; zero-sum cells must vanish) + the Parseval
+    invariant: total_c2 identical across the three mode rows."""
+    rng = random.Random(19_000 + seed)
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    for eid in range(1, rng.randrange(60, 400)):
+        rows.append(
+            (
+                eid,
+                base + datetime.timedelta(
+                    seconds=rng.randrange(0, 4 * 86_400)),
+                rng.randrange(1, 9),
+                rng.choice(["a", "b", "c"]),
+                rng.choice([-1, 1]) * rng.randrange(0, 10**6) / 100.0,
+            )
+        )
+    # force at least one exactly-cancelling cell (cm = 0 -> dropped)
+    t0 = base + datetime.timedelta(days=5)
+    rows.append((9001, t0, 7, "z", 12.5))
+    rows.append((9002, t0 + datetime.timedelta(minutes=5), 7, "z", -12.5))
+    got = _run_hosvd_oracle(rows)
+    cells = _cells_of(rows)
+    assert got == hosvd_energy_python(cells), seed
+    assert len({r[2] for r in got}) == 1, got  # Parseval across modes
+    # the planted cancelling cell must be gone from the reference cells
+    hr0 = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp()
+              * 1_000_000) // 3_600_000_000
+    assert (7, "z", hr0) not in cells
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_hosvd_energy_detects_planted_concentration(seed):
+    """VALUE check: one user carrying ~99% of the energy must yield
+    i-mode r50 = 1 and a dominant top_share, while the hour mode stays
+    diffuse (r90 well above 1)."""
+    rng = random.Random(20_000 + seed)
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for h in range(96):  # background: tiny energy spread over hours/users
+        eid += 1
+        rows.append((eid, base + datetime.timedelta(hours=h), 1 + h % 5,
+                     "bg", 1.0))
+    for h in range(96):  # the dominant user: huge value every hour
+        eid += 1
+        rows.append((eid, base + datetime.timedelta(hours=h, minutes=30),
+                     99, "hot", 1000.0 + rng.randrange(0, 100)))
+    got = {r[0]: r for r in _run_hosvd_oracle(rows)}
+    cells = _cells_of(rows)
+    assert sorted(got.values()) == sorted(hosvd_energy_python(cells)), seed
+    assert got["i"][5] == 1 and got["i"][4] > 0.9, got["i"]  # r50, top_share
+    assert got["j"][5] == 1, got["j"]  # 'hot' type dominates too
+    assert got["k"][6] > 50, got["k"]  # hours stay diffuse (uniform)
