@@ -835,3 +835,192 @@ def stats_sample_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("rate_ppm")
     )
+
+
+#: zone-map audit geometry: blocks per layout, and the literal predicate
+#: windows [lo_day, hi_day) shared by Spark and the oracle (epoch days,
+#: computed once here so the two engines can never disagree on a bound)
+import datetime as _dt
+
+
+def _epoch_day(y: int, m: int, d: int) -> int:
+    return (_dt.date(y, m, d) - _dt.date(1970, 1, 1)).days
+
+
+ZONEMAP_BLOCKS = 64
+ZONEMAP_PREDS: tuple[tuple[str, int, int], ...] = (
+    ("h1_1996", _epoch_day(1996, 1, 1), _epoch_day(1996, 7, 1)),
+    ("h2_1997", _epoch_day(1997, 7, 1), _epoch_day(1998, 1, 1)),
+    ("q1_1995", _epoch_day(1995, 1, 1), _epoch_day(1995, 4, 1)),
+    ("tail_2000", _epoch_day(2000, 1, 1), _epoch_day(2002, 1, 1)),
+)
+
+
+@query(
+    "stats_zonemap_prune_audit",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+      SELECT o_orderkey AS k,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d
+      FROM orders),
+    bd AS (SELECT MIN(k) AS mnk, MAX(k) AS mxk,
+                  MIN(d) AS mnd, MAX(d) AS mxd FROM base),
+    tagged AS MATERIALIZED (
+      SELECT d,
+             (k - mnk) * {ZONEMAP_BLOCKS} // (mxk - mnk + 1) AS blk_key,
+             (d - mnd) * {ZONEMAP_BLOCKS} // (mxd - mnd + 1) AS blk_date
+      FROM base, bd),
+    zones AS MATERIALIZED (
+      SELECT layout, blk, MIN(d) AS mn_d, MAX(d) AS mx_d,
+             CAST(COUNT(*) AS BIGINT) AS nrows
+      FROM (SELECT 'bykey' AS layout, blk_key AS blk, d FROM tagged
+            UNION ALL SELECT 'bydate', blk_date, d FROM tagged)
+      GROUP BY 1, 2),
+    preds AS MATERIALIZED (
+      SELECT * FROM (VALUES
+        {", ".join(f"('{p}', {lo}, {hi})" for p, lo, hi in ZONEMAP_PREDS)}
+      ) AS t(pred_id, lo, hi)),
+    m AS MATERIALIZED (
+      SELECT pred_id, CAST(COUNT(*) AS BIGINT) AS rows_matching
+      FROM base, preds WHERE d >= lo AND d < hi GROUP BY 1),
+    zp AS (
+      SELECT z.layout, p.pred_id,
+             CASE WHEN z.mx_d < p.lo OR z.mn_d >= p.hi
+                  THEN 0 ELSE 1 END AS is_read,
+             z.nrows
+      FROM zones z, preds p)
+    SELECT zp.layout, zp.pred_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(COUNT(CASE WHEN is_read = 1 THEN 1 END) AS BIGINT)
+             AS blocks_read,
+           CAST(COUNT(CASE WHEN is_read = 0 THEN 1 END) AS BIGINT)
+             AS blocks_skipped,
+           CAST(SUM(CASE WHEN is_read = 1 THEN nrows ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           COALESCE(MAX(m.rows_matching), 0) AS rows_matching,
+           ROUND(CAST(COUNT(CASE WHEN is_read = 1 THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS read_frac,
+           ROUND(CASE WHEN COALESCE(MAX(m.rows_matching), 0) = 0 THEN 0.0
+                      ELSE CAST(SUM(CASE WHEN is_read = 1 THEN nrows
+                                         ELSE 0 END) AS DOUBLE)
+                           / MAX(m.rows_matching) END, 6) AS scan_amp
+    FROM zp LEFT JOIN m ON m.pred_id = zp.pred_id
+    GROUP BY zp.layout, zp.pred_id
+    ORDER BY zp.layout, zp.pred_id
+    """,
+)
+def stats_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP / DATA-LAYOUT PRUNING AUDIT (new r13 family: storage
+    layout) — the table a 100 TB pipeline reads before deciding to
+    re-cluster: model each layout as {ZONEMAP_BLOCKS} equal-value-width
+    blocks ('bykey' = insertion-order proxy over o_orderkey; 'bydate' =
+    date-clustered), keep each block's (min, max) o_orderdate — exactly
+    what parquet row-group footers store — and price four literal
+    date-range predicates against the zone maps: a block is skipped iff
+    max < lo or min >= hi (the standard range-overlap rule on [lo, hi)).
+
+    Declared per (layout, predicate): block counts read/skipped,
+    rows_scanned (what a reader actually decompresses), rows_matching
+    (layout-independent ground truth — zone-map pruning is never
+    lossy, the audit's built-in correctness pin), read_frac, and
+    scan_amp = scanned/matching, the read-amplification multiple that
+    quantifies what date-clustering buys.  On TPC-H-shaped data
+    o_orderkey is uncorrelated with o_orderdate (corr ≈ -0.0007
+    measured), so 'bykey' reads ~every block while 'bydate' prunes to
+    the predicate's width — the measured argument for sort-on-write.
+
+    EXACT INTEGERS: epoch days (dates are day-grained midnights;
+    NTZ-safe casts both engines), equi-width block ids via the
+    non-negative `div` contract, predicate bounds literal ints shared
+    from ZONEMAP_PREDS; the two ROUND(,6) displays are the only
+    floats.
+
+    Scale shape: ONE orders scan into a checkpointed (key-block,
+    date-block, day) base — at real scale the zone table comes free
+    from parquet footers; here it is derived, which is the audit's
+    test-rig part — then two map-combined aggs (≤2·{ZONEMAP_BLOCKS}
+    zone rows, ≤#days daily rows) against a 4-row broadcast predicate
+    list.  No window, no row-level pred join: matching counts come
+    from the per-day rollup."""
+    o = load_tables(spark, sf_dir)["orders"]
+    epoch = F.lit(_dt.date(1970, 1, 1))
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.datediff(F.col("o_orderdate").cast("date"), epoch)
+        .cast("long")
+        .alias("d"),
+    )
+    bd = base.agg(
+        F.min("k").alias("mnk"), F.max("k").alias("mxk"),
+        F.min("d").alias("mnd"), F.max("d").alias("mxd"),
+    )
+    tagged = base.crossJoin(F.broadcast(bd)).select(
+        "d",
+        F.expr(f"(k - mnk) * {ZONEMAP_BLOCKS} div (mxk - mnk + 1)").alias(
+            "blk_key"
+        ),
+        F.expr(f"(d - mnd) * {ZONEMAP_BLOCKS} div (mxd - mnd + 1)").alias(
+            "blk_date"
+        ),
+    ).localCheckpoint(eager=False)
+    zones = (
+        tagged.selectExpr(
+            "stack(2, 'bykey', blk_key, 'bydate', blk_date) AS (layout, blk)",
+            "d",
+        )
+        .groupBy("layout", "blk")
+        .agg(
+            F.min("d").alias("mn_d"),
+            F.max("d").alias("mx_d"),
+            F.count(F.lit(1)).alias("nrows"),
+        )
+    )
+    daily = tagged.groupBy("d").agg(F.count(F.lit(1)).alias("nd"))
+    preds = spark.createDataFrame(
+        list(ZONEMAP_PREDS), "pred_id string, lo long, hi long"
+    )
+    m = (
+        daily.crossJoin(F.broadcast(preds))
+        .where((F.col("d") >= F.col("lo")) & (F.col("d") < F.col("hi")))
+        .groupBy("pred_id")
+        .agg(F.sum("nd").alias("rows_matching"))
+    )
+    zp = zones.crossJoin(F.broadcast(preds)).select(
+        "layout",
+        "pred_id",
+        F.when(
+            (F.col("mx_d") < F.col("lo")) | (F.col("mn_d") >= F.col("hi")),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("is_read"),
+        "nrows",
+    )
+    return (
+        zp.join(F.broadcast(m), "pred_id", "left")
+        .groupBy("layout", "pred_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("is_read").alias("blocks_read"),
+            F.sum(F.lit(1) - F.col("is_read")).alias("blocks_skipped"),
+            F.sum(F.col("is_read") * F.col("nrows")).alias("rows_scanned"),
+            F.coalesce(F.max("rows_matching"), F.lit(0)).alias(
+                "rows_matching"
+            ),
+            F.round(
+                F.sum("is_read").cast("double") / F.count(F.lit(1)), 6
+            ).alias("read_frac"),
+            F.round(
+                F.when(
+                    F.coalesce(F.max("rows_matching"), F.lit(0)) == 0,
+                    F.lit(0.0),
+                ).otherwise(
+                    F.sum(F.col("is_read") * F.col("nrows")).cast("double")
+                    / F.max("rows_matching")
+                ),
+                6,
+            ).alias("scan_amp"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("layout", "pred_id")
+    )

@@ -86,6 +86,7 @@ _REPRESENTATIVES = (
     "stream_session_complete_replay",     # REAL engine, session x complete, snapshot sink
     "events_binseg_changepoint",          # one scan + 3-gran series windows
     "tensor_hosvd_energy_audit",          # cell agg + 3-mode stack + slice windows
+    "stats_zonemap_prune_audit",          # checkpointed block base + broadcast preds
 )
 
 

@@ -1186,3 +1186,16 @@ def test_hosvd_energy_single_scan_slice_windows(spark):
     assert "Join" not in p, p
     wins = [ln for ln in p.splitlines() if "Window [" in ln]
     assert wins and all("mode" in ln for ln in wins), p
+
+
+def test_zonemap_audit_single_scan_broadcast_preds(spark):
+    """stats_zonemap_prune_audit claims one data-proportional stage: a
+    single orders scan into the checkpointed (key-block, date-block,
+    day) base, two map-combined aggs, and every predicate join a
+    broadcast of the 4-row literal list — no SortMergeJoin, no
+    row-level predicate join, no window."""
+    p = plan(QUERIES["stats_zonemap_prune_audit"](spark, SF_SMALL))
+    assert p.count("Scan parquet") <= 1, p  # base rides its checkpoint
+    assert "SortMergeJoin" not in p, p
+    assert "Window [" not in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p

@@ -260,3 +260,97 @@ def test_hosvd_energy_detects_planted_concentration(seed):
     assert got["i"][5] == 1 and got["i"][4] > 0.9, got["i"]  # r50, top_share
     assert got["j"][5] == 1, got["j"]  # 'hot' type dominates too
     assert got["k"][6] > 50, got["k"]  # hours stay diffuse (uniform)
+
+
+def zonemap_python(orders):
+    """From-scratch reference: orders = list[(k, d)] (orderkey, epoch
+    day).  Returns the declared 9-tuple per (layout, pred_id)."""
+    from paraslice_spark.operators.relational import (
+        ZONEMAP_BLOCKS,
+        ZONEMAP_PREDS,
+    )
+
+    mnk = min(k for k, _ in orders); mxk = max(k for k, _ in orders)
+    mnd = min(d for _, d in orders); mxd = max(d for _, d in orders)
+    zones = defaultdict(lambda: [None, None, 0])
+    for k, d in orders:
+        for layout, blk in (
+            ("bykey", (k - mnk) * ZONEMAP_BLOCKS // (mxk - mnk + 1)),
+            ("bydate", (d - mnd) * ZONEMAP_BLOCKS // (mxd - mnd + 1)),
+        ):
+            z = zones[(layout, blk)]
+            z[0] = d if z[0] is None else min(z[0], d)
+            z[1] = d if z[1] is None else max(z[1], d)
+            z[2] += 1
+    out = []
+    for layout in ("bydate", "bykey"):
+        zs = [v for (lay, _), v in zones.items() if lay == layout]
+        for pred_id, lo, hi in ZONEMAP_PREDS:
+            read = [z for z in zs if not (z[1] < lo or z[0] >= hi)]
+            matching = sum(1 for _, d in orders if lo <= d < hi)
+            scanned = sum(z[2] for z in read)
+            out.append(
+                (
+                    layout, pred_id, len(zs), len(read),
+                    len(zs) - len(read), scanned, matching,
+                    _rnd(len(read) / len(zs), 6),
+                    0.0 if matching == 0 else _rnd(scanned / matching, 6),
+                )
+            )
+    return sorted(out)
+
+
+def _run_zonemap_oracle(orders):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders(o_orderkey BIGINT, o_orderdate TIMESTAMP)")
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?)",
+        [
+            (k, datetime.datetime(1970, 1, 1) + datetime.timedelta(days=d))
+            for k, d in orders
+        ],
+    )
+    return sorted(
+        tuple(r)
+        for r in con.execute(ORACLES["stats_zonemap_prune_audit"]).fetchall()
+    )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_zonemap_oracle_on_random_tables(seed):
+    """Random (key, day) tables — including predicates that match ZERO
+    rows (scan_amp pinned to 0, not inf) — plus the losslessness pin:
+    pruning never skips a matching row (rows_scanned >= rows_matching
+    in every row)."""
+    rng = random.Random(21_000 + seed)
+    n = rng.randrange(80, 600)
+    # keys dense-ish and shuffled; days spread over 1995-2001 (so some
+    # predicate windows are hit and, at small n, some may be empty)
+    keys = list(range(n)); rng.shuffle(keys)
+    orders = [
+        (keys[i], rng.randrange(9131, 11688))  # 1995-01-01 .. 2001-12-31
+        for i in range(n)
+    ]
+    got = _run_zonemap_oracle(orders)
+    assert got == zonemap_python(orders), seed
+    assert all(r[5] >= r[6] for r in got), got  # never lossy
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_zonemap_detects_planted_clustering(seed):
+    """VALUE check: when keys are assigned in DATE order (a clustered
+    write), the 'bykey' layout must prune like 'bydate' — narrow
+    predicates read well under half the blocks — while a shuffled key
+    assignment reads every block for an interior predicate."""
+    rng = random.Random(22_000 + seed)
+    n = 2000
+    days = sorted(rng.randrange(9131, 11688) for _ in range(n))
+    clustered = [(i, days[i]) for i in range(n)]          # key follows date
+    got_c = {(r[0], r[1]): r for r in _run_zonemap_oracle(clustered)}
+    assert sorted(got_c.values()) == zonemap_python(clustered), seed
+    for pred in ("h1_1996", "h2_1997", "q1_1995"):
+        assert got_c[("bykey", pred)][7] < 0.5, got_c[("bykey", pred)]
+    shuffled_keys = list(range(n)); rng.shuffle(shuffled_keys)
+    shuffled = [(shuffled_keys[i], days[i]) for i in range(n)]
+    got_s = {(r[0], r[1]): r for r in _run_zonemap_oracle(shuffled)}
+    assert got_s[("bykey", "h1_1996")][7] == 1.0, got_s[("bykey", "h1_1996")]
