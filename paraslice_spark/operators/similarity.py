@@ -2904,6 +2904,142 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+      FROM base a CROSS JOIN base b
+      WHERE a.vec_id != b.vec_id
+    ),
+    knn AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_KNN_K}
+    ),
+    e AS MATERIALIZED (
+      SELECT DISTINCT LEAST(vec_id, neighbor_id) AS u,
+                      GREATEST(vec_id, neighbor_id) AS v
+      FROM knn
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY 1),
+    tpn AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) tr,
+        LATERAL (VALUES (tr.a), (tr.b), (tr.c)) AS nx(node)
+      GROUP BY 1),
+    nd AS MATERIALIZED (
+      SELECT deg.node, deg.d, COALESCE(tpn.t, 0) AS t
+      FROM deg LEFT JOIN tpn ON tpn.node = deg.node),
+    gsum AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS sum_t3,
+             CAST(SUM(d * (d - 1)) AS BIGINT) AS sum_dd,
+             CAST(COUNT(CASE WHEN d < 2 THEN 1 END) AS BIGINT) AS n_lt2
+      FROM nd)
+    SELECT LEAST(9, (20 * t) // (d * (d - 1))) AS lcc_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(t) AS BIGINT) AS sum_tri,
+           ROUND(CAST(2 * SUM(t) AS DOUBLE) / SUM(d * (d - 1)), 6)
+             AS pooled_lcc,
+           ROUND(CAST(2 * MAX(gsum.sum_t3) AS DOUBLE) / MAX(gsum.sum_dd), 6)
+             AS transitivity,
+           MAX(gsum.n_lt2) AS n_deg_lt2
+    FROM nd, gsum
+    WHERE d >= 2
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT HISTOGRAM over the exact k-NN graph
+    — the per-node refinement of graph_triangle_count's global ratio
+    (Watts–Strogatz lcc(v) = 2·t(v)/(d(v)(d(v)−1))): which fraction of
+    the corpus sits in clique-like neighborhoods (near-dup clusters)
+    vs tree-like ones.  The missing classic next to degree
+    distribution / triangles / assortativity / k-core.
+
+    INTEGER-ONLY BUCKETING: per node, t(v) comes from unpivoting the
+    canonical-triangle enumeration (each {{a<b<c}} counted once, then
+    credited to its 3 corners) and d(v) from the undirected edge
+    table, so lcc's decile bucket is LEAST(9, 20·t div d(d−1)) —
+    exact integer division, no float bucket-edge can disagree across
+    engines.  Per bucket the declared ratio is the POOLED lcc
+    2·Σt/Σd(d−1) (one division of exact int64 sums — never a float
+    average over nodes, whose summation order would be engine-
+    dependent).  Global transitivity 2·Σt(v)/Σd(d−1) = 6T/Σd(d−1)
+    rides along as a constant column, with the deg<2 node count
+    (lcc undefined there; excluded from buckets, counted honestly).
+
+    Scale shape: rides the memoized canonical u<v edge table
+    (_knn_uedges_cached — built once, 7+ consumers); the triangle
+    join fans out along higher-id adjacency only (the Schank–Wagner
+    bound, as in graph_triangle_count), the unpivot is O(3·T), and
+    everything downstream is per-node then per-bucket aggs — ≤10
+    output rows."""
+    e = _knn_uedges_cached(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tpn = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .selectExpr("stack(3, a, b, c) AS (node)")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    nd = deg.join(tpn, "node", "left").select(
+        "node", "d", F.coalesce(F.col("t"), F.lit(0)).alias("t")
+    )
+    glob = nd.agg(
+        F.sum("t").alias("sum_t3"),
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("sum_dd"),
+        F.count(F.when(F.col("d") < 2, 1)).alias("n_lt2"),
+    )
+    return (
+        nd.where(F.col("d") >= 2)
+        .crossJoin(F.broadcast(glob))
+        .groupBy(
+            F.least(
+                F.lit(9), F.expr("(20 * t) div (d * (d - 1))")
+            ).alias("lcc_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("t").alias("sum_tri"),
+            F.round(
+                (F.lit(2) * F.sum("t")).cast("double")
+                / F.sum(F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("pooled_lcc"),
+            F.round(
+                (F.lit(2) * F.max("sum_t3")).cast("double") / F.max("sum_dd"),
+                6,
+            ).alias("transitivity"),
+            F.max("n_lt2").alias("n_deg_lt2"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("lcc_bucket")
+    )
+
+
+@query(
     "graph_degree_distribution",
     oracle=f"""
     WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

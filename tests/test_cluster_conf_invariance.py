@@ -87,6 +87,7 @@ _REPRESENTATIVES = (
     "events_binseg_changepoint",          # one scan + 3-gran series windows
     "tensor_hosvd_energy_audit",          # cell agg + 3-mode stack + slice windows
     "stats_zonemap_prune_audit",          # checkpointed block base + broadcast preds
+    "graph_clustering_coefficient",       # edge-memo triangle join + bucket agg
 )
 
 

@@ -1199,3 +1199,18 @@ def test_zonemap_audit_single_scan_broadcast_preds(spark):
     assert "SortMergeJoin" not in p, p
     assert "Window [" not in p, p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+
+
+def test_clustering_coefficient_rides_edge_memo(spark):
+    """graph_clustering_coefficient claims the memoized-edge economics:
+    the plan reads the canonical u<v checkpoint (Scan ExistingRDD), the
+    triangle join fans out along higher-id adjacency (two joins on the
+    same id-pair table), and the corpus is never rescanned (zero
+    parquet scans) — the shape every kNN-graph consumer shares."""
+    from paraslice_spark.operators import similarity as sim
+
+    sim._knn_uedges_cached(spark, SF_SMALL)  # ensure the memo exists
+    p = plan(QUERIES["graph_clustering_coefficient"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 0, p
+    assert "Scan ExistingRDD" in p, p
+    assert "CartesianProduct" not in p, p

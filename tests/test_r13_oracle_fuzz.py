@@ -354,3 +354,93 @@ def test_zonemap_detects_planted_clustering(seed):
     shuffled = [(shuffled_keys[i], days[i]) for i in range(n)]
     got_s = {(r[0], r[1]): r for r in _run_zonemap_oracle(shuffled)}
     assert got_s[("bykey", "h1_1996")][7] == 1.0, got_s[("bykey", "h1_1996")]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_clustering_coefficient_oracle_on_random_tables(seed):
+    """graph_clustering_coefficient: kNN edges (the shared _KNN_ORACLE
+    spec on dyadic-rational vectors — exact float64 dots), per-node
+    triangle credit, the integer-division decile bucket, pooled (never
+    node-averaged) ratios, and the deg<2 exclusion — all rederived from
+    scratch."""
+    from paraslice_spark.operators.similarity import _KNN_K
+
+    rng = random.Random(23_000 + seed)
+    dim = 8
+    vecs = []
+    for vid in range(rng.randrange(15, 45)):
+        k = [rng.randrange(-64, 65) for _ in range(dim)]
+        if not any(k):
+            k[0] = 1
+        vecs.append((vid, k))
+    # plant a 5-clique of nearly identical vectors so high-lcc buckets
+    # and the triangle path are exercised every seed
+    proto = [rng.randrange(-64, 65) for _ in range(dim)]
+    if not any(proto):
+        proto[0] = 1
+    nxt = max(v for v, _ in vecs) + 1
+    for i in range(5):
+        vecs.append((nxt + i, list(proto)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)",
+        [(vid, [x / 64.0 for x in k]) for vid, k in vecs],
+    )
+    got = [tuple(r) for r in con.execute(
+        ORACLES["graph_clustering_coefficient"]
+    ).fetchall()]
+
+    # from-scratch: exact dyadic kNN -> canonical undirected edges
+    norm2 = {vid: sum(x * x for x in k) for vid, k in vecs}
+    edges = set()
+    for vid, k in vecs:
+        scored = []
+        for wid, m in vecs:
+            if wid == vid:
+                continue
+            dot = sum(a * b for a, b in zip(k, m))
+            cos = _rnd(
+                (dot / 4096.0)
+                / (math.sqrt(norm2[vid] / 4096.0)
+                   * math.sqrt(norm2[wid] / 4096.0)),
+                6,
+            )
+            scored.append((-cos, wid))
+        for _c, wid in sorted(scored)[:_KNN_K]:
+            edges.add((min(vid, wid), max(vid, wid)))
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    # each triangle is visited once per edge; crediting the OPPOSITE
+    # corner w each time gives every corner exactly one credit per
+    # triangle it belongs to (3 edges -> 3 credits -> one per corner)
+    tri = defaultdict(int)
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            tri[w] += 1
+    # self-check via the handshake identity sum(t) = 3T
+    T = sum(1 for a, b in edges for c in adj[a] & adj[b] if a < b < c)
+    assert sum(tri.values()) == 3 * T
+    sum_t3 = sum(tri.values())
+    sum_dd = sum(len(adj[n]) * (len(adj[n]) - 1) for n in adj)
+    n_lt2 = sum(1 for n in adj if len(adj[n]) < 2)
+    buckets = defaultdict(lambda: [0, 0, 0])
+    for n in adj:
+        d = len(adj[n])
+        if d < 2:
+            continue
+        t = tri.get(n, 0)
+        b = min(9, (20 * t) // (d * (d - 1)))
+        bb = buckets[b]
+        bb[0] += 1
+        bb[1] += t
+        bb[2] += d * (d - 1)
+    want = [
+        (b, n, st, _rnd(2 * st / sdd, 6), _rnd(2 * sum_t3 / sum_dd, 6),
+         n_lt2)
+        for b, (n, st, sdd) in sorted(buckets.items())
+    ]
+    assert got == want, seed
+    assert any(b >= 5 for b, *_ in got), got  # the clique shows up high
