@@ -125,6 +125,9 @@ def main() -> None:
         # shared build; later consumers read the localCheckpoint for ~0 s.
         "shared_builds": {
             "knn_edge_table": [
+                # alphabetically FIRST consumer pays the shared build;
+                # graph_clustering_coefficient (r13) now leads the family
+                "graph_clustering_coefficient",
                 "graph_degree_assortativity", "graph_degree_distribution",
                 "graph_knn_jaccard",
                 "graph_lpa_communities", "graph_pagerank_knn",
