@@ -2571,6 +2571,152 @@ BINSEG_GRANS = (1, 4, 24)
 
 
 @query(
+    "events_anova_calendar",
+    oracle="""
+    WITH hc AS MATERIALIZED (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    f AS MATERIALIZED (
+      SELECT event_type, y, hr % 24 AS hod, (hr // 24 + 4) % 7 AS dow
+      FROM hc),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s,
+             CAST(SUM(y * y) AS BIGINT) AS sy2
+      FROM f GROUP BY 1),
+    hg AS (
+      SELECT event_type, SUM(CAST(sh * sh AS DOUBLE) / nh) AS bh FROM (
+        SELECT event_type, CAST(SUM(y) AS BIGINT) AS sh,
+               CAST(COUNT(*) AS BIGINT) AS nh
+        FROM f GROUP BY event_type, hod)
+      GROUP BY 1),
+    dg AS (
+      SELECT event_type, SUM(CAST(sd * sd AS DOUBLE) / ndd) AS bd FROM (
+        SELECT event_type, CAST(SUM(y) AS BIGINT) AS sd,
+               CAST(COUNT(*) AS BIGINT) AS ndd
+        FROM f GROUP BY event_type, dow)
+      GROUP BY 1),
+    cg AS (
+      SELECT event_type, SUM(CAST(sc * sc AS DOUBLE) / nc) AS bc,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM (
+        SELECT event_type, CAST(SUM(y) AS BIGINT) AS sc,
+               CAST(COUNT(*) AS BIGINT) AS nc
+        FROM f GROUP BY event_type, hod, dow)
+      GROUP BY 1)
+    SELECT t.event_type, t.n AS n_hours, t.s AS n_events, cg.n_cells,
+           CASE WHEN t.n * t.sy2 = t.s * t.s THEN 0.0
+                ELSE ROUND((hg.bh - CAST(t.s * t.s AS DOUBLE) / t.n)
+                     / (t.sy2 - CAST(t.s * t.s AS DOUBLE) / t.n), 6) END
+             AS eta2_hod,
+           CASE WHEN t.n * t.sy2 = t.s * t.s THEN 0.0
+                ELSE ROUND((dg.bd - CAST(t.s * t.s AS DOUBLE) / t.n)
+                     / (t.sy2 - CAST(t.s * t.s AS DOUBLE) / t.n), 6) END
+             AS eta2_dow,
+           CASE WHEN t.n * t.sy2 = t.s * t.s THEN 0.0
+                ELSE ROUND((cg.bc - CAST(t.s * t.s AS DOUBLE) / t.n)
+                     / (t.sy2 - CAST(t.s * t.s AS DOUBLE) / t.n), 6) END
+             AS eta2_cell
+    FROM tot t
+    JOIN hg ON hg.event_type = t.event_type
+    JOIN dg ON dg.event_type = t.event_type
+    JOIN cg ON cg.event_type = t.event_type
+    ORDER BY t.event_type
+    """,
+)
+def events_anova_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR VARIANCE DECOMPOSITION (two-factor ANOVA) of the hourly
+    traffic series, per event_type — which calendar factor explains the
+    volume variance: η²(hour-of-day), η²(day-of-week), and η²(cell)
+    (the full hod×dow model) over the same observed-hour count series
+    events_binseg_changepoint splits (level shift) and
+    events_seasonality_profile tabulates (means) — this is the MISSING
+    third panel: effect SIZE.  A pipeline reads it to decide whether
+    hourly seasonality is worth modeling before hunting changepoints.
+
+    Factors are INTEGER-derived from the absolute hour (hod = hr % 24;
+    dow = (hr div 24 + 4) % 7 — 1970-01-01 was a Thursday; pure
+    non-negative integer arithmetic, no calendar functions, identical
+    cross-engine on the NTZ fixture).  η² = SS_between/SS_total with
+    every group term CAST(S²  AS DOUBLE)/n an exact-integer-derived
+    IEEE division; the SUM over ≤24/7/168 such doubles follows the
+    corr/covar house precedent (digit-for-digit at rnd6 — each term
+    exact, magnitudes ~1e4, 1-ulp order effects invisible at 1e-6; the
+    constant-series case is guarded by the EXACT integer test
+    n·Σy² = S²).  By construction 0 ≤ η²(hod), η²(dow) ≤ η²(cell) ≤ 1
+    (fuzz-asserted).
+
+    Scale shape: the binseg discipline — raw events hash-aggregate
+    ONCE to the per-(type, hour) series (bounded by the time span),
+    then three map-combined re-aggs of that tiny series + a 5-row
+    join.  The scan is the only data-proportional stage."""
+    ev = load_tables(spark, sf_dir)["events"]
+    f = (
+        ev.select("event_type", F.expr("ts_ns div 3600000000000").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .select(
+            "event_type", "y",
+            F.expr("hr % 24").alias("hod"),
+            F.expr("(hr div 24 + 4) % 7").alias("dow"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+
+    def between(*keys):
+        g = f.groupBy("event_type", *keys).agg(
+            F.sum("y").alias("sg"), F.count(F.lit(1)).alias("ng")
+        )
+        return g.groupBy("event_type").agg(
+            F.sum(
+                (F.col("sg") * F.col("sg")).cast("double") / F.col("ng")
+            ).alias("b"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+
+    hg = between("hod").select(
+        "event_type", F.col("b").alias("bh")
+    )
+    dg = between("dow").select(
+        "event_type", F.col("b").alias("bd")
+    )
+    cg = between("hod", "dow").select(
+        "event_type", F.col("b").alias("bc"), F.col("n_groups").alias("n_cells")
+    )
+    gm = (F.col("s") * F.col("s")).cast("double") / F.col("n")
+    const = F.col("n") * F.col("sy2") == F.col("s") * F.col("s")
+    sst = F.col("sy2") - gm
+
+    def eta(b):
+        return F.when(const, F.lit(0.0)).otherwise(
+            F.round((b - gm) / sst, 6)
+        )
+
+    return (
+        tot.join(hg, "event_type")
+        .join(dg, "event_type")
+        .join(cg, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.col("s").alias("n_events"),
+            "n_cells",
+            eta(F.col("bh")).alias("eta2_hod"),
+            eta(F.col("bd")).alias("eta2_dow"),
+            eta(F.col("bc")).alias("eta2_cell"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("event_type")
+    )
+
+
+@query(
     "events_binseg_changepoint",
     oracle=f"""
     WITH hc AS MATERIALIZED (

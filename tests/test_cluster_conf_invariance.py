@@ -88,6 +88,7 @@ _REPRESENTATIVES = (
     "tensor_hosvd_energy_audit",          # cell agg + 3-mode stack + slice windows
     "stats_zonemap_prune_audit",          # checkpointed block base + broadcast preds
     "graph_clustering_coefficient",       # edge-memo triangle join + bucket agg
+    "events_anova_calendar",              # checkpointed series + 3 factor re-aggs
 )
 
 

@@ -1214,3 +1214,16 @@ def test_clustering_coefficient_rides_edge_memo(spark):
     assert p.count("Scan parquet") == 0, p
     assert "Scan ExistingRDD" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_anova_calendar_single_scan_series_reaggs(spark):
+    """events_anova_calendar claims the binseg discipline: one events
+    scan map-combines to the per-(type, hour) series checkpoint, and
+    the three factor re-aggs + 5-row join all run over that tiny
+    series (the checkpoint's ExistingRDD), never re-scanning parquet
+    more than once and never windowing."""
+    p = plan(QUERIES["events_anova_calendar"](spark, SF_SMALL))
+    assert p.count("Scan parquet") <= 1, p
+    assert "Scan ExistingRDD" in p, p
+    assert "Window [" not in p, p
+    assert "SortMergeJoin" not in p, p

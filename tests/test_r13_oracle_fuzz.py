@@ -444,3 +444,111 @@ def test_clustering_coefficient_oracle_on_random_tables(seed):
     ]
     assert got == want, seed
     assert any(b >= 5 for b, *_ in got), got  # the clique shows up high
+
+
+def anova_python(rows):
+    """From-scratch reference: rows = (ts_ns, event_type).  Returns the
+    declared 7-tuple per event_type."""
+    hourly = defaultdict(int)
+    for ts_ns, et in rows:
+        hourly[(et, ts_ns // 3_600_000_000_000)] += 1
+    out = []
+    for et in sorted({e for e, _ in hourly}):
+        series = [(hr, y) for (e, hr), y in hourly.items() if e == et]
+        n = len(series)
+        s = sum(y for _, y in series)
+        sy2 = sum(y * y for _, y in series)
+        if n * sy2 == s * s:
+            out.append((et, n, s, len({((h % 24), (h // 24 + 4) % 7)
+                                       for h, _ in series}), 0.0, 0.0, 0.0))
+            continue
+        gm = (s * s) / n
+        sst = sy2 - gm
+
+        def between(key):
+            g = defaultdict(lambda: [0, 0])
+            for h, y in series:
+                gg = g[key(h)]
+                gg[0] += y
+                gg[1] += 1
+            return sum((sg * sg) / ng for sg, ng in g.values()), len(g)
+
+        bh, _ = between(lambda h: h % 24)
+        bd, _ = between(lambda h: (h // 24 + 4) % 7)
+        bc, n_cells = between(lambda h: (h % 24, (h // 24 + 4) % 7))
+        out.append(
+            (et, n, s, n_cells, _rnd((bh - gm) / sst, 6),
+             _rnd((bd - gm) / sst, 6), _rnd((bc - gm) / sst, 6))
+        )
+    return out
+
+
+def _run_anova_oracle(rows):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP,"
+        " user_id BIGINT, event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?, ?, ?)",
+        [
+            (i + 1, datetime.datetime(1970, 1, 1)
+             + datetime.timedelta(microseconds=ts_ns // 1000), 1, et, 1.0)
+            for i, (ts_ns, et) in enumerate(rows)
+        ],
+    )
+    return [tuple(r) for r in con.execute(
+        ORACLES["events_anova_calendar"]
+    ).fetchall()]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_anova_oracle_on_random_tables(seed):
+    """Random event tables (+ a constant-series type: the exact integer
+    n*sy2 == s*s guard must emit zeros, not NULL/inf) plus the nesting
+    law 0 <= eta2_hod, eta2_dow <= eta2_cell <= 1 (coarser partitions
+    explain no more variance than their refinement)."""
+    rng = random.Random(24_000 + seed)
+    base_ns = int(datetime.datetime(2024, 4, 1).timestamp()) * 10**9
+    rows = []
+    for _ in range(rng.randrange(100, 600)):
+        rows.append(
+            (
+                base_ns + rng.randrange(0, 14 * 86_400) * 10**9
+                + rng.randrange(0, 10**9),
+                rng.choice(["a", "b"]),
+            )
+        )
+    for h in range(30):  # constant series: one event per hour
+        rows.append((base_ns + h * 3_600 * 10**9 + 10**9, "flat"))
+    got = _run_anova_oracle(rows)
+    assert got == anova_python(rows), seed
+    flat = [r for r in got if r[0] == "flat"]
+    assert flat and flat[0][4:] == (0.0, 0.0, 0.0), flat
+    for r in got:
+        assert -1e-9 <= r[4] <= r[6] + 1e-9 <= 1 + 1e-9, r
+        assert -1e-9 <= r[5] <= r[6] + 1e-9, r
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_anova_detects_planted_seasonality(seed):
+    """VALUE check: a strong hour-of-day pattern (20 events in working
+    hours, 1 otherwise, constant across days) must put eta2_hod near 1
+    and dominate eta2_dow; a weekend-only type must do the reverse."""
+    rng = random.Random(25_000 + seed)
+    base = datetime.datetime(2024, 4, 1)  # a Monday
+    base_ns = int(base.replace(tzinfo=datetime.timezone.utc).timestamp()) * 10**9
+    rows = []
+    for day in range(28):
+        for h in range(24):
+            hr_ns = base_ns + (day * 24 + h) * 3_600 * 10**9
+            n_hod = 20 if 9 <= h < 17 else 1
+            for _ in range(n_hod):
+                rows.append((hr_ns + rng.randrange(0, 3_600 * 10**9), "hodty"))
+            n_dow = 15 if day % 7 >= 5 else 1
+            for _ in range(n_dow):
+                rows.append((hr_ns + rng.randrange(0, 3_600 * 10**9), "dowty"))
+    got = {r[0]: r for r in _run_anova_oracle(rows)}
+    assert sorted(got.values()) == sorted(anova_python(rows)), seed
+    assert got["hodty"][4] > 0.8 and got["hodty"][4] > 5 * got["hodty"][5]
+    assert got["dowty"][5] > 0.5 and got["dowty"][5] > 5 * got["dowty"][4]
