@@ -89,6 +89,8 @@ _REPRESENTATIVES = (
     "stats_zonemap_prune_audit",          # checkpointed block base + broadcast preds
     "graph_clustering_coefficient",       # edge-memo triangle join + bucket agg
     "events_anova_calendar",              # checkpointed series + 3 factor re-aggs
+    "window_distribution",                # distributed rank: range exchange + pid
+                                          # offsets — boundary-placement invariance
 )
 
 

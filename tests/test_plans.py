@@ -1227,3 +1227,21 @@ def test_anova_calendar_single_scan_series_reaggs(spark):
     assert "Scan ExistingRDD" in p, p
     assert "Window [" not in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_window_distribution_no_global_single_partition_window(spark):
+    """The r13 distributed-rank rewrite: no un-partitioned window ever
+    touches the DATA (the only un-partitioned window runs over the
+    <=P partition-count rows), ranks come from a RangePartitioning
+    exchange + pid-partitioned row_number, offsets broadcast back, and
+    ntile/percent_rank/cume_dist are arithmetic — the physical plan
+    contains none of those window functions."""
+    p = plan(QUERIES["window_distribution"](spark, SF_SMALL))
+    assert "RangePartitioning" in p or "rangepartitioning" in p, p
+    assert "ntile" not in p and "percent_rank" not in p and "cume_dist" not in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    # every window over the data partitions by pid; the offsets window
+    # (un-partitioned) runs over the tiny per-partition counts table
+    data_wins = [ln for ln in p.splitlines()
+                 if "Window [" in ln and "row_number" in ln]
+    assert data_wins and all("pid" in ln for ln in data_wins), p

@@ -552,3 +552,82 @@ def test_anova_detects_planted_seasonality(seed):
     assert sorted(got.values()) == sorted(anova_python(rows)), seed
     assert got["hodty"][4] > 0.8 and got["hodty"][4] > 5 * got["hodty"][5]
     assert got["dowty"][5] > 0.5 and got["dowty"][5] > 5 * got["dowty"][4]
+
+
+def ntile_python(r, n, k=10):
+    """Standard ntile fill rule: first n%k tiles take n//k + 1 rows."""
+    q, m = n // k, n % k
+    if r <= m * (q + 1):
+        return (r - 1) // (q + 1) + 1
+    return m + (r - 1 - m * (q + 1)) // q + 1
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 7, 9, 10, 11, 19, 20, 23, 30, 101])
+def test_window_distribution_oracle_on_tiny_tables(n):
+    """The r13 distributed-rank rewrite of window_distribution derives
+    ntile/percent_rank/cume_dist ARITHMETICALLY from the global rank;
+    this pins the arithmetic against DuckDB's window functions on every
+    small-n edge (n < 10 → empty tail tiles; n = 1 → pct_rank 0; n a
+    multiple of 10 → uniform tiles) via the registered oracle, and
+    against a from-scratch Python ntile."""
+    rng = random.Random(26_000 + n)
+    bals = rng.sample(range(-999999, 999999), n)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE customer(c_custkey BIGINT, c_acctbal DOUBLE)")
+    con.executemany(
+        "INSERT INTO customer VALUES (?, ?)",
+        [(i + 1, b / 100.0) for i, b in enumerate(bals)],
+    )
+    got = con.execute(ORACLES["window_distribution"]).fetchall()
+    order = sorted(range(n), key=lambda i: (bals[i], i + 1))
+    want = []
+    for r, i in enumerate(order, start=1):
+        want.append(
+            (
+                i + 1,
+                ntile_python(r, n),
+                0.0 if n == 1 else (r - 1) / (n - 1),
+                r / n,
+            )
+        )
+    assert sorted(got) == sorted(want), n
+
+
+@pytest.mark.parametrize("n", [1, 3, 9, 10, 23])
+def test_window_distribution_spark_small_n(spark, tmp_path, n):
+    """SPARK side of the small-n edges (the distributed-rank rewrite's
+    q = 0 branch is unreachable arithmetic when n < 10, and n = 1 hits
+    the pct_rank guard): tiny customer tables through run_compare —
+    both engines, full hash."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from paraslice_spark.registry import QUERIES
+    from paraslice_spark.sources import io as pio
+    from tests.conftest import SF_SMALL
+    from tests.oracle_harness import run_compare
+
+    rng = random.Random(27_000 + n)
+    bals = rng.sample(range(-999999, 999999), n)
+    d = tmp_path / f"wd{n}"
+    os.makedirs(d)
+    src = pq.read_table(f"{SF_SMALL}/customer.parquet")
+    keep = min(n, src.num_rows)
+    tbl = src.slice(0, keep).to_pydict()
+    tbl["c_custkey"] = list(range(1, keep + 1))
+    tbl["c_acctbal"] = [b / 100.0 for b in bals[:keep]]
+    pq.write_table(pa.table(tbl), str(d / "customer.parquet"))
+    for t in ("region", "nation", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        os.symlink(f"{SF_SMALL}/{t}.parquet", str(d / f"{t}.parquet"))
+    problems = run_compare(
+        spark, QUERIES["window_distribution"],
+        __import__("paraslice_spark.registry", fromlist=["ORACLES"]).ORACLES[
+            "window_distribution"
+        ],
+        str(d),
+    )
+    assert not problems, (n, problems)
+    pio._cache.pop((pio._session_key(spark), str(d).rstrip("/")), None)
