@@ -490,7 +490,22 @@ def _ann_recall_cohort_n() -> int:
     raw = os.environ.get(_ANN_COHORT_ENV)
     if raw is None or raw == "":
         return _N_QUERIES
-    return int(raw)
+    try:
+        n = int(raw)
+    except ValueError as exc:  # fail at parse, not inside the query plan
+        raise ValueError(
+            f"{_ANN_COHORT_ENV}={raw!r}: expected an integer — a positive "
+            "cohort size, or 0 to opt back into the memoized-graph truth"
+        ) from exc
+    if n < 0:
+        # -1 is NOT 'unlimited' here: negative would silently take the
+        # O(n²) graph branch, the exact shape the default exists to
+        # avoid at scale (r13 review finding #5)
+        raise ValueError(
+            f"{_ANN_COHORT_ENV}={n}: must be >= 0 "
+            "(0 = memoized-graph truth; unset = full query cohort)"
+        )
+    return n
 
 
 @query("similarity_ann_recall")  # rows-only: quantizers/buckets model-internal
@@ -2906,27 +2921,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_clustering_coefficient",
     oracle=f"""
-    WITH base AS MATERIALIZED (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-    scored AS (
-      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-             ROUND(list_dot_product(a.emb, b.emb)
-                   / (sqrt(list_dot_product(a.emb, a.emb))
-                      * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
-      FROM base a CROSS JOIN base b
-      WHERE a.vec_id != b.vec_id
-    ),
-    knn AS (
-      SELECT vec_id, neighbor_id FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY cos DESC, neighbor_id) AS rn
-        FROM scored
-      ) WHERE rn <= {_KNN_K}
-    ),
-    e AS MATERIALIZED (
+    WITH e AS MATERIALIZED (
+      -- the SHARED exact-kNN spec (single-source rule, like
+      -- graph_knn_jaccard / graph_degree_assortativity — r13 review
+      -- finding #4: an inlined copy would silently diverge if the spec
+      -- ever changes), canonicalized undirected
       SELECT DISTINCT LEAST(vec_id, neighbor_id) AS u,
                       GREATEST(vec_id, neighbor_id) AS v
-      FROM knn
+      FROM ({_KNN_ORACLE})
     ),
     deg AS MATERIALIZED (
       SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (

@@ -216,6 +216,14 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select("c_custkey", "c_acctbal")
         .repartitionByRange(n_part, F.col("c_acctbal"), F.col("c_custkey"))
         .withColumn("pid", F.spark_partition_id())
+        # PIN one physical partitioning for all three consumers (counts →
+        # offsets, the total, and the probe side).  Without this the plan
+        # relies on the ReuseExchange rule deduplicating the range
+        # shuffle; under spark.sql.exchange.reuse=false each branch would
+        # re-sample RangePartitioner boundaries independently and the
+        # offsets could disagree with the row_number partitioning
+        # (r13 review finding #1 — the house memo pattern, structural).
+        .localCheckpoint(eager=False)
     )
     counts = d.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     w_off = Window.orderBy("pid").rowsBetween(

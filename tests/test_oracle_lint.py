@@ -176,6 +176,9 @@ _ACCEPTED: frozenset[tuple[str, str]] = frozenset(
         ("events_tukey_fences", "v"),
         ("graph_copurchase_kcore_trace", "o"),
         ("graph_copurchase_kcore_trace", "tr"),
+        # r13: the shared _KNN_ORACLE spec's tiny embeddings-scan CTE,
+        # same conscious acceptance as every sibling consumer below
+        ("graph_clustering_coefficient", "base"),
         ("graph_degree_assortativity", "base"),
         ("graph_degree_distribution", "base"),
         ("graph_degree_distribution", "e"),

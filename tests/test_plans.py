@@ -1168,9 +1168,14 @@ def test_binseg_changepoint_single_scan_tiny_tail(spark):
     p = plan(QUERIES["events_binseg_changepoint"](spark, SF_SMALL))
     assert p.count("Scan parquet") == 1, p
     assert "Generate explode" in p, p  # the 3-granularity fan-out
-    # the explode must sit ABOVE the first hash aggregate (series, not rows)
-    scan_pos = p.index("Scan parquet")
-    assert p.index("Generate explode") < scan_pos, p  # formatted plan: ops print top-down
+    # the explode must consume the SERIES, not raw rows: in the top-down
+    # plan print, the hourly partial HashAggregate sits BETWEEN the
+    # explode and the scan (an explode placed directly over the scan —
+    # the 3x-scan-cost regression this guards — would have no aggregate
+    # in that segment; r13 review finding #2: comparing explode vs scan
+    # positions alone is vacuous, every op prints above the scan)
+    seg = p[p.index("Generate explode"):p.index("Scan parquet")]
+    assert "HashAggregate" in seg, p
     assert "Join" not in p, p
     assert "ReadSchema: struct<ts:timestamp_ntz,event_type:string>" in p, p
 
@@ -1232,12 +1237,15 @@ def test_anova_calendar_single_scan_series_reaggs(spark):
 def test_window_distribution_no_global_single_partition_window(spark):
     """The r13 distributed-rank rewrite: no un-partitioned window ever
     touches the DATA (the only un-partitioned window runs over the
-    <=P partition-count rows), ranks come from a RangePartitioning
-    exchange + pid-partitioned row_number, offsets broadcast back, and
+    <=P partition-count rows), ranks come from the range-partitioned
+    checkpoint (ONE pinned physical partitioning serving all three
+    consumers — structural, not ReuseExchange-dependent) +
+    pid-partitioned row_number, offsets broadcast back, and
     ntile/percent_rank/cume_dist are arithmetic — the physical plan
     contains none of those window functions."""
-    p = plan(QUERIES["window_distribution"](spark, SF_SMALL))
-    assert "RangePartitioning" in p or "rangepartitioning" in p, p
+    df = QUERIES["window_distribution"](spark, SF_SMALL)
+    p = plan(df)
+    assert "Scan ExistingRDD" in p, p  # the pinned range checkpoint
     assert "ntile" not in p and "percent_rank" not in p and "cume_dist" not in p, p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
     # every window over the data partitions by pid; the offsets window

@@ -26,6 +26,9 @@ def update_replay_python(rows, k=6, delay_ms=7_200_000):
 
     recs = []
     for eid, ts_ns, val in rows:
+        # truncate to the µs the engine actually sees in parquet before
+        # deriving arrival jitter (same fix as the r13 simulator)
+        ts_ns = ts_ns // 1000 * 1000
         h = u32(eid)
         arr = ts_ns + (h % 86_400) * 10**9
         recs.append(

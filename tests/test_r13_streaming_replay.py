@@ -27,6 +27,11 @@ def session_complete_replay_python(
 
     recs = []
     for eid, ts_ns, uid in rows:
+        # the engine only ever sees the µs-truncated parquet timestamp,
+        # so the reference must truncate BEFORE deriving arrival jitter
+        # (r13 review finding #3: a raw-ns arr could land a near-boundary
+        # row in a different replay bucket than the engine's)
+        ts_ns = ts_ns // 1000 * 1000
         h = u32(eid)
         arr = ts_ns + (h % 86_400) * 10**9
         recs.append(
