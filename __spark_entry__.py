@@ -19,45 +19,29 @@ import paraslice_spark.operators  # noqa: F401  (registers all queries)
 from paraslice_spark.registry import ORACLES, QUERIES
 
 # The driver grades the FIRST ~50 queries of this dict per round, so order
-# encodes grading priority.  Round-13 re-tier (VERDICT r12 next-round #1):
-# CORRECTNESS_r12 graded 50/50 clean — the 6 r12 tier-0 additions, all 22
-# of the old _T3_R6_GRADED, and 22 of _T4_R7_GRADED — so the r6 era is
-# fully closed (tuple deleted) and _T4 shrinks to its 27 ungraded r7
-# stragglers, now the oldest standing verdicts and therefore tier 1.  The
-# 50 names r12 graded move to _T9_R12_GRADED at the back.  Tier 0 (no
-# tuple): new r13 additions lead the sample (budget ≤ ~6).
-# Budget check: ≤6 tier-0 names + the 27 r7 stragglers + ~17 of the r8
-# tier's 50 fill the ~50 sample, so CORRECTNESS_r13 grades every r13
-# addition, ends the r7 era entirely, and starts refreshing the r8 tier.
-_T4_R7_GRADED: tuple[str, ...] = (
-    # the 27 r7-graded names CORRECTNESS_r12's sample didn't reach
-    "text_boilerplate_grams", "text_collocations_pmi",
-    "events_interarrival_profile",
-    "agg_string_concat", "multimodal_decode_meta", "project_arithmetic",
-    "reshape_unpivot", "filter_between_in_like", "filter_compound",
-    "filter_null_semantics", "filter_regexp", "udf_grouped_map",
-    "udf_pandas_vectorized", "udf_scalar_py", "udf_udtf_tokenize",
-    "agg_approx_distinct", "agg_approx_quantile", "dedup_embedding_cosine",
-    "parafac_cp_als", "parafac_cp_als_dist",
-    "parafac_factors_a", "sample_bernoulli", "similarity_ivf_ann",
-    "similarity_lsh_ann", "tucker_hosvd_core",
-    "tensor_slices", "dedup_minhash_pairs",
-)
+# encodes grading priority.  Round-14 re-tier (VERDICT r13 next-round #2):
+# CORRECTNESS_r13 graded 50/50 clean — the 6 r13 tier-0 additions, all 27
+# of the old _T4_R7_GRADED, and the first 17 of _T5_R8_GRADED — so the r7
+# era is fully closed (tuple deleted) and _T5 shrinks to its 33 ungraded
+# r8 stragglers, now the oldest standing verdicts and therefore tier 1.
+# graph_lpa_communities is promoted to the FRONT of that tier (VERDICT r13
+# "What's wrong #2": its r12 rows-only → hash-oracled conversion has never
+# received a driver HASH grade; front-half placement guarantees it this
+# round).  The 50 names r13 graded move to _T10_R13_GRADED at the back.
+# Tier 0 (no tuple): new r14 additions lead the sample (budget ≤ ~6).
+# Budget check: ≤6 tier-0 names + the 33 r8 stragglers + ~11 of the r9
+# tier's 50 fill the ~50 sample, so CORRECTNESS_r14 grades every r14
+# addition, ends the r8 era entirely, and starts refreshing the r9 tier.
 _T5_R8_GRADED: tuple[str, ...] = (
-    # the 50 names CORRECTNESS_r08 graded: the 44 r8 additions + the first 6 of the old r4 tier
-    "agg_cms_selfjoin_size", "agg_kmv_distinct_error",
-    "lineitem_mannwhitney_u", "orders_ks_price_shift",
-    "lineitem_spearman_qty_price", "orders_benford_audit",
-    "stream_countmin_cells", "multimodal_phash_groups",
-    "stats_collect_lineitem", "pipeline_token_budget", "customer_ltv_cohorts",
-    "customer_revenue_deciles", "events_cusum_changepoint",
-    "events_session_concurrency", "customer_gini_by_nation",
-    "events_funnel_latency", "supplier_hhi_by_type", "orders_ship_latency",
+    # the 33 r8-graded names CORRECTNESS_r13's sample didn't reach;
+    # graph_lpa_communities deliberately leads (see tier comment above)
+    "graph_lpa_communities",
+    "orders_ship_latency",
     "events_watermark_late_audit", "events_autocorr_minutes",
     "events_runs_test", "orders_backlog_profile", "events_ohlc_hourly",
     "customer_reorder_gaps", "events_value_drift_psi", "events_haar_energy",
     "similarity_ann_recall", "dedup_method_agreement",
-    "embedding_label_centroid_sim", "graph_lpa_communities",
+    "embedding_label_centroid_sim",
     "embedding_cosine_histogram", "embedding_int8_quant_audit",
     "graph_copurchase_kcore_trace", "pipeline_quality_filter",
     "pipeline_pack_chunk_reader", "pipeline_pack_append_audit",
@@ -162,6 +146,32 @@ _T9_R12_GRADED: tuple[str, ...] = (
     "part_abc_analysis", "graph_degree_distribution",
     "events_anomaly_mad", "events_seasonality_profile", "text_vocab_growth",
 )
+_T10_R13_GRADED: tuple[str, ...] = (
+    # the 50 names CORRECTNESS_r13 graded: the 6 r13 additions + all 27 of
+    # the old r7 tier + the first 17 of the r8 tier
+    "stream_session_complete_replay", "events_binseg_changepoint",
+    "tensor_hosvd_energy_audit", "stats_zonemap_prune_audit",
+    "graph_clustering_coefficient", "events_anova_calendar",
+    "text_boilerplate_grams", "text_collocations_pmi",
+    "events_interarrival_profile",
+    "agg_string_concat", "multimodal_decode_meta", "project_arithmetic",
+    "reshape_unpivot", "filter_between_in_like", "filter_compound",
+    "filter_null_semantics", "filter_regexp", "udf_grouped_map",
+    "udf_pandas_vectorized", "udf_scalar_py", "udf_udtf_tokenize",
+    "agg_approx_distinct", "agg_approx_quantile", "dedup_embedding_cosine",
+    "parafac_cp_als", "parafac_cp_als_dist",
+    "parafac_factors_a", "sample_bernoulli", "similarity_ivf_ann",
+    "similarity_lsh_ann", "tucker_hosvd_core",
+    "tensor_slices", "dedup_minhash_pairs",
+    "agg_cms_selfjoin_size", "agg_kmv_distinct_error",
+    "lineitem_mannwhitney_u", "orders_ks_price_shift",
+    "lineitem_spearman_qty_price", "orders_benford_audit",
+    "stream_countmin_cells", "multimodal_phash_groups",
+    "stats_collect_lineitem", "pipeline_token_budget", "customer_ltv_cohorts",
+    "customer_revenue_deciles", "events_cusum_changepoint",
+    "events_session_concurrency", "customer_gini_by_nation",
+    "events_funnel_latency", "supplier_hhi_by_type",
+)
 
 
 def _rotated(d: dict) -> dict:
@@ -169,12 +179,12 @@ def _rotated(d: dict) -> dict:
     tier = {}
     for t, names in enumerate(
         (
-            _T4_R7_GRADED,
             _T5_R8_GRADED,
             _T6_R9_GRADED,
             _T7_R10_GRADED,
             _T8_R11_GRADED,
             _T9_R12_GRADED,
+            _T10_R13_GRADED,
         ),
         start=1,
     ):
