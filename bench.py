@@ -197,6 +197,12 @@ def main() -> None:
     # in-repo so rounds stay diffable.
     try:
         local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+        # clobber guard (VERDICT r13 #5): every overwrite first moves the
+        # existing artifact to BENCH_LOCAL.prev.json, so a smoke run or a
+        # dirty re-run can never destroy the last window — the checklist
+        # habit (cp aside before benching) is now a mechanical guarantee.
+        if os.path.exists(local):
+            os.replace(local, local[: -len(".json")] + ".prev.json")
         with open(local, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
     except OSError as exc:

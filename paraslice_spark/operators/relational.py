@@ -8,6 +8,8 @@ row-groups and columns they need.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -840,7 +842,6 @@ def stats_sample_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: zone-map audit geometry: blocks per layout, and the literal predicate
 #: windows [lo_day, hi_day) shared by Spark and the oracle (epoch days,
 #: computed once here so the two engines can never disagree on a bound)
-import datetime as _dt
 
 
 def _epoch_day(y: int, m: int, d: int) -> int:

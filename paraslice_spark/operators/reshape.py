@@ -2833,10 +2833,26 @@ def events_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "g", "bucket", "i", "n", "tot", "sy2",
         (F.col("n") * F.col("pre") - F.col("i") * F.col("tot")).alias("d"),
     )
+    # lazy exactness guard (ADVICE r13): BSS is bit-identical cross-engine
+    # only while D² is exactly representable in a double, i.e.
+    # |D| ≤ isqrt(2^53) = 94906265.  Exceeding the window would diverge
+    # SILENTLY (no overflow error — doubles just lose ulps), so the bound
+    # rides the plan via the haar span-guard idiom: assert_true is null on
+    # success, folds into b as +0.0, and cannot be pruned away.
+    d_guard = F.assert_true(
+        F.abs(F.col("d")) <= F.lit(94906265),
+        F.lit(
+            "events_binseg_changepoint: |D| exceeds the 2^53 "
+            "double-exactness window; rescale the bucket counts"
+        ),
+    )
     bss = sp.select(
         "event_type", "g", "bucket", "i", "n", "tot", "sy2",
         (
-            (F.col("d") * F.col("d")).cast("double")
+            (
+                (F.col("d") * F.col("d")).cast("double")
+                + F.coalesce(d_guard.cast("double"), F.lit(0.0))
+            )
             / (F.col("n") * F.col("i") * (F.col("n") - F.col("i")))
         ).alias("b"),
     ).withColumn("mb", F.max("b").over(wp))

@@ -1043,12 +1043,27 @@ def tensor_hosvd_energy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wo = Window.partitionBy("mode").orderBy(F.desc("e"), "idx")
     wp = Window.partitionBy("mode")
+    # lazy exactness guard (ADVICE r13): the r90 comparison cum·10 ≥ tot·9
+    # needs tot·10 to stay int64.  ANSI mode would throw on the overflow,
+    # but a non-ANSI session would wrap SILENTLY — so the bound is
+    # asserted in-plan (haar idiom: null on success, folds into tot as
+    # +0, unprunable; Spark dedupes the repeated window expression).
+    tot_guard = F.assert_true(
+        F.sum("e").over(wp) <= F.lit((2**63 - 1) // 10),
+        F.lit(
+            "tensor_hosvd_energy_audit: total energy exceeds the int64 "
+            "window for the cum*10 threshold; rescale the cell values"
+        ),
+    )
     w = sl.select(
         "mode",
         "e",
         F.row_number().over(wo).alias("rn"),
         F.sum("e").over(wo).alias("cum"),
-        F.sum("e").over(wp).alias("tot"),
+        (
+            F.sum("e").over(wp)
+            + F.coalesce(tot_guard.cast("long"), F.lit(0))
+        ).alias("tot"),
         F.count(F.lit(1)).over(wp).alias("n"),
     )
     return (

@@ -242,9 +242,20 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = F.expr("n div 10")
     m = F.col("n") % 10
+    # When n < 10 the when-branch covers ALL rows (r <= n = m·(q+1)), so
+    # the otherwise-branch is unreachable — but its denominator n div 10
+    # would be 0 there, so it is belt-and-braces guarded with greatest(,1)
+    # (the KMV greatest(vk,1) precedent; ADVICE r13) rather than relying
+    # solely on CaseWhen's lazy branch evaluation.
     decile = (
         F.when(F.col("r") <= m * (q + 1), F.expr("(r - 1) div (n div 10 + 1)") + 1)
-        .otherwise(m + F.expr("(r - 1 - (n % 10) * (n div 10 + 1)) div (n div 10)") + 1)
+        .otherwise(
+            m
+            + F.expr(
+                "(r - 1 - (n % 10) * (n div 10 + 1)) div greatest(n div 10, 1)"
+            )
+            + 1
+        )
         .cast("int")
     )
     return ranked.select(

@@ -1127,6 +1127,14 @@ def _run_replay(
             for p in q.recentProgress
             for so in (p["stateOperators"] or [])
         )
+        if sink == "snapshot" and not os.path.exists(snap):
+            # foreachBatch never fired (ADVICE r13): zero triggers means an
+            # empty replayed source — surface the contract violation
+            # explicitly instead of an opaque path-missing AnalysisException
+            raise RuntimeError(
+                "replay snapshot sink never materialized: the replayed "
+                "source produced zero triggers (empty events table?)"
+            )
         emitted = (
             spark.read.parquet(snap) if sink == "snapshot"
             else spark.table(name)
