@@ -1297,7 +1297,8 @@ BLOOM_ABSENT_PROBES = 4
       SELECT o_custkey AS ck,
              CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d
       FROM orders),
-    bnd AS (SELECT MIN(d) AS mnd, MAX(d) AS mxd, MAX(ck) AS mxck FROM base),
+    bnd AS MATERIALIZED (
+      SELECT MIN(d) AS mnd, MAX(d) AS mxd, MAX(ck) AS mxck FROM base),
     bk AS MATERIALIZED (
       SELECT blk, ck, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM (SELECT (d - mnd) * {BLOOM_BLOCKS} // (mxd - mnd + 1) AS blk, ck

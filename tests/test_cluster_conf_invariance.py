@@ -91,6 +91,11 @@ _REPRESENTATIVES = (
     "events_anova_calendar",              # checkpointed series + 3 factor re-aggs
     "window_distribution",                # distributed rank: range exchange + pid
                                           # offsets — boundary-placement invariance
+    # r14 shapes:
+    "stats_zorder_prune_audit",           # checkpointed morton grid + broadcast preds
+    "stats_bloom_prune_audit",            # checkpointed (blk,ck) census + TakeOrdered
+                                          # probe sample + bit joins
+    "stats_compaction_waste_audit",       # checkpointed file census + dual rollups
 )
 
 

@@ -1253,3 +1253,46 @@ def test_window_distribution_no_global_single_partition_window(spark):
     data_wins = [ln for ln in p.splitlines()
                  if "Window [" in ln and "row_number" in ln]
     assert data_wins and all("pid" in ln for ln in data_wins), p
+
+
+def test_zorder_audit_single_scan_broadcast_preds(spark):
+    """stats_zorder_prune_audit claims the zonemap discipline: one
+    orders scan into the checkpointed (d, gx, block ids) frame, the
+    3-layout stack and (gx, d) rollup both riding it, every predicate
+    join a broadcast of the 4-row literal list — no SortMergeJoin, no
+    window, no row-level predicate join."""
+    p = plan(QUERIES["stats_zorder_prune_audit"](spark, SF_SMALL))
+    assert p.count("Scan parquet") <= 1, p
+    assert "SortMergeJoin" not in p, p
+    assert "Window [" not in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+
+
+def test_bloom_audit_single_scan_no_bits_broadcast(spark):
+    """stats_bloom_prune_audit: one orders scan map-combines into the
+    checkpointed (blk, ck, cnt) census; the probe list is a TakeOrdered
+    fixed-size hash-ordered sample (never a global sort of the data,
+    never a window); the ndv-proportional block_bits side streams
+    through its joins while only the O(probes·blocks) frames broadcast
+    — no SortMergeJoin anywhere."""
+    p = plan(QUERIES["stats_bloom_prune_audit"](spark, SF_SMALL))
+    assert p.count("Scan parquet") <= 1, p
+    assert "SortMergeJoin" not in p, p
+    assert "Window [" not in p, p
+    # the TakeOrdered probe sample and the (blk, ck) census live inside
+    # their checkpoints — the final plan reads them as ExistingRDD
+    assert "Scan ExistingRDD" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_compaction_audit_single_scan_two_rollups(spark):
+    """stats_compaction_waste_audit: one orders scan into the
+    checkpointed (month, chunk, bytes) file census, then two rollups
+    against the broadcast 4-row target list joined on target — no
+    SortMergeJoin, no window, nothing data-proportional after the
+    census."""
+    p = plan(QUERIES["stats_compaction_waste_audit"](spark, SF_SMALL))
+    assert p.count("Scan parquet") <= 1, p
+    assert "SortMergeJoin" not in p, p
+    assert "Window [" not in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p

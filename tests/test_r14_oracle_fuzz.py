@@ -1,0 +1,395 @@
+"""Round-14 oracle fuzz: from-scratch third-engine rederivations of the
+storage-layout audit oracles added this round, on RANDOM tables (the
+house bar — an oracle must be right because its math is right, not
+because it happens to match the fixture).
+
+stats_zorder_prune_audit: the Morton interleave, grid/block ids, 2-D
+zone overlap rule and both ratios are rederived in pure Python (bit
+ops here vs div/mod terms in the engines — independent formulations of
+the same spec).  A planted-2-D-clustering test checks the VALUE: the
+z-order layout must beat both single-column sorts on rectangle
+predicates (the events_overdispersion lesson: engines can agree on a
+wrong formula).
+
+stats_bloom_prune_audit: the md5_u32 bit assignment, per-block
+ndv-sized filters, probe membership and FPR are rederived with
+hashlib directly.  Laws: blooms never miss (no false negatives),
+absent probes match zero rows, measured FPR sits in the theoretical
+band.
+
+stats_compaction_waste_audit: the (month × chunk) file census and the
+integer-ceil right-sizing are rederived with plain dicts; laws pin
+byte conservation and files_after monotonicity in the target."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import math
+import random
+from collections import defaultdict
+
+import duckdb
+import pytest
+
+import paraslice_spark.operators  # noqa: F401
+from paraslice_spark.operators.relational import (
+    BLOOM_ABSENT_PROBES,
+    BLOOM_BITS_PER_KEY,
+    BLOOM_BLOCKS,
+    BLOOM_PRESENT_PROBES,
+    BLOOM_SEEDS,
+    COMPACT_CHUNK,
+    COMPACT_OPEN_B,
+    COMPACT_TARGETS,
+    ZORDER_BLOCKS,
+    ZORDER_CELLS,
+    ZORDER_PREDS,
+)
+from paraslice_spark.registry import ORACLES
+
+
+def _rnd(x: float, n: int) -> float:
+    # ROUND half-away-from-zero, matching Spark/DuckDB (Python round()
+    # is banker's and diverges on exactly-dyadic ratios)
+    p = 10**n
+    return math.floor(abs(x) * p + 0.5) / p * (1 if x >= 0 else -1)
+
+
+def _md5_u32(s: str) -> int:
+    # from-scratch twin of canon.md5_u32 (first 8 md5 hex digits)
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _ts(d: int) -> datetime.datetime:
+    return datetime.datetime(1970, 1, 1) + datetime.timedelta(days=d)
+
+
+# ---------------------------------------------------------------- zorder
+
+
+def zorder_python(orders):
+    """From-scratch reference: orders = list[(k, d)].  Returns the
+    declared 9-tuple per (layout, pred_id), sorted."""
+    mnk = min(k for k, _ in orders); mxk = max(k for k, _ in orders)
+    mnd = min(d for _, d in orders); mxd = max(d for _, d in orders)
+    zper = (ZORDER_CELLS * ZORDER_CELLS) // ZORDER_BLOCKS
+    zones = {}
+    cells = []
+    for k, d in orders:
+        gx = (k - mnk) * ZORDER_CELLS // (mxk - mnk + 1)
+        gy = (d - mnd) * ZORDER_CELLS // (mxd - mnd + 1)
+        z = 0
+        for b in range(5):  # independent formulation: real bit ops
+            z |= ((gx >> b) & 1) << (2 * b + 1)
+            z |= ((gy >> b) & 1) << (2 * b)
+        layouts = (
+            ("bykey", (k - mnk) * ZORDER_BLOCKS // (mxk - mnk + 1)),
+            ("bydate", (d - mnd) * ZORDER_BLOCKS // (mxd - mnd + 1)),
+            ("zorder", z // zper),
+        )
+        cells.append((gx, d))
+        for lay, blk in layouts:
+            zo = zones.setdefault((lay, blk), [d, d, gx, gx, 0])
+            zo[0] = min(zo[0], d); zo[1] = max(zo[1], d)
+            zo[2] = min(zo[2], gx); zo[3] = max(zo[3], gx)
+            zo[4] += 1
+    out = []
+    for lay in ("bydate", "bykey", "zorder"):
+        zs = [v for (l2, _), v in zones.items() if l2 == lay]
+        for pred_id, dlo, dhi, gxlo, gxhi in ZORDER_PREDS:
+            read = [
+                z for z in zs
+                if not (z[1] < dlo or z[0] >= dhi
+                        or z[3] < gxlo or z[2] >= gxhi)
+            ]
+            matching = sum(
+                1 for gx, d in cells
+                if dlo <= d < dhi and gxlo <= gx < gxhi
+            )
+            scanned = sum(z[4] for z in read)
+            out.append(
+                (
+                    lay, pred_id, len(zs), len(read), len(zs) - len(read),
+                    scanned, matching, _rnd(len(read) / len(zs), 6),
+                    0.0 if matching == 0 else _rnd(scanned / matching, 6),
+                )
+            )
+    return sorted(out)
+
+
+def _run_zorder_oracle(orders):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders(o_orderkey BIGINT, o_orderdate TIMESTAMP)"
+    )
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?)",
+        [(k, _ts(d)) for k, d in orders],
+    )
+    return sorted(
+        tuple(r)
+        for r in con.execute(ORACLES["stats_zorder_prune_audit"]).fetchall()
+    )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_zorder_oracle_on_random_tables(seed):
+    """Random (key, day) tables incl. possibly-empty predicate windows;
+    the losslessness pin (rows_scanned >= rows_matching) in every row."""
+    rng = random.Random(41_000 + seed)
+    n = rng.randrange(2, 600)
+    keys = list(range(n)); rng.shuffle(keys)
+    orders = [(keys[i], rng.randrange(9131, 11688)) for i in range(n)]
+    got = _run_zorder_oracle(orders)
+    assert got == zorder_python(orders), seed
+    assert all(r[5] >= r[6] for r in got), got
+
+
+def test_zorder_oracle_single_row():
+    got = _run_zorder_oracle([(7, 9500)])
+    assert got == zorder_python([(7, 9500)])
+    # one block per layout, read iff the (single) zone overlaps the pred
+    assert all(r[2] == 1 for r in got), got
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_zorder_beats_single_column_sorts_on_rectangles(seed):
+    """VALUE check: with keys uncorrelated to dates, the z-order layout
+    must read no more blocks than EITHER single-column layout for every
+    2-D rectangle predicate, and strictly fewer than the worse one on
+    the narrow rectangles (the multi-column clustering argument)."""
+    rng = random.Random(42_000 + seed)
+    n = 4000
+    keys = list(range(n)); rng.shuffle(keys)
+    orders = [(keys[i], rng.randrange(9131, 11688)) for i in range(n)]
+    got = {(r[0], r[1]): r for r in _run_zorder_oracle(orders)}
+    assert sorted(got.values()) == zorder_python(orders), seed
+    for pred_id, *_ in ZORDER_PREDS:
+        zo = got[("zorder", pred_id)][3]
+        bk = got[("bykey", pred_id)][3]
+        bd = got[("bydate", pred_id)][3]
+        assert zo <= min(bk, bd) + 1, (pred_id, zo, bk, bd)
+    for pred_id in ("h1_1996_k8", "h2_1997_k24"):
+        assert got[("zorder", pred_id)][3] < max(
+            got[("bykey", pred_id)][3], got[("bydate", pred_id)][3]
+        ), pred_id
+
+
+# ----------------------------------------------------------------- bloom
+
+
+def bloom_python(orders):
+    """From-scratch reference: orders = list[(ck, d)].  Returns the
+    declared 11-tuple per (probe_kind, probe_ck), sorted."""
+    mnd = min(d for _, d in orders); mxd = max(d for _, d in orders)
+    mxck = max(ck for ck, _ in orders)
+    bk = defaultdict(int)
+    for ck, d in orders:
+        blk = (d - mnd) * BLOOM_BLOCKS // (mxd - mnd + 1)
+        bk[(blk, ck)] += 1
+    blocks = {}
+    for (blk, ck), cnt in bk.items():
+        b = blocks.setdefault(blk, [0, 0, ck, ck])  # ndv, nrows, mn, mx
+        b[0] += 1; b[1] += cnt
+        b[2] = min(b[2], ck); b[3] = max(b[3], ck)
+    bits = defaultdict(set)
+    for (blk, ck), _ in bk.items():
+        m = blocks[blk][0] * BLOOM_BITS_PER_KEY
+        for s in BLOOM_SEEDS:
+            bits[blk].add(_md5_u32(f"{ck}:{s}") % m)
+    dcks = sorted({ck for ck, _ in orders})
+    present = sorted(dcks, key=lambda c: (_md5_u32(f"probe:{c}"), c))
+    probes = [("present", p) for p in present[:BLOOM_PRESENT_PROBES]] + [
+        ("absent", mxck + i) for i in range(1, BLOOM_ABSENT_PROBES + 1)
+    ]
+    out = []
+    for kind, p in probes:
+        containing = sum(1 for (blk, ck) in bk if ck == p)
+        matching = sum(c for (blk, ck), c in bk.items() if ck == p)
+        rz = rb = scanned = 0
+        for blk, (ndv, nrows, mn, mx) in blocks.items():
+            m = ndv * BLOOM_BITS_PER_KEY
+            pbits = {_md5_u32(f"{p}:{s}") % m for s in BLOOM_SEEDS}
+            if mn <= p <= mx:
+                rz += 1
+            if pbits <= bits[blk]:
+                rb += 1
+                scanned += nrows
+        nb = len(blocks)
+        out.append(
+            (
+                kind, p, nb, containing, rz, rb, rb - containing,
+                scanned, matching, _rnd(rz / nb, 6), _rnd(rb / nb, 6),
+            )
+        )
+    return sorted(out)
+
+
+def _run_bloom_oracle(orders):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders(o_custkey BIGINT, o_orderdate TIMESTAMP)"
+    )
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?)",
+        [(ck, _ts(d)) for ck, d in orders],
+    )
+    return sorted(
+        tuple(r)
+        for r in con.execute(ORACLES["stats_bloom_prune_audit"]).fetchall()
+    )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_bloom_oracle_on_random_tables(seed):
+    """Random (custkey, day) tables; laws: blooms never miss
+    (blocks_read_bloom >= blocks_containing), absent probes match zero
+    rows, present probes match at least one."""
+    rng = random.Random(43_000 + seed)
+    n = rng.randrange(30, 500)
+    orders = [
+        (rng.randrange(0, 200), rng.randrange(9131, 11688))
+        for _ in range(n)
+    ]
+    got = _run_bloom_oracle(orders)
+    assert got == bloom_python(orders), seed
+    for r in got:
+        assert r[5] >= r[3], r  # no false negatives
+        if r[0] == "absent":
+            assert r[3] == 0 and r[8] == 0, r
+        else:
+            assert r[8] >= 1, r
+
+
+def test_bloom_oracle_single_row():
+    got = _run_bloom_oracle([(5, 9500)])
+    assert got == bloom_python([(5, 9500)])
+    by = {(r[0], r[1]): r for r in got}
+    # the one present probe is found in the one block, zero fp possible
+    assert by[("present", 5)][3] == 1 and by[("present", 5)][5] == 1
+
+
+def test_bloom_fpr_in_theory_band():
+    """VALUE check (the overdispersion lesson): with m = 10·ndv bits and
+    3 seeds the theoretical FPR is (1-e^-0.3)^3 ~ 1.7%; the measured
+    false-positive fraction over all non-containing (probe, block)
+    pairs must sit in a loose band around it — not 0 (bits actually
+    collide) and nowhere near saturation."""
+    rng = random.Random(44_000)
+    orders = [
+        (rng.randrange(0, 900), rng.randrange(9131, 11688))
+        for _ in range(6000)
+    ]
+    got = bloom_python(orders)
+    assert got == _run_bloom_oracle(orders)
+    fp = sum(r[6] for r in got)
+    trials = sum(r[2] - r[3] for r in got)  # non-containing pairs
+    assert trials > 300
+    assert 0 < fp / trials < 0.10, (fp, trials)
+
+
+# ------------------------------------------------------------ compaction
+
+
+def compaction_python(orders):
+    """From-scratch reference: orders = list[(k, date, prio, status)].
+    Returns the declared 9-tuple per target, sorted."""
+    files = defaultdict(int)
+    for k, dt, prio, status in orders:
+        mo = (dt.year - 1970) * 12 + dt.month - 1
+        files[(mo, k // COMPACT_CHUNK)] += (
+            48 + len(prio.encode()) + len(status.encode())
+        )
+    months = defaultdict(int)
+    for (mo, _), fb in files.items():
+        months[mo] += fb
+    out = []
+    for t in COMPACT_TARGETS:
+        nf = len(files)
+        tb = sum(files.values())
+        ns = sum(1 for fb in files.values() if fb < t)
+        fa = sum((mb + t - 1) // t for mb in months.values())
+        out.append(
+            (
+                t, nf, tb, ns, _rnd(ns / nf, 6), fa, _rnd(nf / fa, 6),
+                _rnd((tb + nf * COMPACT_OPEN_B) / tb, 6),
+                _rnd((tb + fa * COMPACT_OPEN_B) / tb, 6),
+            )
+        )
+    return sorted(out)
+
+
+def _run_compaction_oracle(orders):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders(o_orderkey BIGINT, o_orderdate TIMESTAMP,"
+        " o_orderpriority VARCHAR, o_orderstatus VARCHAR)"
+    )
+    con.executemany("INSERT INTO orders VALUES (?, ?, ?, ?)", orders)
+    return sorted(
+        tuple(r)
+        for r in con.execute(
+            ORACLES["stats_compaction_waste_audit"]
+        ).fetchall()
+    )
+
+
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_compaction_oracle_on_random_tables(seed):
+    """Random (key, timestamp, varchar, varchar) tables; laws: byte and
+    file counts are target-invariant, files_after is non-increasing in
+    the target, and right-sizing never leaves an empty partition."""
+    rng = random.Random(45_000 + seed)
+    n = rng.randrange(5, 800)
+    orders = [
+        (
+            rng.randrange(0, 10_000),
+            datetime.datetime(1995, 1, 1)
+            + datetime.timedelta(days=rng.randrange(0, 2500)),
+            rng.choice(_PRIOS),
+            rng.choice(["O", "F", "P"]),
+        )
+        for _ in range(n)
+    ]
+    got = _run_compaction_oracle(orders)
+    assert got == compaction_python(orders), seed
+    assert len({r[1] for r in got}) == 1  # n_files target-invariant
+    assert len({r[2] for r in got}) == 1  # total_bytes target-invariant
+    fa = [r[5] for r in got]  # sorted by target ascending
+    assert fa == sorted(fa, reverse=True), got
+    n_months = len({
+        (dt.year, dt.month) for _, dt, _, _ in orders
+    })
+    assert all(r[5] >= n_months for r in got), got
+
+
+def test_compaction_values_on_planted_small_files():
+    """VALUE check: 10 chunks × 12 months of 4 tiny rows each = 120
+    files of exactly 224 bytes; at the 65536-byte target each month
+    right-sizes to ONE file, so files_after = 12, compaction_ratio =
+    10, and both amp numbers follow from the byte arithmetic."""
+    orders = []
+    for chunk in range(10):
+        for mo in range(12):
+            for r in range(4):
+                orders.append(
+                    (
+                        chunk * COMPACT_CHUNK + r,
+                        datetime.datetime(1995, 1 + mo, 1 + r),
+                        "1-URGENT",  # 8 bytes
+                        "O",  # 1 byte -> rb = 57, fb = 228
+                    )
+                )
+    got = {r[0]: r for r in _run_compaction_oracle(orders)}
+    assert sorted(got.values()) == compaction_python(orders)
+    big = got[65536]
+    assert big[1] == 120 and big[3] == 120 and big[4] == 1.0, big
+    assert big[5] == 12 and big[6] == 10.0, big
+    tb = 120 * 4 * 57
+    assert big[2] == tb
+    assert big[7] == _rnd((tb + 120 * COMPACT_OPEN_B) / tb, 6), big
+    assert big[8] == _rnd((tb + 12 * COMPACT_OPEN_B) / tb, 6), big
