@@ -4396,3 +4396,236 @@ def similarity_quantizer_append_audit(
         "cells_created",
         "inc_into_existing",
     )
+
+
+# ------------------------------------------------- §2.13 dim truncation
+#: Matryoshka-style truncation audit knobs: prefix widths swept, the
+#: fixed probe cohort (first EMB_TRUNC_PROBES vec_ids — the
+#: similarity_topk_cosine cohort convention), and the top-k depth.
+EMB_TRUNC_WIDTHS = (8, 16, 32, 64)
+EMB_TRUNC_PROBES = 8
+EMB_TRUNC_K = 5
+
+
+def _emb_trunc_oracle() -> str:
+    widths = ", ".join(f"({w})" for w in EMB_TRUNC_WIDTHS)
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS vm
+      FROM embeddings),
+    vml AS MATERIALIZED (
+      SELECT vec_id, i, vm[i] AS vmic
+      FROM base CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) r),
+    widths AS MATERIALIZED (
+      SELECT * FROM (VALUES {widths}) AS t(w)),
+    energy AS (
+      SELECT w, CAST(SUM(CASE WHEN i <= w THEN vmic * vmic ELSE 0 END)
+                     AS BIGINT) AS e
+      FROM vml CROSS JOIN widths GROUP BY 1),
+    etot AS (SELECT e AS et FROM energy WHERE w = 64),
+    pairs AS MATERIALIZED (
+      SELECT q.vec_id AS q_id, c.vec_id AS v_id, widths.w,
+             CAST(SUM(CASE WHEN q.i <= widths.w
+                           THEN q.vmic * c.vmic ELSE 0 END) AS BIGINT) AS dp,
+             CAST(SUM(CASE WHEN q.i <= widths.w
+                           THEN q.vmic * q.vmic ELSE 0 END) AS BIGINT) AS qq,
+             CAST(SUM(CASE WHEN q.i <= widths.w
+                           THEN c.vmic * c.vmic ELSE 0 END) AS BIGINT) AS vv
+      FROM vml q JOIN vml c ON q.i = c.i AND c.vec_id != q.vec_id
+      CROSS JOIN widths
+      WHERE q.vec_id < {EMB_TRUNC_PROBES}
+      GROUP BY 1, 2, 3),
+    top5 AS MATERIALIZED (
+      SELECT w, q_id, v_id FROM (
+        SELECT w, q_id, v_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY w, q_id
+                 ORDER BY CASE WHEN qq = 0 OR vv = 0 THEN -2.0
+                               ELSE CAST(dp AS DOUBLE)
+                                    / (sqrt(CAST(qq AS DOUBLE))
+                                       * sqrt(CAST(vv AS DOUBLE))) END DESC,
+                          v_id) AS rn
+        FROM pairs
+      ) WHERE rn <= {EMB_TRUNC_K}),
+    truth AS MATERIALIZED (
+      SELECT q_id, v_id FROM top5 WHERE w = 64),
+    tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth_k FROM truth),
+    ov AS (
+      SELECT a.w, CAST(COUNT(t.v_id) AS BIGINT) AS topk_hits
+      FROM top5 a LEFT JOIN truth t
+        ON t.q_id = a.q_id AND t.v_id = a.v_id
+      GROUP BY 1)
+    SELECT en.w AS width, en.e AS energy,
+           ROUND(CAST(en.e AS DOUBLE) / CAST(etot.et AS DOUBLE), 6)
+             AS energy_frac,
+           ov.topk_hits, tn.truth_k,
+           ROUND(CAST(ov.topk_hits AS DOUBLE) / tn.truth_k, 6)
+             AS topk_overlap_frac
+    FROM energy en, etot, tn
+    JOIN ov ON ov.w = en.w
+    ORDER BY en.w
+    """
+
+
+@query("embedding_dim_truncation_audit", oracle=_emb_trunc_oracle())
+def embedding_dim_truncation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EMBEDDING DIMENSION-TRUNCATION (MATRYOSHKA) AUDIT — extends the
+    embeddings family (quant-bits sweep, int8 audit) with the OTHER
+    compression axis a 100 TB vector pipeline prices before shipping:
+    keep only the first w dimensions.  For each prefix width in
+    {EMB_TRUNC_WIDTHS}: the exact energy retained (Σ over the corpus of
+    the first-w squared micro-units — int64-exact in both engines, the
+    fraction one deterministic IEEE division), and the retrieval cost:
+    top-{EMB_TRUNC_K} cosine neighbors of the {EMB_TRUNC_PROBES}-probe
+    cohort under truncated dimensions, overlapped against the full-width
+    truth (the w=64 arm overlaps itself — a built-in 1.0 pin; random
+    8-dim prefixes on this corpus land well below it, the measured
+    argument that energy alone overstates truncation quality).
+
+    Determinism contract (the signlsh/int64-micros rule family):
+    micro-unit values round(x·1e6) are int64; every dot/norm is an
+    exact int64 conditional sum (max |Σ| « 2^63; products ≤ 1e12);
+    cosine = one cast-sqrt-multiply-divide chain of correctly-rounded
+    IEEE ops on exact integers — bit-identical across engines — with a
+    -2.0 sentinel for zero-norm prefixes so ordering never sees NaN;
+    ranking ties break by neighbor id.  Scale shape: the probe cohort
+    is a broadcast {EMB_TRUNC_PROBES}×64 sliver joined once against the
+    exploded corpus (one linear scan, groupBy (q, v) with ALL widths as
+    conditional sums in a single aggregate — the zero-extra-shuffle
+    sweep idiom), then a per-(width, probe) top-k window over
+    O(probes·corpus) scored pairs; energies ride the same exploded
+    frame in one conditional agg."""
+    base = _emb_base_cached(spark, sf_dir)
+    vml = base.select(
+        "vec_id", F.posexplode("emb").alias("i0", "v")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("v") * 1000000).cast("long").alias("vmic"),
+    ).localCheckpoint(eager=False)  # consumed by energy + both join sides
+    en = (
+        vml.agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col("i") <= w, F.col("vmic") * F.col("vmic")
+                    ).otherwise(F.lit(0))
+                ).alias(f"e{w}")
+                for w in EMB_TRUNC_WIDTHS
+            ]
+        )
+        .selectExpr(
+            "stack("
+            + str(len(EMB_TRUNC_WIDTHS))
+            + ", "
+            + ", ".join(f"{w}L, e{w}" for w in EMB_TRUNC_WIDTHS)
+            + ") AS (w, e)",
+            "e64 AS et",
+        )
+    )
+    q = vml.where(F.col("vec_id") < EMB_TRUNC_PROBES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("i").alias("qi"),
+        F.col("vmic").alias("qmic"),
+    )
+    pairs = (
+        vml.join(F.broadcast(q), (F.col("i") == F.col("qi"))
+                 & (F.col("vec_id") != F.col("q_id")))
+        .groupBy("q_id", F.col("vec_id").alias("v_id"))
+        .agg(
+            *[
+                agg
+                for w in EMB_TRUNC_WIDTHS
+                for agg in (
+                    F.sum(
+                        F.when(
+                            F.col("i") <= w,
+                            F.col("qmic") * F.col("vmic"),
+                        ).otherwise(F.lit(0))
+                    ).alias(f"dp{w}"),
+                    F.sum(
+                        F.when(
+                            F.col("i") <= w,
+                            F.col("qmic") * F.col("qmic"),
+                        ).otherwise(F.lit(0))
+                    ).alias(f"qq{w}"),
+                    F.sum(
+                        F.when(
+                            F.col("i") <= w,
+                            F.col("vmic") * F.col("vmic"),
+                        ).otherwise(F.lit(0))
+                    ).alias(f"vv{w}"),
+                )
+            ]
+        )
+    )
+    scored = pairs.selectExpr(
+        "q_id",
+        "v_id",
+        "stack("
+        + str(len(EMB_TRUNC_WIDTHS))
+        + ", "
+        + ", ".join(
+            f"{w}L, dp{w}, qq{w}, vv{w}" for w in EMB_TRUNC_WIDTHS
+        )
+        + ") AS (w, dp, qq, vv)",
+    ).select(
+        "w", "q_id", "v_id",
+        F.when(
+            (F.col("qq") == 0) | (F.col("vv") == 0), F.lit(-2.0)
+        )
+        .otherwise(
+            F.col("dp").cast("double")
+            / (
+                F.sqrt(F.col("qq").cast("double"))
+                * F.sqrt(F.col("vv").cast("double"))
+            )
+        )
+        .alias("cos"),
+    )
+    win = Window.partitionBy("w", "q_id").orderBy(
+        F.desc("cos"), F.asc("v_id")
+    )
+    top5 = (
+        scored.select(
+            "w", "q_id", "v_id", F.row_number().over(win).alias("rn")
+        )
+        .where(F.col("rn") <= EMB_TRUNC_K)
+        .select("w", "q_id", "v_id")
+        .localCheckpoint(eager=False)  # truth + all arms read it
+    )
+    truth = top5.where(F.col("w") == 64).select(
+        F.col("q_id").alias("t_q"), F.col("v_id").alias("t_v")
+    )
+    tn = truth.agg(F.count(F.lit(1)).alias("truth_k"))
+    ov = (
+        top5.join(
+            F.broadcast(truth),
+            (F.col("q_id") == F.col("t_q")) & (F.col("v_id") == F.col("t_v")),
+            "left",
+        )
+        .groupBy("w")
+        .agg(F.count(F.col("t_v")).alias("topk_hits"))
+    )
+    return (
+        en.join(F.broadcast(ov), "w")
+        .crossJoin(F.broadcast(tn))
+        .select(
+            F.col("w").alias("width"),
+            F.col("e").alias("energy"),
+            F.round(
+                F.col("e").cast("double") / F.col("et").cast("double"), 6
+            ).alias("energy_frac"),
+            "topk_hits",
+            "truth_k",
+            F.round(
+                F.col("topk_hits").cast("double") / F.col("truth_k"), 6
+            ).alias("topk_overlap_frac"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("width")
+    )

@@ -96,6 +96,8 @@ _REPRESENTATIVES = (
     "stats_bloom_prune_audit",            # checkpointed (blk,ck) census + TakeOrdered
                                           # probe sample + bit joins
     "stats_compaction_waste_audit",       # checkpointed file census + dual rollups
+    "embedding_dim_truncation_audit",     # emb memo + broadcast cohort +
+                                          # conditional width sweep + topk windows
 )
 
 

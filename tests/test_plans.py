@@ -1296,3 +1296,22 @@ def test_compaction_audit_single_scan_two_rollups(spark):
     assert "SortMergeJoin" not in p, p
     assert "Window [" not in p, p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+
+
+def test_trunc_audit_rides_emb_memo_broadcast_cohort(spark):
+    """embedding_dim_truncation_audit claims the linear-cohort shape:
+    the exploded micro frame rides its checkpoint (zero parquet scans
+    once the shared embedding memo exists), the probe side broadcasts
+    (one corpus-linear join, never SortMergeJoin), all four widths ride
+    ONE conditional aggregate, and the only windows are the per-(width,
+    probe) top-k ranks — never an un-partitioned window over data."""
+    from paraslice_spark.operators import similarity as sim
+
+    sim._emb_base_cached(spark, SF_SMALL)  # ensure the memo exists
+    p = plan(QUERIES["embedding_dim_truncation_audit"](spark, SF_SMALL))
+    assert p.count("Scan parquet") == 0, p
+    assert "Scan ExistingRDD" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    data_wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert all("q_id" in ln for ln in data_wins), p

@@ -393,3 +393,115 @@ def test_compaction_values_on_planted_small_files():
     assert big[2] == tb
     assert big[7] == _rnd((tb + 120 * COMPACT_OPEN_B) / tb, 6), big
     assert big[8] == _rnd((tb + 12 * COMPACT_OPEN_B) / tb, 6), big
+
+
+# ------------------------------------------------------- dim truncation
+
+from paraslice_spark.operators.similarity import (  # noqa: E402
+    EMB_TRUNC_K,
+    EMB_TRUNC_PROBES,
+    EMB_TRUNC_WIDTHS,
+)
+
+
+def trunc_python(vecs):
+    """From-scratch reference: vecs = list[(vec_id, [64 dyadic floats])].
+    Returns the declared 6-tuple per width, sorted."""
+    vm = {
+        vid: [
+            int(math.floor(abs(x * 1e6) + 0.5)) * (1 if x >= 0 else -1)
+            for x in v
+        ]
+        for vid, v in vecs
+    }
+    energy = {
+        w: sum(m * m for v in vm.values() for m in v[:w])
+        for w in EMB_TRUNC_WIDTHS
+    }
+    et = energy[64]
+    probes = sorted(vid for vid in vm if vid < EMB_TRUNC_PROBES)
+    top = {}
+    for w in EMB_TRUNC_WIDTHS:
+        for q in probes:
+            qv = vm[q][:w]
+            qq = sum(m * m for m in qv)
+            scored = []
+            for vid, v in vm.items():
+                if vid == q:
+                    continue
+                vv = sum(m * m for m in v[:w])
+                dp = sum(a * b for a, b in zip(qv, v[:w]))
+                cos = (
+                    -2.0
+                    if qq == 0 or vv == 0
+                    else dp / (math.sqrt(qq) * math.sqrt(vv))
+                )
+                scored.append((-cos, vid))
+            scored.sort()
+            top[(w, q)] = {vid for _, vid in scored[:EMB_TRUNC_K]}
+    truth_k = sum(len(top[(64, q)]) for q in probes)
+    out = []
+    for w in EMB_TRUNC_WIDTHS:
+        hits = sum(len(top[(w, q)] & top[(64, q)]) for q in probes)
+        out.append(
+            (
+                w, energy[w], _rnd(energy[w] / et, 6), hits, truth_k,
+                _rnd(hits / truth_k, 6),
+            )
+        )
+    return sorted(out)
+
+
+def _run_trunc_oracle(vecs):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", vecs)
+    return sorted(
+        tuple(r)
+        for r in con.execute(
+            ORACLES["embedding_dim_truncation_audit"]
+        ).fetchall()
+    )
+
+
+def _dyadic_vec(rng):
+    # exact in float32 AND float64 (the house dyadic-rational vector
+    # spec), so the float32 parquet round-trip cannot perturb micros
+    return [rng.randrange(-1023, 1024) / 1024 for _ in range(64)]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_trunc_oracle_on_random_tables(seed):
+    """Random dyadic-vector tables; laws: the w=64 arm overlaps itself
+    exactly (frac 1.0), energy is non-decreasing in width, and every
+    overlap sits in [0, 1]."""
+    rng = random.Random(46_000 + seed)
+    n = rng.randrange(9, 60)
+    vecs = [(i, _dyadic_vec(rng)) for i in range(n)]
+    got = _run_trunc_oracle(vecs)
+    assert got == trunc_python(vecs), seed
+    by_w = {r[0]: r for r in got}
+    assert by_w[64][5] == 1.0, got
+    es = [by_w[w][1] for w in sorted(EMB_TRUNC_WIDTHS)]
+    assert es == sorted(es), got
+    assert all(0.0 <= r[5] <= 1.0 for r in got), got
+
+
+def test_trunc_detects_planted_matryoshka_structure():
+    """VALUE check: a corpus with TRUE Matryoshka redundancy (the 8-dim
+    head repeated 8 times, so every prefix carries the same geometry)
+    must show w=8 overlap 1.0 while holding only 1/8 of the energy —
+    whereas the isotropic fixture shows proportional energy but LOW
+    overlap.  This pins that the overlap column measures neighbor
+    preservation, not energy.  (Cosines are algebraically equal across
+    widths here; random dyadic heads keep pairwise cosine gaps ~1e-2,
+    far above any IEEE re-rounding of the scaled sums.)"""
+    rng = random.Random(47_000)
+    vecs = []
+    for i in range(40):
+        head = [rng.randrange(-1023, 1024) / 1024 for _ in range(8)]
+        vecs.append((i, head * 8))
+    got = {r[0]: r for r in _run_trunc_oracle(vecs)}
+    assert sorted(got.values()) == trunc_python(vecs)
+    assert got[8][5] == 1.0, got  # neighbors fully decided at w=8...
+    assert got[8][2] == 0.125, got  # ...holding exactly 1/8 of the energy
