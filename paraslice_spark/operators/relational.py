@@ -1742,3 +1742,168 @@ def stats_compaction_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("target_bytes")
     )
+
+
+# ------------------------------------------------- §2.13 clustering depth
+#: clustering-depth audit: candidate sort columns examined over the
+#: natural (insertion-order) 64-block layout — o_orderkey itself is the
+#: perfectly-clustered control arm.
+DEPTH_BLOCKS = 64
+_DEPTH_COLS = ("o_orderkey", "o_custkey", "orderdate_day", "totalprice_c")
+
+
+@query(
+    "stats_clustering_depth_audit",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+      SELECT o_orderkey AS k,
+             o_custkey AS ck,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS tp
+      FROM orders),
+    bd AS (SELECT MIN(k) AS mnk, MAX(k) AS mxk FROM base),
+    vals AS MATERIALIZED (
+      SELECT col, blk, v FROM (
+        SELECT (k - mnk) * {DEPTH_BLOCKS} // (mxk - mnk + 1) AS blk,
+               ck, d, tp, k
+        FROM base, bd)
+      UNPIVOT (v FOR col IN (k AS 'o_orderkey', ck AS 'o_custkey',
+                             d AS 'orderdate_day', tp AS 'totalprice_c'))),
+    zones AS MATERIALIZED (
+      SELECT col, blk, MIN(v) AS bmn, MAX(v) AS bmx
+      FROM vals GROUP BY 1, 2),
+    dom AS MATERIALIZED (
+      SELECT col, MIN(bmn) AS mn, MAX(bmx) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(bmx - bmn + 1) AS BIGINT) AS sum_span
+      FROM zones GROUP BY 1),
+    ev AS (
+      SELECT col, pos, CAST(SUM(delta) AS BIGINT) AS net FROM (
+        SELECT col, bmn AS pos, 1 AS delta FROM zones
+        UNION ALL SELECT col, bmx + 1, -1 FROM zones)
+      GROUP BY 1, 2),
+    sweep AS (
+      SELECT col, CAST(MAX(run) AS BIGINT) AS max_depth FROM (
+        SELECT col, SUM(net) OVER (PARTITION BY col ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS run
+        FROM ev)
+      GROUP BY 1)
+    SELECT d.col AS col_name, d.n_blocks, (d.mx - d.mn + 1) AS width,
+           d.sum_span,
+           ROUND(CAST(d.sum_span AS DOUBLE)
+                 / (d.n_blocks * (d.mx - d.mn + 1)), 6) AS avg_span_frac,
+           ROUND(CAST(d.sum_span AS DOUBLE) / (d.mx - d.mn + 1), 6)
+             AS point_depth,
+           s.max_depth
+    FROM dom d JOIN sweep s ON s.col = d.col
+    ORDER BY d.col
+    """,
+)
+def stats_clustering_depth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTERING-DEPTH / SORT-COLUMN-CHOICE AUDIT — fifth member of the
+    storage-layout family: the table a 100 TB lakehouse reads to decide
+    WHICH column the next rewrite should sort by (the zonemap audit
+    prices a layout that exists; this one ranks the candidates).
+
+    Over the natural insertion-order layout ({DEPTH_BLOCKS} equi-width
+    o_orderkey blocks), each candidate column gets its per-block
+    (min, max) zones and three clusteredness numbers: avg_span_frac
+    (mean block span as a fraction of the column's domain — 1.0 means
+    every block spans everything, 1/{DEPTH_BLOCKS} is perfect),
+    point_depth (expected blocks a uniform point predicate must read =
+    Σ spans / domain width), and max_depth — the EXACT worst-case
+    overlap depth (Iceberg's clustering-depth metric), computed by the
+    classic sweep-line: +1 at each block's min, -1 past its max, net
+    deltas per coordinate, running-sum max.  o_orderkey itself is the
+    control arm (depth 1 by construction); on this corpus the other
+    three columns are arrival-uncorrelated so their depth ≈ n_blocks —
+    the measured argument that the natural layout serves exactly one
+    access path.
+
+    EXACT INTEGERS: epoch days, lossless cents for the money column,
+    integer spans/deltas/prefix sums (ties need no ordering rule —
+    deltas are netted per coordinate before the running sum); the two
+    ROUND(,6) columns are displays.
+
+    Scale shape: ONE orders scan into the checkpointed (blk, 4 values)
+    frame, a 4-way stack into per-(col, blk) zones (≤4·{DEPTH_BLOCKS}
+    rows — at real scale these come free from parquet footers), and the
+    sweep windows run over ≤2 boundary rows per zone, partitioned by
+    column.  Nothing after the scan is data-proportional."""
+    o = load_tables(spark, sf_dir)["orders"]
+    epoch = F.lit(_dt.date(1970, 1, 1))
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(F.col("o_orderdate").cast("date"), epoch)
+        .cast("long")
+        .alias("d"),
+        cents("o_totalprice").alias("tp"),
+    )
+    bd = base.agg(F.min("k").alias("mnk"), F.max("k").alias("mxk"))
+    vals = (
+        base.crossJoin(F.broadcast(bd))
+        .select(
+            F.expr(f"(k - mnk) * {DEPTH_BLOCKS} div (mxk - mnk + 1)").alias(
+                "blk"
+            ),
+            "k", "ck", "d", "tp",
+        )
+        .selectExpr(
+            "blk",
+            "stack(4, 'o_orderkey', k, 'o_custkey', ck,"
+            " 'orderdate_day', d, 'totalprice_c', tp) AS (col, v)",
+        )
+        .localCheckpoint(eager=False)
+    )
+    zones = (
+        vals.groupBy("col", "blk")
+        .agg(F.min("v").alias("bmn"), F.max("v").alias("bmx"))
+        .localCheckpoint(eager=False)  # dom + both sweep arms read it
+    )
+    dom = zones.groupBy("col").agg(
+        F.min("bmn").alias("mn"),
+        F.max("bmx").alias("mx"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("bmx") - F.col("bmn") + 1).alias("sum_span"),
+    )
+    ev = (
+        zones.selectExpr(
+            "col",
+            "stack(2, bmn, 1, bmx + 1, -1) AS (pos, delta)",
+        )
+        .groupBy("col", "pos")
+        .agg(F.sum("delta").alias("net"))
+    )
+    wrun = (
+        Window.partitionBy("col")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sweep = (
+        ev.select("col", F.sum("net").over(wrun).alias("run"))
+        .groupBy("col")
+        .agg(F.max("run").alias("max_depth"))
+    )
+    return (
+        dom.join(F.broadcast(sweep), "col")
+        .select(
+            F.col("col").alias("col_name"),
+            "n_blocks",
+            (F.col("mx") - F.col("mn") + 1).alias("width"),
+            "sum_span",
+            F.round(
+                F.col("sum_span").cast("double")
+                / (F.col("n_blocks") * (F.col("mx") - F.col("mn") + 1)),
+                6,
+            ).alias("avg_span_frac"),
+            F.round(
+                F.col("sum_span").cast("double")
+                / (F.col("mx") - F.col("mn") + 1),
+                6,
+            ).alias("point_depth"),
+            "max_depth",
+        )
+        .repartition(1)
+        .sortWithinPartitions("col_name")
+    )

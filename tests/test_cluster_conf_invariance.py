@@ -98,6 +98,8 @@ _REPRESENTATIVES = (
     "stats_compaction_waste_audit",       # checkpointed file census + dual rollups
     "embedding_dim_truncation_audit",     # emb memo + broadcast cohort +
                                           # conditional width sweep + topk windows
+    "stats_clustering_depth_audit",       # checkpointed value stack + sweep-line
+                                          # windows over zone boundaries
 )
 
 

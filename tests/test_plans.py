@@ -1315,3 +1315,16 @@ def test_trunc_audit_rides_emb_memo_broadcast_cohort(spark):
     assert "BroadcastHashJoin" in p, p
     data_wins = [ln for ln in p.splitlines() if "Window [" in ln]
     assert all("q_id" in ln for ln in data_wins), p
+
+
+def test_depth_audit_single_scan_tiny_sweep(spark):
+    """stats_clustering_depth_audit: one orders scan into the
+    checkpointed 4-way value stack, zones/dom/sweep all over
+    <=4·blocks rows, the sweep window partitioned by column — no
+    SortMergeJoin, no un-partitioned window, no second scan."""
+    p = plan(QUERIES["stats_clustering_depth_audit"](spark, SF_SMALL))
+    assert p.count("Scan parquet") <= 1, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    data_wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert all("col" in ln for ln in data_wins), p

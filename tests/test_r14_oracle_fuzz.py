@@ -505,3 +505,109 @@ def test_trunc_detects_planted_matryoshka_structure():
     assert sorted(got.values()) == trunc_python(vecs)
     assert got[8][5] == 1.0, got  # neighbors fully decided at w=8...
     assert got[8][2] == 0.125, got  # ...holding exactly 1/8 of the energy
+
+
+# ----------------------------------------------------- clustering depth
+
+from paraslice_spark.operators.relational import DEPTH_BLOCKS  # noqa: E402
+
+
+def depth_python(orders):
+    """From-scratch reference: orders = list[(k, ck, d, tp_cents)].
+    Returns the declared 7-tuple per column, sorted."""
+    mnk = min(r[0] for r in orders); mxk = max(r[0] for r in orders)
+    cols = {"o_orderkey": 0, "o_custkey": 1, "orderdate_day": 2,
+            "totalprice_c": 3}
+    zones = {}
+    for r in orders:
+        blk = (r[0] - mnk) * DEPTH_BLOCKS // (mxk - mnk + 1)
+        for cname, idx in cols.items():
+            v = r[idx]
+            z = zones.setdefault((cname, blk), [v, v])
+            z[0] = min(z[0], v); z[1] = max(z[1], v)
+    out = []
+    for cname in cols:
+        zs = [v for (c2, _), v in zones.items() if c2 == cname]
+        mn = min(z[0] for z in zs); mx = max(z[1] for z in zs)
+        width = mx - mn + 1
+        sum_span = sum(z[1] - z[0] + 1 for z in zs)
+        deltas = defaultdict(int)
+        for z in zs:
+            deltas[z[0]] += 1; deltas[z[1] + 1] -= 1
+        run = depth = 0
+        for pos in sorted(deltas):
+            run += deltas[pos]
+            depth = max(depth, run)
+        out.append(
+            (
+                cname, len(zs), width, sum_span,
+                _rnd(sum_span / (len(zs) * width), 6),
+                _rnd(sum_span / width, 6), depth,
+            )
+        )
+    return sorted(out)
+
+
+def _run_depth_oracle(orders):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT,"
+        " o_orderdate TIMESTAMP, o_totalprice DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?, ?, ?)",
+        [(k, ck, _ts(d), tp / 100) for k, ck, d, tp in orders],
+    )
+    return sorted(
+        tuple(r)
+        for r in con.execute(
+            ORACLES["stats_clustering_depth_audit"]
+        ).fetchall()
+    )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_depth_oracle_on_random_tables(seed):
+    """Random 4-column tables; laws: the sort column itself is the
+    control arm (max_depth 1 — equi-width key blocks can never
+    overlap), every depth is within [1, n_blocks], and sum_span >=
+    width (the blocks jointly cover the domain)."""
+    rng = random.Random(48_000 + seed)
+    n = rng.randrange(2, 500)
+    keys = list(range(n)); rng.shuffle(keys)
+    orders = [
+        (
+            keys[i],
+            rng.randrange(0, 300),
+            rng.randrange(9131, 11688),
+            rng.randrange(100, 10_000_000),
+        )
+        for i in range(n)
+    ]
+    got = _run_depth_oracle(orders)
+    assert got == depth_python(orders), seed
+    by = {r[0]: r for r in got}
+    assert by["o_orderkey"][6] == 1, got
+    for r in got:
+        assert 1 <= r[6] <= r[1], r
+        # every block spans at least its own single value (spans cover
+        # VALUES, not the domain — sparse blocks can sum far below width)
+        assert r[3] >= r[1], r
+
+
+def test_depth_detects_planted_sort_order():
+    """VALUE check: when rows arrive in CUSTKEY order the custkey arm
+    must read as perfectly clustered (max_depth 1, span_frac ~1/64)
+    while a shuffled date stays at depth ~n_blocks."""
+    rng = random.Random(49_000)
+    n = 2000
+    cks = sorted(rng.randrange(0, 100_000) for _ in range(n))
+    orders = [
+        (i, cks[i], rng.randrange(9131, 11688), rng.randrange(100, 10**7))
+        for i in range(n)
+    ]
+    got = {r[0]: r for r in _run_depth_oracle(orders)}
+    assert sorted(got.values()) == depth_python(orders)
+    assert got["o_custkey"][6] <= 2, got  # boundary ties at worst
+    assert got["o_custkey"][4] < 0.05, got
+    assert got["orderdate_day"][6] > DEPTH_BLOCKS // 2, got
