@@ -100,6 +100,8 @@ _REPRESENTATIVES = (
                                           # conditional width sweep + topk windows
     "stats_clustering_depth_audit",       # checkpointed value stack + sweep-line
                                           # windows over zone boundaries
+    "stats_runtime_filter_audit",         # two checkpointed scans + un-hinted
+                                          # bloom-bit join (AQE promotes)
 )
 
 

@@ -1328,3 +1328,16 @@ def test_depth_audit_single_scan_tiny_sweep(spark):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
     data_wins = [ln for ln in p.splitlines() if "Window [" in ln]
     assert all("col" in ln for ln in data_wins), p
+
+
+def test_rtf_audit_two_scans_no_forced_bits_broadcast(spark):
+    """stats_runtime_filter_audit: one scan per table (both ride their
+    checkpoints), the min/max arm a conditional agg against the
+    broadcast 4-row stats table, the bloom arm a plain equi-join (the
+    bit set is dimension-proportional — vocab de-hint rule: no forced
+    broadcast; locally that's allowed to be SMJ/shuffle), no window
+    anywhere."""
+    p = plan(QUERIES["stats_runtime_filter_audit"](spark, SF_SMALL))
+    assert p.count("Scan parquet") <= 2, p
+    assert "Window [" not in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p

@@ -611,3 +611,96 @@ def test_depth_detects_planted_sort_order():
     assert got["o_custkey"][6] <= 2, got  # boundary ties at worst
     assert got["o_custkey"][4] < 0.05, got
     assert got["orderdate_day"][6] > DEPTH_BLOCKS // 2, got
+
+
+# ------------------------------------------------------- runtime filter
+
+from paraslice_spark.operators.relational import (  # noqa: E402
+    RTF_BITS_PER_KEY,
+    ZONEMAP_PREDS,
+)
+
+
+def rtf_python(orders, lineitem):
+    """From-scratch reference: orders = list[(k, d)] (unique keys, the
+    o_orderkey PK), lineitem = list[k].  Returns the declared 10-tuple
+    per predicate with a non-empty key set, sorted."""
+    nf = len(lineitem)
+    hs = [(k, _md5_u32(f"{k}:0")) for k in lineitem]
+    out = []
+    for pred_id, lo, hi in ZONEMAP_PREDS:
+        ks = {k for k, d in orders if lo <= d < hi}
+        if not ks:
+            continue
+        nk = len(ks)
+        m = nk * RTF_BITS_PER_KEY
+        kmin, kmax = min(ks), max(ks)
+        bits = {_md5_u32(f"{k}:0") % m for k in ks}
+        matching = sum(1 for k in lineitem if k in ks)
+        read_mm = sum(1 for k in lineitem if kmin <= k <= kmax)
+        read_bl = sum(1 for _, h in hs if h % m in bits)
+        out.append(
+            (
+                pred_id, nk, nf, matching, read_mm, read_bl,
+                read_bl - matching,
+                0.0 if matching == 0 else _rnd(read_mm / matching, 6),
+                0.0 if matching == 0 else _rnd(read_bl / matching, 6),
+                _rnd(matching / nf, 6),
+            )
+        )
+    return sorted(out)
+
+
+def _run_rtf_oracle(orders, lineitem):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders(o_orderkey BIGINT, o_orderdate TIMESTAMP)")
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?)",
+        [(k, _ts(d)) for k, d in orders],
+    )
+    con.execute("CREATE TABLE lineitem(l_orderkey BIGINT)")
+    con.executemany("INSERT INTO lineitem VALUES (?)", [(k,) for k in lineitem])
+    return sorted(
+        tuple(r)
+        for r in con.execute(
+            ORACLES["stats_runtime_filter_audit"]
+        ).fetchall()
+    )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_rtf_oracle_on_random_tables(seed):
+    """Random orders (unique PK) + lineitem FK fan-out, including FK
+    values with zero matches and (at small n) predicate windows with
+    zero keys — those predicates must be ABSENT, and both filters must
+    be lossless (rows_read_* >= rows_matching)."""
+    rng = random.Random(50_000 + seed)
+    n = rng.randrange(10, 400)
+    keys = rng.sample(range(100_000), n)
+    orders = [(k, rng.randrange(9131, 11688)) for k in keys]
+    lineitem = [
+        rng.choice(keys) if rng.random() < 0.8
+        else rng.randrange(100_000, 110_000)  # FK misses
+        for _ in range(rng.randrange(20, 1200))
+    ]
+    got = _run_rtf_oracle(orders, lineitem)
+    assert got == rtf_python(orders, lineitem), seed
+    for r in got:
+        assert r[4] >= r[3] and r[5] >= r[3], r  # lossless both arms
+
+
+def test_rtf_bloom_fpr_in_theory_band():
+    """VALUE check: with one hash and load 0.1 the theoretical FPR is
+    1-e^-0.1 ~ 9.5%; the measured fp fraction over non-matching fact
+    rows must sit in a loose band around it."""
+    rng = random.Random(51_000)
+    keys = rng.sample(range(1_000_000), 3000)
+    orders = [(k, rng.randrange(9131, 11688)) for k in keys]
+    lineitem = [rng.choice(keys) for _ in range(4000)] + [
+        rng.randrange(1_000_000, 2_000_000) for _ in range(4000)
+    ]
+    got = _run_rtf_oracle(orders, lineitem)
+    assert got == rtf_python(orders, lineitem)
+    fp = sum(r[6] for r in got)
+    nonmatch = sum(r[2] - r[3] for r in got)
+    assert 0.03 < fp / nonmatch < 0.20, (fp, nonmatch)
