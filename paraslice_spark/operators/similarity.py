@@ -4420,7 +4420,7 @@ def _emb_trunc_oracle() -> str:
       FROM base CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) r),
     widths AS MATERIALIZED (
       SELECT * FROM (VALUES {widths}) AS t(w)),
-    energy AS (
+    energy AS MATERIALIZED (
       SELECT w, CAST(SUM(CASE WHEN i <= w THEN vmic * vmic ELSE 0 END)
                      AS BIGINT) AS e
       FROM vml CROSS JOIN widths GROUP BY 1),
