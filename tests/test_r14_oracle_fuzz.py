@@ -30,6 +30,7 @@ import random
 from collections import defaultdict
 
 import duckdb
+import numpy as np
 import pytest
 
 import paraslice_spark.operators  # noqa: F401
@@ -704,3 +705,131 @@ def test_rtf_bloom_fpr_in_theory_band():
     fp = sum(r[6] for r in got)
     nonmatch = sum(r[2] - r[3] for r in got)
     assert 0.03 < fp / nonmatch < 0.20, (fp, nonmatch)
+
+
+# -------------------------------------------- spark-side degenerate edges
+
+
+def _tiny_fixture(tmp_path, name, rewrite):
+    """A tiny sf dir: every table symlinked from SF_SMALL except the
+    rewritten ones (the r13 window_distribution small-n pattern)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_SMALL
+
+    d = tmp_path / name
+    os.makedirs(d)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        if t in rewrite:
+            pq.write_table(pa.table(rewrite[t]), str(d / f"{t}.parquet"))
+        else:
+            os.symlink(f"{SF_SMALL}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _drop_cache(spark, d):
+    from paraslice_spark.sources import io as pio
+
+    pio._cache.pop((pio._session_key(spark), d.rstrip("/")), None)
+
+
+@pytest.mark.parametrize("n", [1, 2, 5])
+def test_storage_audits_spark_tiny_orders(spark, tmp_path, n):
+    """SPARK side of the degenerate edges for the four single-table
+    storage audits (n=1 exercises every mx-mn+1=1 normalizer, the
+    single-block sweep, and the bloom absent arm on a one-key table):
+    full hash compare against the same tiny parquet in both engines."""
+    import datetime as dt
+
+    from paraslice_spark.registry import ORACLES, QUERIES
+    from tests.oracle_harness import run_compare
+
+    rng = random.Random(52_000 + n)
+    keys = list(range(n)); rng.shuffle(keys)
+    orders = {
+        "o_orderkey": keys,
+        "o_custkey": [rng.randrange(0, 50) for _ in range(n)],
+        "o_orderstatus": [rng.choice(["O", "F", "P"]) for _ in range(n)],
+        "o_totalprice": [rng.randrange(100, 10**7) / 100 for _ in range(n)],
+        "o_orderdate": [
+            dt.datetime(1970, 1, 1)
+            + dt.timedelta(days=rng.randrange(9131, 11688))
+            for _ in range(n)
+        ],
+        "o_orderpriority": [rng.choice(_PRIOS) for _ in range(n)],
+    }
+    d = _tiny_fixture(tmp_path, f"tiny{n}", {"orders": orders})
+    try:
+        for q in ("stats_zorder_prune_audit", "stats_bloom_prune_audit",
+                  "stats_compaction_waste_audit",
+                  "stats_clustering_depth_audit"):
+            problems = run_compare(spark, QUERIES[q], ORACLES[q], d)
+            assert not problems, (q, n, problems)
+    finally:
+        _drop_cache(spark, d)
+
+
+def test_rtf_and_trunc_spark_tiny_tables(spark, tmp_path):
+    """SPARK side of the two-table and embeddings audits on degenerate
+    inputs: a 3-order / 5-lineitem pair (some FK misses, some empty
+    predicate windows) and a 9-vector embedding corpus (fewer rows than
+    the probe cohort wants + top-k deeper than the corpus)."""
+    import datetime as dt
+
+    from paraslice_spark.registry import ORACLES, QUERIES
+    from tests.oracle_harness import run_compare
+
+    rng = random.Random(53_000)
+    orders = {
+        "o_orderkey": [10, 20, 30],
+        "o_custkey": [1, 2, 3],
+        "o_orderstatus": ["O", "F", "P"],
+        "o_totalprice": [10.0, 20.0, 30.0],
+        "o_orderdate": [
+            dt.datetime(1996, 2, 1), dt.datetime(1996, 3, 1),
+            dt.datetime(2000, 6, 1),
+        ],
+        "o_orderpriority": ["1-URGENT", "5-LOW", "2-HIGH"],
+    }
+    lineitem = {"l_orderkey": [10, 10, 30, 999, 999]}
+    d = _tiny_fixture(tmp_path, "tinyrtf", {"orders": orders,
+                                            "lineitem": lineitem})
+    try:
+        problems = run_compare(
+            spark, QUERIES["stats_runtime_filter_audit"],
+            ORACLES["stats_runtime_filter_audit"], d,
+        )
+        assert not problems, problems
+    finally:
+        _drop_cache(spark, d)
+    emb = {
+        "vec_id": list(range(9)),
+        "embedding": [
+            np.array(_dyadic_vec(rng), dtype=np.float32) for _ in range(9)
+        ],
+        "label": [i % 3 for i in range(9)],
+    }
+    import pyarrow as pa
+
+    emb_tbl = {
+        "vec_id": emb["vec_id"],
+        "embedding": pa.array(
+            [v.tolist() for v in emb["embedding"]],
+            type=pa.list_(pa.float32()),
+        ),
+        "label": emb["label"],
+    }
+    d2 = _tiny_fixture(tmp_path, "tinytrunc", {"embeddings": emb_tbl})
+    try:
+        problems = run_compare(
+            spark, QUERIES["embedding_dim_truncation_audit"],
+            ORACLES["embedding_dim_truncation_audit"], d2,
+        )
+        assert not problems, problems
+    finally:
+        _drop_cache(spark, d2)
+
