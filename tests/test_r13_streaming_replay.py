@@ -275,3 +275,35 @@ def test_session_complete_engine_on_degenerate_geometry(spark, tmp_path):
     assert got == session_complete_replay_python(rows)
     assert sum(r[1] for r in got) == 2 and all(r[5] == 0 for r in got)
     pio._cache.pop((pio._session_key(spark), str(d).rstrip("/")), None)
+
+
+def test_zero_trigger_replay_raises_contract_error(spark, tmp_path):
+    """ADVICE r13: an EMPTY events table stages zero batch files, the
+    replayed source fires zero triggers, foreachBatch never creates the
+    snapshot dir — the harness must surface ITS contract error (naming
+    the zero-trigger condition), not an opaque path-missing
+    AnalysisException from spark.read.parquet."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from paraslice_spark.sources import io as pio
+
+    d = tmp_path / "empty_events"
+    os.makedirs(d)
+    src = pq.read_table(f"{SF_SMALL}/events.parquet")
+    pq.write_table(src.slice(0, 0), str(d / "events.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        os.symlink(f"{SF_SMALL}/{t}.parquet", str(d / f"{t}.parquet"))
+    try:
+        with _pytest.raises(RuntimeError, match="zero triggers"):
+            QUERIES["stream_session_complete_replay"](spark, str(d))
+    finally:
+        from paraslice_spark.streaming import streams
+
+        streams._sscr_cache.pop(
+            (pio._session_key(spark), str(d).rstrip("/")), None
+        )
+        pio._cache.pop((pio._session_key(spark), str(d).rstrip("/")), None)
