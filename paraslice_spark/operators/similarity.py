@@ -4524,7 +4524,14 @@ def embedding_dim_truncation_audit(
             + ", "
             + ", ".join(f"{w}L, e{w}" for w in EMB_TRUNC_WIDTHS)
             + ") AS (w, e)",
-            "e64 AS et",
+            # lazy exactness guard (the ADVICE r13 binseg rule, applied at
+            # birth): a non-ANSI session would wrap the int64 energy sum
+            # SILENTLY past ~1.4M vectors (n·64·~1e12 per term) — assert
+            # the bound in-plan (null on success, folds into et as +0)
+            "e64 + coalesce(cast(assert_true("
+            f"e64 <= {2**62}, "
+            "'embedding_dim_truncation_audit: corpus energy exceeds the "
+            "int64 window; rescale micros') AS BIGINT), 0L) AS et",
         )
     )
     q = vml.where(F.col("vec_id") < EMB_TRUNC_PROBES).select(
