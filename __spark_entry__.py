@@ -19,47 +19,20 @@ import paraslice_spark.operators  # noqa: F401  (registers all queries)
 from paraslice_spark.registry import ORACLES, QUERIES
 
 # The driver grades the FIRST ~50 queries of this dict per round, so order
-# encodes grading priority.  Round-14 re-tier (VERDICT r13 next-round #2):
-# CORRECTNESS_r13 graded 50/50 clean — the 6 r13 tier-0 additions, all 27
-# of the old _T4_R7_GRADED, and the first 17 of _T5_R8_GRADED — so the r7
-# era is fully closed (tuple deleted) and _T5 shrinks to its 33 ungraded
-# r8 stragglers, now the oldest standing verdicts and therefore tier 1.
-# graph_lpa_communities is promoted to the FRONT of that tier (VERDICT r13
-# "What's wrong #2": its r12 rows-only → hash-oracled conversion has never
-# received a driver HASH grade; front-half placement guarantees it this
-# round).  The 50 names r13 graded move to _T10_R13_GRADED at the back.
-# Tier 0 (no tuple): new r14 additions lead the sample (budget ≤ ~6).
-# Budget check: ≤6 tier-0 names + the 33 r8 stragglers + ~11 of the r9
-# tier's 50 fill the ~50 sample, so CORRECTNESS_r14 grades every r14
-# addition, ends the r8 era entirely, and starts refreshing the r9 tier.
-_T5_R8_GRADED: tuple[str, ...] = (
-    # the 33 r8-graded names CORRECTNESS_r13's sample didn't reach;
-    # graph_lpa_communities deliberately leads (see tier comment above)
-    "graph_lpa_communities",
-    "orders_ship_latency",
-    "events_watermark_late_audit", "events_autocorr_minutes",
-    "events_runs_test", "orders_backlog_profile", "events_ohlc_hourly",
-    "customer_reorder_gaps", "events_value_drift_psi", "events_haar_energy",
-    "similarity_ann_recall", "dedup_method_agreement",
-    "embedding_label_centroid_sim",
-    "embedding_cosine_histogram", "embedding_int8_quant_audit",
-    "graph_copurchase_kcore_trace", "pipeline_quality_filter",
-    "pipeline_pack_chunk_reader", "pipeline_pack_append_audit",
-    "pipeline_doc_chunks", "text_hashed_features", "text_doc_keywords",
-    "pipeline_dataset_mix", "pipeline_length_buckets", "text_langid_eval",
-    "dedup_keep_best", "pipeline_dedup_dataset", "agg_money_split_sum",
-    "agg_salted_skew", "agg_hll_sketch_merge", "agg_stats_bivariate",
-    "q5_local_supplier_volume", "multimodal_resize_meta",
-)
+# encodes grading priority.  Round-15 re-tier (VERDICT r14 next-round #2):
+# CORRECTNESS_r14 graded 50/50 clean — the 6 r14 tier-0 additions, ALL 33
+# of the old _T5_R8_GRADED (incl. graph_lpa_communities, finally
+# driver-HASH-graded green), and the first 11 of _T6_R9_GRADED — so the r8
+# era is fully closed (tuple deleted) and _T6 shrinks to its 39 ungraded
+# r9 stragglers, now the oldest standing verdicts and therefore tier 1.
+# The 50 names r14 graded move to _T11_R14_GRADED at the back.
+# Tier 0 (no tuple): new r15 additions lead the sample (budget ≤ ~6).
+# Budget check: ≤6 tier-0 names + the 39 r9 stragglers + ~5 of the r10
+# tier's 50 fill the ~50 sample, so CORRECTNESS_r15 grades every r15
+# addition, ends the r9 era entirely, and starts refreshing the r10 tier.
 _T6_R9_GRADED: tuple[str, ...] = (
-    # the 50 names CORRECTNESS_r09 graded: the 17 r9 additions + 33 of the
-    # old r4 tier (its first 33 names) + the rows-only ivfpq refresh
-    "stats_histogram_lineitem", "stats_shuffle_skew_audit",
-    "stats_eqdepth_histogram_lineitem", "events_tukey_fences",
-    "customer_band_migration", "events_watermark_late_replay",
-    "events_watermark_delay_sweep", "events_overdispersion",
-    "customer_pareto_skyline", "events_theil_sen_trend",
-    "events_attribution_last_touch", "dedup_incremental_audit",
+    # the 39 r9-graded names CORRECTNESS_r14's sample didn't reach
+    "dedup_incremental_audit",
     "pipeline_shard_manifest", "text_novelty_curve",
     "graph_degree_assortativity", "tensor_mode_skew_profile",
     "tensor_unfold_gram_type", "multimodal_frame_sample",
@@ -172,6 +145,33 @@ _T10_R13_GRADED: tuple[str, ...] = (
     "events_session_concurrency", "customer_gini_by_nation",
     "events_funnel_latency", "supplier_hhi_by_type",
 )
+_T11_R14_GRADED: tuple[str, ...] = (
+    # the 50 names CORRECTNESS_r14 graded: the 6 r14 additions + all 33 of
+    # the old r8 tier + the first 11 of the r9 tier
+    "stats_zorder_prune_audit", "stats_bloom_prune_audit",
+    "stats_compaction_waste_audit", "stats_clustering_depth_audit",
+    "stats_runtime_filter_audit", "embedding_dim_truncation_audit",
+    "graph_lpa_communities", "orders_ship_latency",
+    "events_watermark_late_audit", "events_autocorr_minutes",
+    "events_runs_test", "orders_backlog_profile", "events_ohlc_hourly",
+    "customer_reorder_gaps", "events_value_drift_psi", "events_haar_energy",
+    "similarity_ann_recall", "dedup_method_agreement",
+    "embedding_label_centroid_sim",
+    "embedding_cosine_histogram", "embedding_int8_quant_audit",
+    "graph_copurchase_kcore_trace", "pipeline_quality_filter",
+    "pipeline_pack_chunk_reader", "pipeline_pack_append_audit",
+    "pipeline_doc_chunks", "text_hashed_features", "text_doc_keywords",
+    "pipeline_dataset_mix", "pipeline_length_buckets", "text_langid_eval",
+    "dedup_keep_best", "pipeline_dedup_dataset", "agg_money_split_sum",
+    "agg_salted_skew", "agg_hll_sketch_merge", "agg_stats_bivariate",
+    "q5_local_supplier_volume", "multimodal_resize_meta",
+    "stats_histogram_lineitem", "stats_shuffle_skew_audit",
+    "stats_eqdepth_histogram_lineitem", "events_tukey_fences",
+    "customer_band_migration", "events_watermark_late_replay",
+    "events_watermark_delay_sweep", "events_overdispersion",
+    "customer_pareto_skyline", "events_theil_sen_trend",
+    "events_attribution_last_touch",
+)
 
 
 def _rotated(d: dict) -> dict:
@@ -179,12 +179,12 @@ def _rotated(d: dict) -> dict:
     tier = {}
     for t, names in enumerate(
         (
-            _T5_R8_GRADED,
             _T6_R9_GRADED,
             _T7_R10_GRADED,
             _T8_R11_GRADED,
             _T9_R12_GRADED,
             _T10_R13_GRADED,
+            _T11_R14_GRADED,
         ),
         start=1,
     ):
