@@ -197,12 +197,21 @@ def main() -> None:
     # in-repo so rounds stay diffable.
     try:
         local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
-        # clobber guard (VERDICT r13 #5): every overwrite first moves the
-        # existing artifact to BENCH_LOCAL.prev.json, so a smoke run or a
-        # dirty re-run can never destroy the last window — the checklist
-        # habit (cp aside before benching) is now a mechanical guarantee.
+        # clobber guard (VERDICT r13 #5, multi-generation per ADVICE r14):
+        # every overwrite first moves the existing artifact to a backup
+        # stamped with ITS OWN wallclock value, so back-to-back runs (real
+        # window, smoke test, driver re-run) each keep their predecessor —
+        # BENCH_LOCAL.prev.<value>.json files are gitignored scratch; the
+        # checklist habit (commit good windows promptly) still applies.
         if os.path.exists(local):
-            os.replace(local, local[: -len(".json")] + ".prev.json")
+            try:
+                with open(local) as fh:
+                    prev_val = json.load(fh).get("value", "unknown")
+            except (OSError, ValueError):
+                prev_val = "unknown"
+            os.replace(
+                local, local[: -len(".json")] + f".prev.{prev_val}.json"
+            )
         with open(local, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
     except OSError as exc:

@@ -936,10 +936,13 @@ def stats_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ZONEMAP_PREDS; the two ROUND(,6) displays are the only
     floats.
 
-    Scale shape: ONE orders scan into a checkpointed (key-block,
-    date-block, day) base — at real scale the zone table comes free
-    from parquet footers; here it is derived, which is the audit's
-    test-rig part — then two map-combined aggs (≤2·{ZONEMAP_BLOCKS}
+    Scale shape: one data-proportional orders pass into a checkpointed
+    (key-block, date-block, day) base, plus the tiny min/max bounds
+    aggregate that precedes it (a second narrow scan at
+    checkpoint-materialization time — it must run first because the
+    block grid is derived FROM the bounds; ADVICE r14 #2) — at real
+    scale both the bounds and the zone table come free from parquet
+    footers; here they are derived, which is the audit's test-rig part — then two map-combined aggs (≤2·{ZONEMAP_BLOCKS}
     zone rows, ≤#days daily rows) against a 4-row broadcast predicate
     list.  No window, no row-level pred join: matching counts come
     from the per-day rollup."""
@@ -1166,9 +1169,13 @@ def stats_zorder_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate bounds shared from ZORDER_PREDS; the two ROUND(,6)
     displays are the only floats.
 
-    Scale shape: ONE orders scan into the checkpointed (d, gx, block
-    ids) frame — at real scale block stats come free from parquet
-    footers; deriving them is the audit's test-rig part — then a
+    Scale shape: one data-proportional orders pass into the
+    checkpointed (d, gx, block ids) frame, plus the tiny min/max
+    bounds aggregate that precedes it (a second narrow scan at
+    checkpoint-materialization time — the grid cells are derived FROM
+    the bounds, so it cannot ride the same pass; ADVICE r14 #2) — at
+    real scale block stats and bounds come free from parquet footers;
+    deriving them is the audit's test-rig part — then a
     3-layout stack into a ≤3·64-row zone table, a (gx, d) rollup
     (≤32·#days rows) for ground truth, and every predicate join a
     broadcast of the 4-row literal list.  No window, no row-level
@@ -1405,8 +1412,10 @@ def stats_bloom_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     meaningful — the r10 md5-domain trap), integer block ids, counts;
     the two ROUND(,6) fractions are displays.
 
-    Scale shape: ONE orders scan map-combines to the checkpointed
-    (blk, ck, cnt) frame — the only data-proportional stage; bloom
+    Scale shape: one data-proportional orders pass map-combines to the
+    checkpointed (blk, ck, cnt) frame (plus the narrow min/max bounds
+    aggregate that precedes it — block ids derive from the bounds;
+    ADVICE r14 #2); bloom
     construction streams it through one projection+distinct (3 rows
     per distinct key, ndv-proportional like the real filter build);
     probe evaluation is a ≤{12 * len(BLOOM_SEEDS) * BLOOM_BLOCKS}-row
@@ -1825,8 +1834,10 @@ def stats_clustering_depth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas are netted per coordinate before the running sum); the two
     ROUND(,6) columns are displays.
 
-    Scale shape: ONE orders scan into the checkpointed (blk, 4 values)
-    frame, a 4-way stack into per-(col, blk) zones (≤4·{DEPTH_BLOCKS}
+    Scale shape: one data-proportional orders pass into the
+    checkpointed (blk, 4 values) frame (plus the narrow min/max bounds
+    aggregate that precedes it — block ids derive from the bounds;
+    ADVICE r14 #2), a 4-way stack into per-(col, blk) zones (≤4·{DEPTH_BLOCKS}
     rows — at real scale these come free from parquet footers), and the
     sweep windows run over ≤2 boundary rows per zone, partitioned by
     column.  Nothing after the scan is data-proportional."""
@@ -1956,9 +1967,10 @@ RTF_BITS_PER_KEY = 10  # bloom sized m = 10·|key set|, ONE hash function
       JOIN dimstats d ON TRUE
       JOIN bits b ON b.pred_id = d.pred_id AND b.bit = f.h % d.m
       GROUP BY 1)
-    SELECT d.pred_id, d.nk AS n_dim_keys, nf.n_fact AS n_fact_rows,
+    SELECT p.pred_id, COALESCE(d.nk, 0) AS n_dim_keys,
+           nf.n_fact AS n_fact_rows,
            COALESCE(e.rows_matching, 0) AS rows_matching,
-           mm.rows_read_minmax,
+           COALESCE(mm.rows_read_minmax, 0) AS rows_read_minmax,
            COALESCE(bl.rows_read_bloom, 0) AS rows_read_bloom,
            COALESCE(bl.rows_read_bloom, 0) - COALESCE(e.rows_matching, 0)
              AS fp_rows_bloom,
@@ -1970,11 +1982,12 @@ RTF_BITS_PER_KEY = 10  # bloom sized m = 10·|key set|, ONE hash function
                            / e.rows_matching END, 6) AS amp_bloom,
            ROUND(CAST(COALESCE(e.rows_matching, 0) AS DOUBLE) / nf.n_fact, 6)
              AS selectivity
-    FROM dimstats d CROSS JOIN nf
+    FROM preds p CROSS JOIN nf
+    LEFT JOIN dimstats d USING (pred_id)
     LEFT JOIN exact e USING (pred_id)
     LEFT JOIN mm USING (pred_id)
     LEFT JOIN bl USING (pred_id)
-    ORDER BY d.pred_id
+    ORDER BY p.pred_id
     """,
 )
 def stats_runtime_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2081,17 +2094,23 @@ def stats_runtime_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pred_id")
         .agg(F.count(F.lit(1)).alias("rows_read_bloom"))
     )
+    # the declared spine is the LITERAL predicate list (ADVICE r14 #1):
+    # a window matching zero orders still emits its zero row instead of
+    # silently vanishing, so the output shape is data-independent.
     return (
-        dimstats.crossJoin(F.broadcast(nf))
+        preds.select("pred_id").crossJoin(F.broadcast(nf))
+        .join(F.broadcast(dimstats), "pred_id", "left")
         .join(F.broadcast(exact), "pred_id", "left")
         .join(F.broadcast(mm), "pred_id", "left")
         .join(F.broadcast(bl), "pred_id", "left")
         .select(
             "pred_id",
-            F.col("nk").alias("n_dim_keys"),
+            F.coalesce("nk", F.lit(0)).alias("n_dim_keys"),
             F.col("n_fact").alias("n_fact_rows"),
             F.coalesce("rows_matching", F.lit(0)).alias("rows_matching"),
-            "rows_read_minmax",
+            F.coalesce("rows_read_minmax", F.lit(0)).alias(
+                "rows_read_minmax"
+            ),
             F.coalesce("rows_read_bloom", F.lit(0)).alias("rows_read_bloom"),
             (
                 F.coalesce("rows_read_bloom", F.lit(0))
