@@ -75,9 +75,37 @@ def main() -> None:
         t0 = time.perf_counter()
         sc.parallelize(range(64), 64).count()
         probe.append(time.perf_counter() - t0)
+    # Shuffle-stage probe (r15, VERDICT r14 #2 closure): the container has
+    # a SECOND latency mode the empty-task probe cannot see — fixed cost
+    # per SHUFFLE stage (exchange write/read + codegen per stage), measured
+    # drifting 90-480 ms/tiny-stage across sessions at ~0.02 % steal and a
+    # flat ~7 ms/task empty probe.  Stage-count-heavy queries (the kNN
+    # consumer family: lcc = 15 post-memo stages over a 3.9k-row edge
+    # table) inflate proportionally; data-bound plans don't.  A 10-stage
+    # groupBy chain over 1000 rows records ms-per-shuffle-stage in-file.
+    from pyspark.sql import functions as _F
+
+    def _shuffle_chain() -> None:
+        x = spark.range(1000)
+        for i in range(10):
+            x = (
+                x.groupBy((_F.col("id") % (100 - i)).alias("id"))
+                .agg(_F.count(_F.lit(1)).alias("c"))
+                .select("id")
+            )
+        x.count()
+
+    _shuffle_chain()  # codegen warm-up
+    sprobe = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _shuffle_chain()
+        sprobe.append(time.perf_counter() - t0)
     sched_probe = {
         "ms_per_empty_task_best": round(min(probe) / 64 * 1000, 2),
         "ms_per_empty_task_median": round(sorted(probe)[2] / 64 * 1000, 2),
+        "ms_per_shuffle_stage_best": round(min(sprobe) / 10 * 1000, 1),
+        "ms_per_shuffle_stage_median": round(sorted(sprobe)[1] / 10 * 1000, 1),
     }
 
     # best-of-N per query, matching BASELINE.md's best-of-3 protocol — this
