@@ -6,6 +6,7 @@ from paraslice_spark import streaming  # noqa: F401  (registers batch twins)
 from paraslice_spark.functions import udfs  # noqa: F401
 from paraslice_spark.operators import (  # noqa: F401
     aggregates,
+    cdc,
     flagship,
     joins,
     multimodal,
