@@ -2143,3 +2143,157 @@ def stats_runtime_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("pred_id")
     )
+
+
+# ------------------------------------------------ §2.13 join-strategy cost
+#: broadcast-vs-shuffle pricing literals: estimated bytes per build-side
+#: row (8B key + 16B row/array overhead — the same order Spark's own
+#: SizeEstimator lands on for a LongType build row), the executor count a
+#: broadcast ships one copy to, and the autoBroadcastJoinThreshold sweep.
+JSA_ROW_W = 24
+JSA_EXEC_N = 32
+#: 16 KB (forces the flip at local SFs), 1 MB, and Spark's 10 MB default
+JSA_THR_BYTES = (16384, 1048576, 10485760)
+
+
+@query(
+    "stats_join_strategy_audit",
+    oracle=f"""
+    WITH preds AS MATERIALIZED (
+      SELECT * FROM (VALUES
+        {", ".join(f"('{p}', {lo}, {hi})" for p, lo, hi in ZONEMAP_PREDS)}
+      ) AS t(pred_id, lo, hi)),
+    ok AS MATERIALIZED (
+      SELECT p.pred_id, o.o_orderkey AS k
+      FROM orders o JOIN preds p
+        ON CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' >= p.lo
+       AND CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' < p.hi),
+    dimn AS (SELECT pred_id, CAST(COUNT(*) AS BIGINT) AS nk
+             FROM ok GROUP BY 1),
+    fact AS MATERIALIZED (SELECT l_orderkey AS k FROM lineitem),
+    nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_fact FROM fact),
+    m AS (SELECT ok.pred_id, CAST(COUNT(*) AS BIGINT) AS rows_matching
+          FROM fact JOIN ok ON fact.k = ok.k GROUP BY 1),
+    thr AS (SELECT CAST(thr_bytes AS BIGINT) AS thr_bytes FROM (VALUES
+        {", ".join(f"({x})" for x in JSA_THR_BYTES)}) AS t(thr_bytes))
+    SELECT p.pred_id, t.thr_bytes,
+           COALESCE(d.nk, 0) AS n_dim_keys,
+           COALESCE(d.nk, 0) * {JSA_ROW_W} AS dim_bytes_est,
+           nf.n_fact AS n_fact_rows,
+           COALESCE(m.rows_matching, 0) AS rows_matching,
+           COALESCE(d.nk, 0) * {JSA_EXEC_N} AS bhj_shipped_rows,
+           nf.n_fact + COALESCE(d.nk, 0) AS smj_shuffled_rows,
+           CASE WHEN COALESCE(d.nk, 0) * {JSA_ROW_W} <= t.thr_bytes
+                THEN 'broadcast' ELSE 'shuffle' END AS chosen_strategy,
+           CASE WHEN COALESCE(d.nk, 0) * {JSA_ROW_W} <= t.thr_bytes
+                THEN COALESCE(d.nk, 0) * {JSA_EXEC_N}
+                ELSE nf.n_fact + COALESCE(d.nk, 0) END
+             AS rows_shipped_chosen,
+           ROUND(CAST(COALESCE(d.nk, 0) * {JSA_EXEC_N} AS DOUBLE)
+                 / (nf.n_fact + COALESCE(d.nk, 0)), 6)
+             AS ship_ratio_bhj_vs_smj,
+           ROUND(CAST(COALESCE(m.rows_matching, 0) AS DOUBLE) / nf.n_fact, 6)
+             AS fact_selectivity
+    FROM preds p CROSS JOIN thr t CROSS JOIN nf
+    LEFT JOIN dimn d USING (pred_id)
+    LEFT JOIN m USING (pred_id)
+    ORDER BY p.pred_id, t.thr_bytes
+    """,
+)
+def stats_join_strategy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-STRATEGY BREAK-EVEN AUDIT — the planner-decision table next
+    to stats_join_cardinality_audit (estimate error) and
+    stats_runtime_filter_audit (filter strength): for each zonemap date
+    window on orders joined to lineitem, price BROADCAST (ship one
+    build copy per executor: nk x JSA_EXEC_N rows) against
+    SORT-MERGE/SHUFFLE (shuffle both sides once: n_fact + nk rows) and
+    record which side an autoBroadcastJoinThreshold of 16 KB / 1 MB /
+    10 MB (Spark's default) picks, from EXACT per-window stats (the
+    numbers AQE only estimates).  ship_ratio < 1 means broadcast ships
+    fewer rows than the shuffle would move — on this corpus (orders
+    span 1995-2001, so every window is populated) the quarter window
+    q1_1995 stays under the 16 KB arm while the half-year and two-year
+    windows cross it and flip to shuffle (measured at sf0.01: 26 KB
+    build sides), so the break-even is visible at test scale; at
+    100 TB the SAME table prices the 10 MB default arm (build sides
+    grow ~linearly with SF).
+
+    EXACT INTEGERS: key counts, literal byte widths, shipped-row
+    formulas; the two ROUND(,6) ratios are single IEEE divisions of
+    exact integers.  The declared spine is preds x thresholds (the
+    ADVICE r14 #1 contract — an empty window prices as nk = 0,
+    broadcast, zero shipped rows, never a missing row).
+
+    Scale shape: one orders scan into the checkpointed qualifying-key
+    frame (broadcast 4-row predicate list), one lineitem scan into the
+    checkpointed fact-key frame, the matching arm a plain un-hinted
+    key equi-join (both sides data-proportional), and the 12-row
+    spine assembled from broadcast O(preds) aggregates.  The audit
+    itself never moves more than the two scans."""
+    t = load_tables(spark, sf_dir)
+    epoch = F.lit(_dt.date(1970, 1, 1))
+    preds = spark.createDataFrame(
+        list(ZONEMAP_PREDS), "pred_id string, lo long, hi long"
+    )
+    od = F.datediff(F.col("o_orderdate").cast("date"), epoch).cast("long")
+    ok = (
+        t["orders"].select(F.col("o_orderkey").alias("k"), od.alias("d"))
+        .join(
+            F.broadcast(preds),
+            (F.col("d") >= F.col("lo")) & (F.col("d") < F.col("hi")),
+        )
+        .select("pred_id", "k")
+        .localCheckpoint(eager=False)  # dimn + matching arm read it
+    )
+    dimn = ok.groupBy("pred_id").agg(F.count(F.lit(1)).alias("nk"))
+    fact = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("k"))
+        .localCheckpoint(eager=False)  # census + matching arm read it
+    )
+    nf = fact.agg(F.count(F.lit(1)).alias("n_fact"))
+    m = (
+        fact.join(ok, "k")
+        .groupBy("pred_id")
+        .agg(F.count(F.lit(1)).alias("rows_matching"))
+    )
+    thr = spark.createDataFrame(
+        [(x,) for x in JSA_THR_BYTES], "thr_bytes long"
+    )
+    nk0 = F.coalesce(F.col("nk"), F.lit(0))
+    is_bhj = nk0 * JSA_ROW_W <= F.col("thr_bytes")
+    return (
+        preds.select("pred_id")
+        .crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(nf))
+        .join(F.broadcast(dimn), "pred_id", "left")
+        .join(F.broadcast(m), "pred_id", "left")
+        .select(
+            "pred_id",
+            "thr_bytes",
+            nk0.alias("n_dim_keys"),
+            (nk0 * JSA_ROW_W).alias("dim_bytes_est"),
+            F.col("n_fact").alias("n_fact_rows"),
+            F.coalesce("rows_matching", F.lit(0)).alias("rows_matching"),
+            (nk0 * JSA_EXEC_N).alias("bhj_shipped_rows"),
+            (F.col("n_fact") + nk0).alias("smj_shuffled_rows"),
+            F.when(is_bhj, F.lit("broadcast"))
+            .otherwise(F.lit("shuffle"))
+            .alias("chosen_strategy"),
+            F.when(is_bhj, nk0 * JSA_EXEC_N)
+            .otherwise(F.col("n_fact") + nk0)
+            .alias("rows_shipped_chosen"),
+            F.round(
+                (nk0 * JSA_EXEC_N).cast("double")
+                / (F.col("n_fact") + nk0),
+                6,
+            ).alias("ship_ratio_bhj_vs_smj"),
+            F.round(
+                F.coalesce("rows_matching", F.lit(0)).cast("double")
+                / F.col("n_fact"),
+                6,
+            ).alias("fact_selectivity"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("pred_id", "thr_bytes")
+    )

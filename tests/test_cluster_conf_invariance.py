@@ -102,6 +102,11 @@ _REPRESENTATIVES = (
                                           # windows over zone boundaries
     "stats_runtime_filter_audit",         # two checkpointed scans + un-hinted
                                           # bloom-bit join (AQE promotes)
+    # r15 shapes:
+    "cdc_merge_classify_audit",           # log memo + two state collapses +
+                                          # un-hinted key join + class spine
+    "cdc_snapshot_diff",                  # full-outer key join of two collapses
+    "cdc_resurrection_audit",             # key-partitioned LAG window + rollups
 )
 
 
@@ -110,12 +115,19 @@ def _clear_memo_caches() -> None:
     under the FIRST conf regime, so the clustered run would replay frozen
     data instead of exercising its build stage under cluster confs —
     exactly the 'works under my confs' blind spot this pack guards."""
-    from paraslice_spark.operators import relational, reshape, similarity, tensor
+    from paraslice_spark.operators import (
+        cdc,
+        relational,
+        reshape,
+        similarity,
+        tensor,
+    )
     from paraslice_spark.streaming import streams
 
     # release the dropped frames' executor blocks (ADVICE r7) — clearing the
     # dict alone leaves eager-checkpoint storage orphaned until Python GC
     for cache in (
+        cdc._cdc_log_cache,
         similarity._simhash_cache,
         similarity._mh_base_cache,  # values are (shingles, signatures) tuples
         similarity._emb_base_cache,
