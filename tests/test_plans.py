@@ -1341,3 +1341,68 @@ def test_rtf_audit_two_scans_no_forced_bits_broadcast(spark):
     assert p.count("Scan parquet") <= 2, p
     assert "Window [" not in p, p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+
+
+# ----------------------------------------------------- r15: CDC family
+
+
+def test_cdc_log_builder_single_scan(spark):
+    """_cdc_log (uncached builder): ONE events scan plus the broadcast
+    bounds aggregate the decile cut derives from — json path + op
+    mapping + micro units are all one projection, no shuffle, no
+    window."""
+    from paraslice_spark.operators import cdc
+
+    p = plan(cdc._cdc_log(spark, SF_SMALL))
+    assert p.count("Scan parquet") <= 2, p  # log pass + bounds agg
+    assert "SortMergeJoin" not in p, p
+    assert "Window [" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_cdc_consumers_ride_log_memo(spark):
+    """Every CDC audit reads the memoized checkpointed change log
+    (ExistingRDD) — zero parquet scans once the memo exists; the only
+    data-proportional shuffles are the key-collapse groupBys / joins."""
+    from paraslice_spark.operators import cdc
+
+    cdc._cdc_log_cached(spark, SF_SMALL)  # ensure the memo exists
+    for name in (
+        "cdc_upsert_last_wins",
+        "cdc_merge_classify_audit",
+        "cdc_snapshot_diff",
+        "cdc_log_compaction_audit",
+        "cdc_resurrection_audit",
+    ):
+        p = plan(QUERIES[name](spark, SF_SMALL))
+        assert p.count("Scan parquet") == 0, (name, p)
+        assert "Scan ExistingRDD" in p, (name, p)
+
+
+def test_cdc_merge_classify_spine_broadcast_unhinted_key_join(spark):
+    """cdc_merge_classify_audit: the 5-row class spine joins via
+    broadcast; the src-tgt key join is un-hinted (both sides
+    data-proportional — vocab de-hint rule, SMJ allowed locally); no
+    window anywhere."""
+    p = plan(QUERIES["cdc_merge_classify_audit"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, p
+    assert "Window [" not in p, p
+
+
+def test_cdc_resurrection_window_key_partitioned(spark):
+    """cdc_resurrection_audit: the LAG window is partitioned by the
+    entity key — never an un-partitioned window over data."""
+    p = plan(QUERIES["cdc_resurrection_audit"](spark, SF_SMALL))
+    data_wins = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert data_wins, p
+    assert all("ent" in ln and "item" in ln for ln in data_wins), p
+
+
+def test_jsa_two_scans_spine_broadcast(spark):
+    """stats_join_strategy_audit: one orders scan + one lineitem scan
+    (both ride their checkpoints), the matching arm an un-hinted key
+    equi-join, every spine/stat join a broadcast, no window."""
+    p = plan(QUERIES["stats_join_strategy_audit"](spark, SF_SMALL))
+    assert p.count("Scan parquet") <= 2, p
+    assert "Window [" not in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
