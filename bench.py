@@ -152,6 +152,13 @@ def main() -> None:
         # run-order-dependent — the FIRST consumer (alphabetical) pays the
         # shared build; later consumers read the localCheckpoint for ~0 s.
         "shared_builds": {
+            "cdc_change_log": [
+                # alphabetically FIRST consumer pays the memoized
+                # checkpointed change-log build (one events scan + bounds)
+                "cdc_log_compaction_audit",
+                "cdc_merge_classify_audit", "cdc_resurrection_audit",
+                "cdc_snapshot_diff", "cdc_upsert_last_wins",
+            ],
             "knn_edge_table": [
                 # alphabetically FIRST consumer pays the shared build;
                 # graph_clustering_coefficient (r13) now leads the family
