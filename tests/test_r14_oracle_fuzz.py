@@ -625,13 +625,15 @@ from paraslice_spark.operators.relational import (  # noqa: E402
 def rtf_python(orders, lineitem):
     """From-scratch reference: orders = list[(k, d)] (unique keys, the
     o_orderkey PK), lineitem = list[k].  Returns the declared 10-tuple
-    per predicate with a non-empty key set, sorted."""
+    per predicate — since the r15 preds-driven spine (ADVICE r14 #1) an
+    empty key set emits its all-zero row instead of vanishing."""
     nf = len(lineitem)
     hs = [(k, _md5_u32(f"{k}:0")) for k in lineitem]
     out = []
     for pred_id, lo, hi in ZONEMAP_PREDS:
         ks = {k for k, d in orders if lo <= d < hi}
         if not ks:
+            out.append((pred_id, 0, nf, 0, 0, 0, 0, 0.0, 0.0, 0.0))
             continue
         nk = len(ks)
         m = nk * RTF_BITS_PER_KEY
@@ -673,8 +675,9 @@ def _run_rtf_oracle(orders, lineitem):
 def test_rtf_oracle_on_random_tables(seed):
     """Random orders (unique PK) + lineitem FK fan-out, including FK
     values with zero matches and (at small n) predicate windows with
-    zero keys — those predicates must be ABSENT, and both filters must
-    be lossless (rows_read_* >= rows_matching)."""
+    zero keys — those predicates emit their all-zero spine row (the
+    r15 preds-driven contract), and both filters must be lossless
+    (rows_read_* >= rows_matching)."""
     rng = random.Random(50_000 + seed)
     n = rng.randrange(10, 400)
     keys = rng.sample(range(100_000), n)
@@ -688,6 +691,20 @@ def test_rtf_oracle_on_random_tables(seed):
     assert got == rtf_python(orders, lineitem), seed
     for r in got:
         assert r[4] >= r[3] and r[5] >= r[3], r  # lossless both arms
+
+
+def test_rtf_empty_window_emits_zero_row():
+    """The r15 preds-driven spine contract: orders confined to one
+    window -> the other three predicates still appear, all-zero, at
+    every threshold of the declared shape (regression guard for the
+    ADVICE r14 #1 fix — the old shape silently dropped them)."""
+    orders = [(k, 9500) for k in range(25)]  # day 9500 = h1_1996 only
+    lineitem = [3, 3, 7, 99999]
+    got = _run_rtf_oracle(orders, lineitem)
+    assert got == rtf_python(orders, lineitem)
+    assert len(got) == len(ZONEMAP_PREDS), got
+    zero = [r for r in got if r[0] != "h1_1996"]
+    assert all(r[1] == 0 and r[3] == 0 and r[5] == 0 for r in zero), got
 
 
 def test_rtf_bloom_fpr_in_theory_band():
