@@ -13,6 +13,7 @@ from paraslice_spark.operators import (  # noqa: F401
     relational,
     reshape,
     scalar_packs,
+    shuffle_audits,
     similarity,
     sorts_sets,
     subqueries,
