@@ -59,7 +59,7 @@ PA_KEYS = ("l_orderkey", "l_partkey", "l_returnflag", "l_suppkey")
              CAST(COUNT(*) AS BIGINT) AS nr
       FROM lineitem GROUP BY 1),
     tot AS (SELECT CAST(SUM(nr) AS BIGINT) AS n FROM census),
-    sweep AS (SELECT CAST(p AS BIGINT) AS p FROM (VALUES
+    sweep AS MATERIALIZED (SELECT CAST(p AS BIGINT) AS p FROM (VALUES
         {", ".join(f"({p})" for p in PS_SWEEP)}) AS t(p)),
     parts AS (
       SELECT s.p, c.pid % s.p AS rpid, CAST(SUM(c.nr) AS BIGINT) AS rows_
@@ -196,7 +196,7 @@ def stats_partition_sizing_audit(
     tots AS (
       SELECT (SELECT CAST(SUM(nl) AS BIGINT) FROM lc) AS n_l,
              (SELECT CAST(SUM(no_) AS BIGINT) FROM oc) AS n_o),
-    sweep AS (SELECT CAST(bk AS BIGINT) AS bk FROM (VALUES
+    sweep AS MATERIALIZED (SELECT CAST(bk AS BIGINT) AS bk FROM (VALUES
         {", ".join(f"({b})" for b in BUK_SWEEP)}) AS t(bk)),
     buckets AS (
       SELECT s.bk, f.b % s.bk AS bucket,

@@ -107,6 +107,9 @@ _REPRESENTATIVES = (
                                           # un-hinted key join + class spine
     "cdc_snapshot_diff",                  # full-outer key join of two collapses
     "cdc_resurrection_audit",             # key-partitioned LAG window + rollups
+    "stats_bucket_colocation_audit",      # two censuses + full-outer census
+                                          # merge + nested-mod sweep
+    "stats_partial_agg_audit",            # 4-way stack + multi-distinct agg
 )
 
 

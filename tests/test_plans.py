@@ -1406,3 +1406,38 @@ def test_jsa_two_scans_spine_broadcast(spark):
     assert p.count("Scan parquet") <= 2, p
     assert "Window [" not in p, p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+
+
+# ------------------------------------------- r15: shuffle-sizing audits
+
+
+def test_partition_sizing_single_scan_census_sweep(spark):
+    """stats_partition_sizing_audit: ONE lineitem scan map-combines to
+    the checkpointed 512-row census; every sweep arm re-aggregates the
+    census against the broadcast 4-row sweep list — no SortMergeJoin,
+    no window, nothing data-proportional after the census."""
+    p = plan(QUERIES["stats_partition_sizing_audit"](spark, SF_SMALL))
+    assert p.count("Scan parquet") <= 1, p
+    assert "SortMergeJoin" not in p, p
+    assert "Window [" not in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+
+
+def test_bucket_colocation_one_scan_per_table(spark):
+    """stats_bucket_colocation_audit: one scan per table into the two
+    128-row censuses, a census-level full-outer merge (O(128), riding
+    the checkpoint), sweep arms O(census) — no window."""
+    p = plan(QUERIES["stats_bucket_colocation_audit"](spark, SF_SMALL))
+    assert p.count("Scan parquet") <= 2, p
+    assert "Window [" not in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+
+
+def test_partial_agg_audit_single_scan_no_join(spark):
+    """stats_partial_agg_audit: ONE lineitem scan into the 4-way stack
+    (the deliberate 4x expand), one multi-distinct aggregate per
+    key_name — no join of any kind, no window."""
+    p = plan(QUERIES["stats_partial_agg_audit"](spark, SF_SMALL))
+    assert p.count("Scan parquet") <= 1, p
+    assert "Join" not in p.replace("joinType", ""), p
+    assert "Window [" not in p, p

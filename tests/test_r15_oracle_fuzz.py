@@ -574,3 +574,257 @@ def test_jsa_spark_tiny_tables(spark, tmp_path):
         assert not problems, problems
     finally:
         _drop_caches(spark, d)
+
+
+# ------------------------------------------------- shuffle-sizing audits
+
+import hashlib
+
+from paraslice_spark.operators.shuffle_audits import (
+    BUK_FINE,
+    BUK_SWEEP,
+    PA_CHUNK,
+    PA_KEYS,
+    PA_NPART,
+    PS_FINE,
+    PS_ROW_BUDGET,
+    PS_SWEEP,
+)
+
+
+def _md5_u32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def psa_python(fact_keys):
+    """From-scratch partition-sizing reference: fact_keys = list[int]."""
+    n = len(fact_keys)
+    fine: dict = {}
+    for k in fact_keys:
+        pid = _md5_u32(f"{k}:p") % PS_FINE
+        fine[pid] = fine.get(pid, 0) + 1
+    out = []
+    for p in PS_SWEEP:
+        parts: dict = {}
+        for pid, nr in fine.items():
+            parts[pid % p] = parts.get(pid % p, 0) + nr
+        rows = list(parts.values())
+        spill = sum(max(r - PS_ROW_BUDGET, 0) for r in rows)
+        over = sum(1 for r in rows if r > PS_ROW_BUDGET)
+        out.append(
+            (
+                p, n, len(rows), p - len(rows), max(rows), min(rows),
+                _rnd(n / p, 6), _rnd(max(rows) * p / n, 6), over, spill,
+            )
+        )
+    return sorted(out)
+
+
+def buk_python(fact_keys, dim_keys):
+    """From-scratch bucket-co-location reference."""
+    n_l, n_o = len(fact_keys), len(dim_keys)
+    lc: dict = {}
+    oc: dict = {}
+    for k in fact_keys:
+        b = _md5_u32(f"{k}:b") % BUK_FINE
+        lc[b] = lc.get(b, 0) + 1
+    for k in dim_keys:
+        b = _md5_u32(f"{k}:b") % BUK_FINE
+        oc[b] = oc.get(b, 0) + 1
+    out = []
+    for bk in BUK_SWEEP:
+        buckets: dict = {}
+        for b in set(lc) | set(oc):
+            bb = buckets.setdefault(b % bk, [0, 0])
+            bb[0] += lc.get(b, 0)
+            bb[1] += oc.get(b, 0)
+        tasks = [(bl + bo, bo) for bl, bo in buckets.values()]
+        out.append(
+            (
+                bk, n_l, n_o, len(buckets),
+                max(t for t, _ in tasks), min(t for t, _ in tasks),
+                max(bo for _, bo in tasks),
+                _rnd(max(t for t, _ in tasks) * bk / (n_l + n_o), 6),
+                n_l + n_o,
+            )
+        )
+    return sorted(out)
+
+
+def paa_python(rows):
+    """From-scratch partial-agg reference: rows = list[(orderkey,
+    linenumber, partkey, returnflag, suppkey)]."""
+    out = []
+    for key in PA_KEYS:
+        idx = {"l_orderkey": 0, "l_partkey": 2, "l_returnflag": 3,
+               "l_suppkey": 4}[key]
+        groups = set()
+        pb = set()
+        ph = set()
+        for r in rows:
+            g = str(r[idx])
+            blk = r[0] // PA_CHUNK
+            h = _md5_u32(f"{r[0]}:{r[1]}:{r[2]}:q") % PA_NPART
+            groups.add(g)
+            pb.add((g, blk))
+            ph.add((g, h))
+        n = len(rows)
+        ob, oh = len(pb), len(ph)
+        out.append(
+            (
+                key, n, len(groups), ob, oh,
+                _rnd(n / ob, 6), _rnd(n / oh, 6),
+                _rnd(1.0 - ob / n, 6), _rnd(1.0 - oh / n, 6),
+            )
+        )
+    return sorted(out)
+
+
+def _run_shuffle_oracles(li_rows, orders_keys, names):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem(l_orderkey BIGINT, l_linenumber BIGINT,"
+        " l_partkey BIGINT, l_returnflag VARCHAR, l_suppkey BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO lineitem VALUES (?, ?, ?, ?, ?)", li_rows
+    )
+    con.execute("CREATE TABLE orders(o_orderkey BIGINT)")
+    con.executemany(
+        "INSERT INTO orders VALUES (?)", [(k,) for k in orders_keys]
+    )
+    return {
+        n: sorted(tuple(r) for r in con.execute(ORACLES[n]).fetchall())
+        for n in names
+    }
+
+
+_SHUFFLE_NAMES = (
+    "stats_partition_sizing_audit",
+    "stats_bucket_colocation_audit",
+    "stats_partial_agg_audit",
+)
+
+
+def _rand_li(rng, n):
+    return [
+        (
+            rng.randrange(0, 50_000),
+            rng.randrange(1, 8),
+            rng.randrange(0, 2_000),
+            rng.choice("ANR"),
+            rng.randrange(0, 100),
+        )
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_shuffle_audits_on_random_tables(seed):
+    """All three references vs the oracles on random tables; laws:
+    partition max_rows is non-increasing in P (nested mods: coarse
+    partitions are unions of fine ones), conservation, and the
+    partial-agg output bracket n_groups <= out <= min(n, groups x
+    pids)."""
+    rng = random.Random(65_000 + seed)
+    li = _rand_li(rng, rng.randrange(1, 900))
+    orders = [rng.randrange(0, 50_000) for _ in range(rng.randrange(1, 400))]
+    got = _run_shuffle_oracles(li, orders, _SHUFFLE_NAMES)
+    fact_keys = [r[0] for r in li]
+    assert got["stats_partition_sizing_audit"] == psa_python(fact_keys)
+    assert got["stats_bucket_colocation_audit"] == buk_python(
+        fact_keys, orders
+    )
+    assert got["stats_partial_agg_audit"] == paa_python(li)
+    ps = got["stats_partition_sizing_audit"]
+    for r in ps:
+        assert r[2] + r[3] == r[0], r  # used + empty == P
+    maxes = [r[4] for r in ps]  # ascending P -> non-increasing max
+    assert maxes == sorted(maxes, reverse=True), ps
+    for r in got["stats_partial_agg_audit"]:
+        _, n, g, ob, oh, *_ = r
+        npids = len({row[0] // PA_CHUNK for row in li})
+        assert g <= ob <= min(n, g * npids), r
+        assert g <= oh <= min(n, g * PA_NPART), r
+
+
+def test_partial_agg_planted_locality():
+    """Planted: 400 single-line orders with keys 0..399 all land in
+    arrival block 0, returnflag alternates A/B -> out_rows_block for
+    l_returnflag is exactly 2 (one partial row per group), while
+    l_orderkey cannot combine at all (400 groups, 400 rows, ratio 1.0
+    in BOTH placements)."""
+    li = [(k, 1, 7, "AB"[k % 2], 3) for k in range(400)]
+    got = _run_shuffle_oracles(li, [1], ("stats_partial_agg_audit",))[
+        "stats_partial_agg_audit"
+    ]
+    assert got == paa_python(li)
+    rows = {r[0]: r for r in got}
+    assert rows["l_returnflag"][3] == 2, rows["l_returnflag"]
+    assert rows["l_orderkey"][3] == 400, rows["l_orderkey"]
+    assert rows["l_orderkey"][5] == 1.0 and rows["l_orderkey"][6] == 1.0
+    assert rows["l_returnflag"][5] == 200.0, rows["l_returnflag"]
+
+
+def test_partition_sizing_spill_planted():
+    """Planted: one hot hash cell.  5x the budget of rows on ONE key
+    -> at every P that key's partition exceeds the budget by exactly
+    (5x - budget) plus whatever shares the cell."""
+    li = [(42, 1, 1, "A", 1)] * (PS_ROW_BUDGET * 5)
+    got = _run_shuffle_oracles(li, [1], ("stats_partition_sizing_audit",))[
+        "stats_partition_sizing_audit"
+    ]
+    assert got == psa_python([42] * (PS_ROW_BUDGET * 5))
+    for r in got:
+        assert r[8] == 1, r  # exactly one over-budget partition
+        assert r[9] == PS_ROW_BUDGET * 4, r  # spill = rows past budget
+        assert r[2] == 1 and r[4] == PS_ROW_BUDGET * 5, r
+
+
+def test_shuffle_audits_degenerate_single_row():
+    li = [(7, 1, 7, "N", 9)]
+    got = _run_shuffle_oracles(li, [7], _SHUFFLE_NAMES)
+    assert got["stats_partition_sizing_audit"] == psa_python([7])
+    assert got["stats_bucket_colocation_audit"] == buk_python([7], [7])
+    assert got["stats_partial_agg_audit"] == paa_python(li)
+    for r in got["stats_partition_sizing_audit"]:
+        assert r[2] == 1 and r[4] == 1 and r[9] == 0, r
+
+
+def test_shuffle_audits_spark_tiny_lineitem(spark, tmp_path):
+    """SPARK side: 2-row lineitem / 1-row orders tiny parquet, full
+    hash compare in both engines (schema columns the audits touch plus
+    the untouched rest via symlinked fixture tables)."""
+    from paraslice_spark.registry import ORACLES, QUERIES
+    from tests.oracle_harness import run_compare
+
+    lineitem = {
+        "l_orderkey": [3, 900],
+        "l_partkey": [1, 2],
+        "l_suppkey": [5, 6],
+        "l_linenumber": [1, 1],
+        "l_quantity": [1.0, 2.0],
+        "l_extendedprice": [10.0, 20.0],
+        "l_discount": [0.0, 0.1],
+        "l_tax": [0.0, 0.05],
+        "l_returnflag": ["A", "R"],
+        "l_linestatus": ["O", "F"],
+        "l_shipdate": [None, None],
+    }
+    orders = {
+        "o_orderkey": [3],
+        "o_custkey": [1],
+        "o_orderstatus": ["O"],
+        "o_totalprice": [10.0],
+        "o_orderdate": [None],
+        "o_orderpriority": ["1-URGENT"],
+    }
+    d = _tiny_fixture(
+        tmp_path, "tinyshuf", {"lineitem": lineitem, "orders": orders}
+    )
+    try:
+        for q in _SHUFFLE_NAMES:
+            problems = run_compare(spark, QUERIES[q], ORACLES[q], d)
+            assert not problems, (q, problems)
+    finally:
+        _drop_caches(spark, d)
