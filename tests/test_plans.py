@@ -1433,11 +1433,15 @@ def test_bucket_colocation_one_scan_per_table(spark):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
 
 
-def test_partial_agg_audit_single_scan_no_join(spark):
+def test_partial_agg_audit_single_scan_census_rollups(spark):
     """stats_partial_agg_audit: ONE lineitem scan into the 4-way stack
-    (the deliberate 4x expand), one multi-distinct aggregate per
-    key_name — no join of any kind, no window."""
+    collapsed to the checkpointed quadruple census; the four rollups
+    are narrow map-combined passes over the checkpoint assembled by
+    broadcast joins on the 4-row key_name frame — no SortMergeJoin, no
+    EXPAND multi-distinct, no window."""
     p = plan(QUERIES["stats_partial_agg_audit"](spark, SF_SMALL))
     assert p.count("Scan parquet") <= 1, p
-    assert "Join" not in p.replace("joinType", ""), p
+    assert "SortMergeJoin" not in p, p
+    assert "Expand" not in p, p
     assert "Window [" not in p, p
+    assert "BroadcastHashJoin" in p, p
