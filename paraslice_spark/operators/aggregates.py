@@ -1298,19 +1298,28 @@ def orders_ks_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rank2_map(byv: DataFrame, width: int) -> DataFrame:
+def _rank2_map(
+    byv: DataFrame, width: int, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """(v, t) tie histogram -> (v, r2) where r2 = 2·(average pooled rank)
     = 2·cum_before + t + 1 — exact int64, no per-row ranking.  Running
     counts use the two-level prefix scan (in-bucket exclusive cumsum
     partitioned by v div width, exclusive bucket offsets over the tiny
     bucket summary, broadcast back) so full-cardinality value domains
-    never funnel through one task."""
+    never funnel through one task.  ``extra`` columns of ``byv`` are
+    carried through untouched (r15: lets Spearman fold per-value
+    aggregates into the rank frame instead of joining the fact table
+    back on the near-unique value)."""
     b = byv.withColumn("bkt", F.expr(f"v div {width}"))
     w_in = Window.partitionBy("bkt").orderBy("v").rowsBetween(
         Window.unboundedPreceding, -1
     )
     cum = b.select(
-        "v", "bkt", "t", F.coalesce(F.sum("t").over(w_in), F.lit(0)).alias("ci")
+        "v",
+        "bkt",
+        "t",
+        *extra,
+        F.coalesce(F.sum("t").over(w_in), F.lit(0)).alias("ci"),
     )
     bsum = b.groupBy("bkt").agg(F.sum("t").alias("bt"))
     w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -1320,6 +1329,8 @@ def _rank2_map(byv: DataFrame, width: int) -> DataFrame:
     return cum.join(F.broadcast(boff), "bkt").select(
         "v",
         (2 * (F.col("ci") + F.col("off")) + F.col("t") + 1).alias("r2"),
+        "t",
+        *extra,
     )
 
 
@@ -1371,12 +1382,14 @@ def lineitem_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines → ROUND(,6) (corr/covar precedent; the >2⁵³ moments
     convert long→double identically on both sides).
 
-    Scale shape: per-variable rank maps via the two-level prefix scan
-    (_rank2_map — quantity's 50-value vocabulary and price's near-full
-    cardinality run the same plan, partitioned windows + broadcast
-    offsets), rank assignment is two value-keyed equi-joins (ids/values
-    only, one shuffle each), and the moments collapse in a single
-    partial+final agg.
+    Scale shape (r15): per-variable rank maps via the two-level prefix
+    scan (_rank2_map — quantity's 50-value vocabulary and price's
+    near-full cardinality run the same plan, partitioned windows +
+    broadcast offsets).  The fact table is never joined back: the six
+    moments decompose over the rank maps (Σa = Σ_v t_v·r2_v etc.), with
+    the x-rank sum folded into the per-y groupBy via the broadcast
+    ≤50-row quantity map, so the only data-proportional exchange is the
+    one map-combined groupBy(y).
 
     Fixture note: the synthetic corpus draws quantity and price
     INDEPENDENTLY (measured rho ≈ 0.001-0.003 at every SF; all
@@ -1393,21 +1406,36 @@ def lineitem_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_.groupBy(F.col("x").alias("v")).agg(F.count(F.lit(1)).alias("t")),
         8,
     )
-    ry = _rank2_map(
-        rows_.groupBy(F.col("y").alias("v")).agg(F.count(F.lit(1)).alias("t")),
-        1000000,
+    # r15 optimization (guide §2.3/§2.4): never join the fact table back
+    # on the near-unique y.  The six moments decompose over the two rank
+    # maps — sx/sxx ride the 50-row x histogram; n/sy/syy/sxy ride the
+    # per-y frame, which carries Σa (the x-rank sum) folded in BEFORE its
+    # groupBy, so the y-rank map attaches with zero extra fact shuffles.
+    # rx is the quantity domain (≤ 50 values by TPC-H spec — a bounded
+    # literal-sized map, not a corpus-growing vocabulary): broadcast.
+    mx = rx.agg(
+        F.sum(F.col("t") * F.col("r2")).alias("sx"),
+        F.sum(F.col("t") * F.col("r2") * F.col("r2")).alias("sxx"),
     )
-    j = (
-        rows_.join(rx.withColumnRenamed("v", "x").withColumnRenamed("r2", "a"), "x")
-        .join(ry.withColumnRenamed("v", "y").withColumnRenamed("r2", "b"), "y")
+    ga = (
+        rows_.join(
+            F.broadcast(
+                rx.select(F.col("v").alias("x"), F.col("r2").alias("a"))
+            ),
+            "x",
+        )
+        .groupBy(F.col("y").alias("v"))
+        .agg(F.count(F.lit(1)).alias("t"), F.sum("a").alias("sa"))
     )
-    m = j.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("a").alias("sx"),
-        F.sum("b").alias("sy"),
-        F.sum(F.col("a") * F.col("a")).alias("sxx"),
-        F.sum(F.col("b") * F.col("b")).alias("syy"),
-        F.sum(F.col("a") * F.col("b")).alias("sxy"),
+    gy = _rank2_map(ga, 1000000, extra=("sa",))
+    m = (
+        gy.agg(
+            F.sum("t").alias("n"),
+            F.sum(F.col("t") * F.col("r2")).alias("sy"),
+            F.sum(F.col("t") * F.col("r2") * F.col("r2")).alias("syy"),
+            F.sum(F.col("sa") * F.col("r2")).alias("sxy"),
+        )
+        .crossJoin(F.broadcast(mx))
     )
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")

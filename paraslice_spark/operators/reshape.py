@@ -435,30 +435,40 @@ def events_retention_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame
     events rule), equi-width bands on non-negative operands, retention
     as ppm integer division.
 
-    Scale shape: ONE distinct shuffle on (user, day) — the
-    events_retention exchange — then user-keyed aggs; bands need only a
-    1-row bounds broadcast (no rank window, no second events scan); the
-    final rollup is ≤24 groups, map-combined; cohort sizes arrive by a
-    ≤3-row broadcast join."""
+    Scale shape (r15): ONE map-combined groupBy(user).collect_set(day)
+    exchange — the per-user distinct-day set is bounded by the day span
+    — then everything (cohort day, activity band, the exploded offsets)
+    derives without touching the facts again; bands need only a 1-row
+    bounds broadcast; the final rollup is ≤24 groups, map-combined;
+    cohort sizes arrive by a ≤3-row broadcast join."""
     ev = load_tables(spark, sf_dir)["events"]
     day = F.expr("ts_ns div 86400000000000")
-    # act feeds the cohort/band chain AND the final join: checkpoint the
-    # O(users x days) reduction so events is scanned ONCE (the plan read 3
-    # parquet passes before this — the kmv multi-consumer rule)
-    act = (
+    # r15 optimization (guide §2.4): ONE map-combined
+    # groupBy(user).collect_set(day) replaces the former distinct
+    # exchange + groupBy(user) exchange + act⋈bands join-back exchange —
+    # the per-user distinct-day set (≤ the fixture's day span, bounded
+    # by the 8-day offset window downstream) carries cohort day, band
+    # input, AND the explodable activity days in one frame.
+    us = (
         ev.select("user_id", day.alias("day"))
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
         .localCheckpoint(eager=False)
     )
-    u = act.groupBy("user_id").agg(
-        F.min("day").alias("c"), F.count(F.lit(1)).alias("nd")
+    u = us.select(
+        "user_id",
+        "days",
+        F.array_min("days").alias("c"),
+        F.size("days").cast("long").alias("nd"),
     )
     b = u.agg(F.min("nd").alias("mn"), F.max("nd").alias("mx"))
     band = F.least(F.lit(2), F.expr("(nd - mn) * 3 div (mx - mn + 1)"))
-    t = u.crossJoin(F.broadcast(b)).select("user_id", "c", band.alias("band"))
+    t = u.crossJoin(F.broadcast(b)).select(
+        "days", "c", band.alias("band")
+    )
     cs = t.groupBy("band").agg(F.count(F.lit(1)).alias("cohort_n"))
     return (
-        act.join(t, "user_id")
+        t.select("band", "c", F.explode("days").alias("day"))
         .withColumn("day_offset", F.col("day") - F.col("c"))
         .where(F.col("day_offset").between(0, 7))
         .groupBy("day_offset", "band")
@@ -1667,10 +1677,12 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic co-occurrence analysis over order baskets: which part
     pairs land in the same order more often than independence predicts.
 
-    Scale shape: the self-join fans out only WITHIN each basket
-    (l_orderkey equi-join, a<b orientation halves it), so the pair count
+    Scale shape: pairs fan out only WITHIN each basket (collect_set per
+    order, double explode, a<b orientation halves it), so the pair count
     is Σ |basket|² with TPC-H baskets ≤ 7 lines — linear in orders, not
-    |parts|².  The per-part item-count table is CATALOG-sized (SF-linear
+    |parts|² — and the fact table pays exactly ONE exchange (the
+    map-combined collect_set groupBy; r15 removed the former distinct +
+    self-join exchanges, guide §2.4).  The per-part item-count table is CATALOG-sized (SF-linear
     in TPC-H), so its joins go through the gated vocab_broadcast
     (VERDICT r9) — plain equi-joins by default, AQE promotes when it
     fits.  lift = N·supp(ab)/(cnt(a)·cnt(b)) is ONE IEEE
@@ -1679,25 +1691,32 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_b) — a total order, so the LIMIT boundary is tie-free —
     executes as TakeOrderedAndProject, never a global sort."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    # the distinct basket table feeds FOUR subplans (both self-join sides,
-    # item counts, basket total) which share no common subplan — non-eager
-    # localCheckpoint materializes the fact scan + distinct once (no
-    # cache-manager entry; the persist-hygiene pattern, CLAUDE.md)
-    o = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
+    # r15 optimization (guide §2.4): one groupBy(l_orderkey) collect_set
+    # replaces the former distinct + two-sided self-join — the basket
+    # array (≤7 parts in TPC-H) IS the per-order pair generator, so the
+    # fact table crosses the wire once (map-side partial collect_set
+    # dedupes in place) instead of three times (distinct exchange + both
+    # self-join exchanges).  The basket table feeds three subplans
+    # (pairs, item counts, basket total) — non-eager localCheckpoint
+    # materializes it once (persist-hygiene pattern, CLAUDE.md).
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
         .localCheckpoint(eager=False)
     )
-    a = o.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = o.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     p = (
-        a.join(b, "l_orderkey")
+        baskets.select("ps", F.explode("ps").alias("part_a"))
+        .select("part_a", F.explode("ps").alias("part_b"))
         .where(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
     )
-    c = o.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    t = o.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    c = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     return (
         p.join(
             vocab_broadcast(c.select(F.col("l_partkey").alias("part_a"),
@@ -1749,10 +1768,12 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic engagement metric).
 
     Scale shape: deduplicate to (day, user) FIRST (one shuffle, the
-    only pass over raw events), then the trailing window is a range
-    join against the DAY SPINE — a calendar-bounded table that
-    BROADCASTS at any corpus size (10 years = 3 653 rows), fanning each
-    (day, user) row out ≤ 7× before the per-day distinct count.  Never
+    only pass over raw events), then each (day, user) row EXPLODES into
+    its 7 covered spine days before the per-day distinct count (r15: a
+    deterministic sequence explode — the former broadcast range join
+    against the day spine did the same ≤7× fan-out but paid a
+    nested-loop predicate per (row, spine-day) pair; phantom days past
+    the range are culled by the dau inner join).  Never
     a running `countDistinct` window (unbounded state) and never a
     per-user sort.  stickiness is one IEEE division of two exact counts
     → ROUND(,6) engine-stable.  The day is EMITTED AS A STRING: a DATE
@@ -1769,17 +1790,23 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    spine = du.select("day").distinct().select(F.col("day").alias("sday"))
     dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    # r15 optimization: each (day, user) row serves exactly the 7 spine
+    # days [day, day+6] — a deterministic explode of that interval
+    # replaces the former broadcast-nested-loop range join against the
+    # day spine (same ≤7× fan-out, zero join predicate evaluations;
+    # guide §3).  Phantom spine days past the observed range are culled
+    # by the final inner join with dau (= observed days), exactly the
+    # spine membership the range join enforced.
     wau = (
-        du.join(
-            F.broadcast(spine),
-            (F.col("day") <= F.col("sday"))
-            & (F.col("day") >= F.date_sub(F.col("sday"), 6)),
+        du.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("day"),
+            "user_id",
         )
-        .groupBy("sday")
+        .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
-        .withColumnRenamed("sday", "day")
     )
     return (
         dau.join(wau, "day")
@@ -4279,15 +4306,22 @@ def orders_backlog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized hash agg."""
     t = load_tables(spark, sf_dir)
     epoch = F.lit("1970-01-01").cast("date")
+    # r15 optimization (guide §2.3 "aggregate before you shuffle"): the
+    # per-order last-ship date is a lineitem-only aggregate — collapsing
+    # the fact to one row per order BEFORE the orders join removes the
+    # former post-join 600k-row groupBy exchange and shrinks the join's
+    # probe side to |orders|.  Inner-join semantics unchanged (orders
+    # with no line items never open).
+    ls = (
+        t["lineitem"]
+        .select("l_orderkey", "l_shipdate")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("last_ship"))
+    )
     iv = (
         t["orders"]
         .select("o_orderkey", "o_orderdate")
-        .join(
-            t["lineitem"].select("l_orderkey", "l_shipdate"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.max(F.col("l_shipdate").cast("date")).alias("last_ship"))
+        .join(ls, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
             F.datediff(F.col("o_orderdate").cast("date"), epoch).cast("long").alias("sd"),
             (F.datediff(F.col("last_ship"), epoch) + 1).cast("long").alias("ed"),
@@ -4625,15 +4659,21 @@ def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 (unnormalized transform: sums and differences of counts), so
     the full spectrum hash-oracles; consumers normalize by 2^l.
 
-    Spark plan: log2(N) = 10 driver-bounded levels, each one tiny
-    groupBy(i div 2) with the pair difference folded into the same
-    aggregate (sign-flagged sum) — shuffles shrink 512 -> 1 rows;
-    per-level energies union into an 11-row result.  DuckDB twin: a
-    recursive CTE carrying only the smooth coefficients (pairwise-join
-    recursion — the kcore multi-reference pattern), details derived
-    post-hoc from adjacent pairs per level.  Fixture span is 720 hours
-    < N = 1024 (assert-guarded); a longer-spanning deployment raises
-    _HAAR_N to the next power of two."""
+    Spark plan (r15 optimization): the Haar detail at (level l, node j)
+    is a SIGNED SUM of the leaves under node j — d_l(j) = Σ_{i div 2^l
+    = j} s_i · sign(bit l−1 of i) — so the whole spectrum needs no
+    level-by-level chain: each leaf explodes into 11 (level, node, ±s)
+    contributions (level 0 = the DC sum with sign +1) and ONE
+    groupBy(level, node) then ONE groupBy(level) produce every energy.
+    2 tiny exchanges total (11·1024 rows) instead of the former 10
+    sequential groupBy stages + 11 union branches (guide §2.4 — the
+    chain was pure stage-count latency; measured 2.4 s → see
+    OPTIMIZATION_r15.md).  n_coeffs per level is COUNT(*) of nodes —
+    every node exists because the zero-padded spine materializes all
+    1024 leaves.  DuckDB twin unchanged: a recursive CTE carrying the
+    smooth coefficients.  Fixture span is 720 hours < N = 1024
+    (assert-guarded); a longer-spanning deployment raises _HAAR_N to
+    the next power of two."""
     b = count_series(spark, sf_dir, _HOUR_NS)
     # lazy span guard: assert_true rides the broadcast bounds row, so a
     # series longer than _HAAR_N fails AT EXECUTION instead of being
@@ -4659,36 +4699,41 @@ def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(idx, "i", "left")
         .select("i", F.coalesce("s", F.lit(0)).cast("long").alias("s"))
     )
-    rows = []
-    for lvl in range(1, 11):
-        nxt = (
-            cur.groupBy(F.expr("i div 2").alias("i"))
-            .agg(
-                F.sum("s").alias("s"),
-                F.sum(
-                    F.when(F.col("i") % 2 == 0, F.col("s")).otherwise(-F.col("s"))
-                ).alias("d"),
-            )
-        )
-        rows.append(
-            nxt.agg(
-                F.lit(lvl).cast("int").alias("level"),
-                F.count(F.lit(1)).alias("n_coeffs"),
-                F.sum(F.col("d") * F.col("d")).alias("energy"),
-            )
-        )
-        cur = nxt.select("i", "s")
-    rows.append(
-        cur.agg(
+    # sign-explode: leaf i contributes ±s to each level's covering node
+    # (sign = bit l−1 of i; level 0 = the all-plus DC term).  i ≥ 0, so
+    # the div/mod placement is the non-negative house form.
+    entries = [
+        F.struct(
             F.lit(0).cast("int").alias("level"),
-            F.lit(1).cast("long").alias("n_coeffs"),
-            F.sum(F.col("s") * F.col("s")).alias("energy"),
+            F.lit(0).cast("long").alias("node"),
+            F.col("s").alias("cs"),
         )
+    ]
+    for lvl in range(1, 11):
+        entries.append(
+            F.struct(
+                F.lit(lvl).cast("int").alias("level"),
+                F.expr(f"i div {1 << lvl}").alias("node"),
+                F.when(
+                    F.expr(f"(i div {1 << (lvl - 1)}) % 2") == 0, F.col("s")
+                )
+                .otherwise(-F.col("s"))
+                .alias("cs"),
+            )
+        )
+    d = (
+        cur.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.level", "e.node", "e.cs")
+        .groupBy("level", "node")
+        .agg(F.sum("cs").alias("d"))
     )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.repartition(1).sortWithinPartitions("level")
+    out = d.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_coeffs"),
+        F.sum(F.col("d") * F.col("d")).alias("energy"),
+    )
+    return out.select("level", "n_coeffs", "energy").repartition(
+        1
+    ).sortWithinPartitions("level")
 
 
 @query(

@@ -381,21 +381,31 @@ def stats_partial_agg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     block arm still combines ~4x (locality rescues the combine) — the
     measured case for keeping data clustered by the aggregation key.
 
-    EXACT INTEGERS: group values compared as strings, placement ids via
-    non-negative div / md5 mod; the four ROUND(,6) columns are
-    displays.  The '#' pair separator cannot collide: gval strings are
-    key renderings with no '#'.
+    EXACT INTEGERS: group values distinct-counted under a per-key
+    injective int64 encoding engine-side (native keys / ascii flag —
+    r15, guide §2.3; the oracle's string rendering counts identically),
+    placement ids via non-negative div / md5 mod; the four ROUND(,6)
+    columns are displays.  The oracle's '#' pair separator cannot
+    collide: gval strings are key renderings with no '#'.
 
     Scale shape: ONE lineitem scan into the 4-way stack (a deliberate
     4x row expand — the sweep's only data-proportional cost, same
     bound as reading four group-by plans would pay), then one
     multi-distinct aggregate per key_name.  Nothing else moves data."""
     li = load_tables(spark, sf_dir)["lineitem"]
+    # r15 optimization (guide §2.3 — narrower types): gval is only ever
+    # DISTINCT-counted per key, so any per-key INJECTIVE encoding gives
+    # identical counts — the three numeric keys ride as native int64 and
+    # the single-char returnflag as ascii(), replacing the former 4×
+    # string stack (≈3-4× fewer census-shuffle bytes).  key_name
+    # likewise rides as a 0..3 kid and maps back to its string in the
+    # 4-row final select.  The oracle still compares string renderings —
+    # distinct cardinality is representation-independent.
     base = li.select(
-        F.col("l_orderkey").cast("string").alias("k_l_orderkey"),
-        F.col("l_partkey").cast("string").alias("k_l_partkey"),
-        F.col("l_returnflag").cast("string").alias("k_l_returnflag"),
-        F.col("l_suppkey").cast("string").alias("k_l_suppkey"),
+        F.col("l_orderkey").alias("g0"),
+        F.col("l_partkey").alias("g1"),
+        F.ascii(F.col("l_returnflag")).cast("long").alias("g2"),
+        F.col("l_suppkey").alias("g3"),
         F.expr(f"l_orderkey div {PA_CHUNK}").alias("pid_block"),
         (
             md5_u32(
@@ -411,9 +421,11 @@ def stats_partial_agg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pid_hash"),
     )
     stacked = base.selectExpr(
-        "stack({n}, {args}) AS (key_name, gval)".format(
+        "stack({n}, {args}) AS (kid, gval)".format(
             n=len(PA_KEYS),
-            args=", ".join(f"'{k}', k_{k}" for k in PA_KEYS),
+            args=", ".join(
+                f"{i}, g{i}" for i in range(len(PA_KEYS))
+            ),
         ),
         "pid_block",
         "pid_hash",
@@ -426,37 +438,40 @@ def stats_partial_agg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint — the same shape that wins at 100 TB (partial-agg'd
     # distincts, no expand multiplication).
     census = (
-        stacked.groupBy("key_name", "gval", "pid_block", "pid_hash")
+        stacked.groupBy("kid", "gval", "pid_block", "pid_hash")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)  # 4 rollups read it
     )
-    n_rows = census.groupBy("key_name").agg(F.sum("cnt").alias("n_rows"))
+    n_rows = census.groupBy("kid").agg(F.sum("cnt").alias("n_rows"))
     n_groups = (
-        census.select("key_name", "gval")
+        census.select("kid", "gval")
         .distinct()
-        .groupBy("key_name")
+        .groupBy("kid")
         .agg(F.count(F.lit(1)).alias("n_groups"))
     )
     out_b = (
-        census.select("key_name", "gval", "pid_block")
+        census.select("kid", "gval", "pid_block")
         .distinct()
-        .groupBy("key_name")
+        .groupBy("kid")
         .agg(F.count(F.lit(1)).alias("out_rows_block"))
     )
     out_h = (
-        census.select("key_name", "gval", "pid_hash")
+        census.select("kid", "gval", "pid_hash")
         .distinct()
-        .groupBy("key_name")
+        .groupBy("kid")
         .agg(F.count(F.lit(1)).alias("out_rows_hashed"))
     )
     agg = (
-        n_rows.join(F.broadcast(n_groups), "key_name")
-        .join(F.broadcast(out_b), "key_name")
-        .join(F.broadcast(out_h), "key_name")
+        n_rows.join(F.broadcast(n_groups), "kid")
+        .join(F.broadcast(out_b), "kid")
+        .join(F.broadcast(out_h), "kid")
     )
     return (
         agg.select(
-            "key_name",
+            F.element_at(
+                F.array(*[F.lit(k) for k in PA_KEYS]),
+                F.col("kid").cast("int") + 1,
+            ).alias("key_name"),
             "n_rows",
             "n_groups",
             "out_rows_block",

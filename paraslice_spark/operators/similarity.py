@@ -3841,11 +3841,16 @@ def graph_copurchase_kcore_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated, support-thresholded) pair graph, orders of magnitude
     smaller than the fact table, and rounds are O(log n) in practice."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    o = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
-    a = o.select("l_orderkey", F.col("l_partkey").alias("s"))
-    b = o.select("l_orderkey", F.col("l_partkey").alias("t"))
+    # r15 optimization (guide §2.4, the market_basket_pairs idiom): one
+    # map-combined collect_set per order replaces the former distinct +
+    # two-sided self-join — the ≤7-part basket array generates its own
+    # pairs, so the fact table pays ONE exchange instead of three.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
     p = (
-        a.join(b, "l_orderkey")
+        baskets.select("ps", F.explode("ps").alias("s"))
+        .select("s", F.explode("ps").alias("t"))
         .where(F.col("s") < F.col("t"))
         .groupBy("s", "t")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -3874,17 +3879,46 @@ def graph_copurchase_kcore_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try/finally: the current round's eager checkpoint must be released on
     # EVERY exit — empty-edge graphs never enter the loop, and a mid-loop
     # failure must not strand blocks (review finding)
+    # r15 optimization: one driver action per round was saved by merging
+    # the two per-round count collects (alive from keep, edges from the
+    # new state) into a SINGLE union job that runs after the checkpoint —
+    # the peel itself (one degree agg + two id-only semi-joins, exchange
+    # reuse sharing the degree exchange across both) is unchanged.  nxt
+    # is built for every still-tracked k; ks that stopped shrinking are
+    # dropped from the working set by a lazy filter the following round
+    # (their rows ride one checkpoint, never another exchange).
+    state_ckpt = state  # the frame whose blocks the finally must free
     try:
         while prev_alive:
             r += 1
             deg = state.groupBy("k", "s").agg(F.count(F.lit(1)).alias("d"))
             keep = deg.where(F.col("d") >= F.col("k")).select("k", "s")
-            alive_now = {
-                int(rw["k"]): int(rw["n"])
-                for rw in keep.groupBy("k")
+            nxt = (
+                state.join(keep, ["k", "s"], "left_semi")
+                .join(
+                    keep.select("k", F.col("s").alias("t")), ["k", "t"], "left_semi"
+                )
+                .localCheckpoint(eager=True)
+            )
+            counts = (
+                keep.groupBy("k")
                 .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("w", F.lit("a"))
+                .unionByName(
+                    nxt.groupBy("k")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .withColumn("w", F.lit("e"))
+                )
                 .collect()
+            )
+            alive_now = {
+                int(rw["k"]): int(rw["n"]) for rw in counts if rw["w"] == "a"
             }
+            n_dir = {
+                int(rw["k"]): int(rw["n"]) for rw in counts if rw["w"] == "e"
+            }
+            _free_local_checkpoint(state_ckpt)
+            state_ckpt = nxt
             # a k continues only while its alive set strictly shrank and is
             # nonempty — mirrors the oracle's emit-on-shrink recursion
             live_ks = [
@@ -3893,28 +3927,17 @@ def graph_copurchase_kcore_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             if not live_ks:
                 break
-            nxt = (
-                state.where(F.col("k").isin(live_ks))
-                .join(keep, ["k", "s"], "left_semi")
-                .join(
-                    keep.select("k", F.col("s").alias("t")), ["k", "t"], "left_semi"
-                )
-                .localCheckpoint(eager=True)
+            state = (
+                nxt.where(F.col("k").isin(live_ks))
+                if len(live_ks) < len(prev_alive)
+                else nxt
             )
-            _free_local_checkpoint(state)
-            state = nxt
-            n_dir = {
-                int(rw["k"]): int(rw["n"])
-                for rw in state.groupBy("k")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
             prev_alive = {}
             for k in live_ks:
                 trace.append((k, r, alive_now[k], n_dir.get(k, 0) // 2))
                 prev_alive[k] = alive_now[k]
     finally:
-        _free_local_checkpoint(state)
+        _free_local_checkpoint(state_ckpt)
     out = spark.createDataFrame(
         trace, "k int, round int, n_alive long, n_edges long"
     )
