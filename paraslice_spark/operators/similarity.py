@@ -1789,12 +1789,19 @@ def embedding_near_dup_pairs(
     )
     ea = base.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
     eb = base.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    # r15 (guide §2.4 + house trap): a final .orderBy on this few-row
+    # result plans a rangepartitioning exchange whose partitioner SAMPLES
+    # its input — re-executing the whole candidates+verify subtree once
+    # before the sort pass runs it again.  repartition(1) +
+    # sortWithinPartitions gives the identical sorted output in ONE
+    # execution (the result is near-dup pairs: tiny by construction).
     return (
         candidates.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", cos_udf("emb_a", "emb_b").alias("cos"))
         .where(F.col("cos") >= threshold)
-        .orderBy("vec_a", "vec_b")
+        .repartition(1)
+        .sortWithinPartitions("vec_a", "vec_b")
     )
 
 
