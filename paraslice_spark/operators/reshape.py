@@ -3555,13 +3555,26 @@ def _wm_prefix_frame(e: DataFrame, order_cols: list) -> DataFrame:
     by max-associativity), and b2 groups b1.  Level sizes: the in-bucket
     window is PARTITIONED BY b1, L1 by b2, and only the L2 summary
     (one row per b2) takes an unpartitioned window."""
+    # r15 (guide §2.4, the r11 scan-once precedent): the DAG fans ``e``
+    # out to three consumers (the L1 rollup, reached via both the l2_off
+    # and l1_off branches, plus the final join) — without a checkpoint
+    # each consumer re-scans the source and recomputes the arrival
+    # projection (the session audit's per-row md5 lag).  One non-eager
+    # localCheckpoint of the narrow bucketed frame + one of the tiny L1
+    # rollup leave exactly ONE data-proportional pass over ``e`` per
+    # level; both are per-call, cache-manager-free (house hygiene).
+    e = e.localCheckpoint(eager=False)
     w_in = (
         Window.partitionBy("b1")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     # L1: one row per id-bucket (max ts + its L2 group)
-    l1 = e.groupBy("b1", "b2").agg(F.max("ts_ns").alias("m1"))
+    l1 = (
+        e.groupBy("b1", "b2")
+        .agg(F.max("ts_ns").alias("m1"))
+        .localCheckpoint(eager=False)
+    )
     w_l1 = (
         Window.partitionBy("b2")
         .orderBy("b1")
