@@ -324,7 +324,13 @@ def phash_pairs(media: DataFrame) -> DataFrame:
                 ids.append(int(mid))
             yield pd.DataFrame({"media_id": ids, "phash": hashes})
 
-    h = media.mapInPandas(dhash, "media_id long, phash long")
+    # r15 (guide §4/§2.4): the band self-join fans this frame out twice —
+    # without a checkpoint BOTH sides re-scan the documents parquet and
+    # re-run the Python dhash kernel over the full media column.  The
+    # checkpointed frame is two longs per media item.
+    h = media.mapInPandas(dhash, "media_id long, phash long").localCheckpoint(
+        eager=False
+    )
     bands = h.select(
         "media_id",
         "phash",

@@ -94,9 +94,11 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors) is broadcast; the corpus is scanned once, never shuffled for
     the join; ranking happens on the ROUNDED cosine so cross-engine last-bit
     noise cannot flip the top-k boundary."""
-    e = load_tables(spark, sf_dir)["embeddings"]
-    emb = _as_double(F.col("embedding"))
-    base = e.select("vec_id", emb.alias("emb"))
+    # r15: ride the shared eager checkpoint — the plan referenced the
+    # embeddings parquet twice (query + corpus side), re-running the
+    # array→double projection per reference; every other ANN path
+    # already shares this base (guide §2.4)
+    base = _emb_base_cached(spark, sf_dir)
     q = base.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
     )
@@ -133,9 +135,11 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    e = load_tables(spark, sf_dir)["embeddings"]
-    emb = _as_double(F.col("embedding"))
-    base = e.select("vec_id", emb.alias("emb"))
+    # r15: ride the shared eager checkpoint — this query referenced the
+    # embeddings parquet FOUR times (vec→hashed twice via the q_keys/cand
+    # fan-out, plus qe and ne), re-projecting array→double per reference
+    # and re-running the LSH transform per hashed consumer (guide §2.4)
+    base = _emb_base_cached(spark, sf_dir)
     vec = base.select("vec_id", array_to_vector("emb").alias("features"))
     model = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
@@ -148,6 +152,9 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id", "table", vector_to_array("h")[0].cast("long").alias("bucket")
         )
+        # tiny (vec_id, table, bucket) long triples; the checkpoint stops
+        # the q_keys/cand fan-out from running the LSH transform twice
+        .localCheckpoint(eager=False)
     )
     q_keys = hashed.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "table", "bucket"
