@@ -309,6 +309,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exchange-reuse across stages) and nothing but (user_id, long) pairs
     moves after the first scan."""
     ev = load_tables(spark, sf_dir)["events"]
+    # r15 examined, left alone: the repeated v/c subtrees are already
+    # deduplicated by ReusedExchange (all stage shuffles key on user_id),
+    # so checkpointing them only adds barriers — A/B'd and rejected
+    # (old best 0.77 s vs checkpointed 0.91 s at sf0.1, both orders).
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -528,10 +532,14 @@ def funnel_user_times(ev: DataFrame) -> DataFrame:
     composing queries (events_funnel_latency) don't inherit the
     presentation tail's single-partition collapse (r8-continuation
     review)."""
+    # r15 (guide §2.4): v and c each feed the next stage AND the final
+    # left-join spine — checkpointing the (user_id, long) stage frames
+    # leaves one filtered events pass per stage (was 4 scans in-plan).
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts_ns").alias("t_view"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.where(F.col("event_type") == "click")
@@ -539,6 +547,7 @@ def funnel_user_times(ev: DataFrame) -> DataFrame:
         .where(F.col("ts_ns") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts_ns").alias("t_click"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.where(F.col("event_type") == "purchase")

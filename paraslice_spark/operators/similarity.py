@@ -2582,12 +2582,18 @@ def signlsh_ann(e: DataFrame) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     buckets_udf = pandas_udf(buckets_fn, "array<long>")
+    # r15 (guide §4/§2.4): sig fans out four ways (corpus bands, query
+    # bands, q-side and n-side re-rank) — without a checkpoint each
+    # consumer re-scanned the source and re-ran the quantization (4×)
+    # and the Arrow buckets kernel (2×).  One scan + one kernel pass
+    # remain; the checkpoint carries the micro-unit vectors the re-rank
+    # needs anyway.
     sig = base.select(
         "vec_id",
         "mv",
         dot(F.col("mv"), F.col("mv")).alias("sd"),
         buckets_udf("mv").alias("bks"),
-    )
+    ).localCheckpoint(eager=False)
     bands = sig.select(
         "vec_id", F.posexplode("bks").alias("band", "bucket")
     )
