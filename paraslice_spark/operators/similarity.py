@@ -3218,17 +3218,50 @@ def knn_label_propagation(
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
-    w = Window.partitionBy("node").orderBy(F.desc("cnt"), "lbl")
     for i in range(iters):
         nbr = edges.join(
             labels.select(F.col("node").alias("t"), "lbl"), "t"
         ).select(F.col("s").alias("node"), "lbl")
+        # r15 optimization (guide §2.3 — shuffle fewer bytes, drop the
+        # sort): the per-node mode used to be a row_number Window over
+        # the (node, lbl) counts — a second exchange PLUS a per-partition
+        # sort, with every (node, lbl) row crossing the wire.  The
+        # tie-break (count DESC, label ASC) is order-isomorphic to the
+        # single int64 score cnt·2³² − lbl (labels are node ids, guarded
+        # < 2³² in-plan; cnt ≤ degree ≪ 2³¹ so no overflow), so the
+        # argmax becomes a plain max(long) — a fully hash-aggregable,
+        # map-side-combinable aggregate: each node crosses the wire as
+        # ONE long and no sort runs at all.  (A max_by over the struct
+        # (cnt, −lbl) computes the same thing but its struct buffer
+        # forces SortAggregate — measured and rejected in r15-opt.)
+        # Decode: cnt = ceil(sc/2³²) = (sc + 2³²−1) div 2³² (sc > 0, so
+        # operands stay non-negative — the house div rule), lbl follows.
+        # The domain guard rides the plan via the haar span-guard idiom:
+        # assert_true is null on success, folds into the score as +0.
+        two32 = F.lit(4294967296).cast("long")
+        lbl_guard = F.assert_true(
+            (F.col("lbl") >= 0) & (F.col("lbl") < two32),
+            F.lit(
+                "knn_label_propagation: label outside the [0, 2^32) "
+                "encode window; widen the score encoding"
+            ),
+        )
+        score = (
+            F.col("cnt") * two32
+            - F.col("lbl")
+            + F.coalesce(lbl_guard.cast("long"), F.lit(0).cast("long"))
+        )
         labels = (
             nbr.groupBy("node", "lbl")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "lbl")
+            .groupBy("node")
+            .agg(F.max(score).alias("sc"))
+            .select(
+                "node",
+                F.expr(
+                    "((sc + 4294967295) div 4294967296) * 4294967296 - sc"
+                ).alias("lbl"),
+            )
         )
         # flatten lineage every few rounds (ADVICE r7, the bpe-loop idiom):
         # analysis/compile cost otherwise grows linearly on an ever-deeper
@@ -3878,12 +3911,16 @@ def graph_copurchase_kcore_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s", "t")
     )
     edges = p.unionByName(p.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    # r15 optimization, second pass (guide §1.2 — driver actions are the
+    # lever when data is tiny): the checkpoints are LAZY — the round's one
+    # counts collect (and round 0's collect) materializes them, so every
+    # peel round costs exactly ONE driver action instead of two.
     state = (
         edges.withColumn(
             "k", F.explode(F.array(*[F.lit(k) for k in _KCORE_KS]))
         )
         .select("k", "s", "t")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # round-0 snapshot: every k starts from the full node/edge set
     row0 = state.groupBy("k").agg(
@@ -3901,12 +3938,14 @@ def graph_copurchase_kcore_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     # failure must not strand blocks (review finding)
     # r15 optimization: one driver action per round was saved by merging
     # the two per-round count collects (alive from keep, edges from the
-    # new state) into a SINGLE union job that runs after the checkpoint —
-    # the peel itself (one degree agg + two id-only semi-joins, exchange
-    # reuse sharing the degree exchange across both) is unchanged.  nxt
-    # is built for every still-tracked k; ks that stopped shrinking are
-    # dropped from the working set by a lazy filter the following round
-    # (their rows ride one checkpoint, never another exchange).
+    # new state) into a SINGLE union job; the second pass made the round
+    # checkpoint LAZY so that union job ALSO materializes it — each round
+    # is now exactly one action.  The peel itself (one degree agg + two
+    # id-only semi-joins, exchange reuse sharing the degree exchange
+    # across both) is unchanged.  nxt is built for every still-tracked k;
+    # ks that stopped shrinking are dropped from the working set by a
+    # lazy filter the following round (their rows ride one checkpoint,
+    # never another exchange).
     state_ckpt = state  # the frame whose blocks the finally must free
     try:
         while prev_alive:
@@ -3918,7 +3957,7 @@ def graph_copurchase_kcore_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(
                     keep.select("k", F.col("s").alias("t")), ["k", "t"], "left_semi"
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             counts = (
                 keep.groupBy("k")

@@ -128,13 +128,17 @@ def dup_frac(arr):
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1: exact dedup on selected columns, deterministic representative
-    (min doc_id per key) — the window form of dropDuplicates. One shuffle
-    on the dedup key; WindowGroupLimit prunes per-partition at scale."""
+    (min doc_id per key) — dropDuplicates with a deterministic winner.
+
+    r15 optimization (guide §2.3): the output is exactly key + MIN(doc_id),
+    so the former row_number window (WindowGroupLimit pruned the shuffle
+    bytes but still SORTED every map partition by the key) collapses to a
+    plain min aggregate — hash-aggregable, map-side combined, no sort
+    anywhere in the plan.  Same rows, same deterministic representative."""
     d = load_tables(spark, sf_dir)["documents"]
-    w = Window.partitionBy("lang", "source").orderBy("doc_id")
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        d.groupBy("lang", "source")
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "lang", "source")
     )
 
@@ -377,14 +381,20 @@ def dedup_incremental_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`paraslice_spark.streaming.streams.stream_dedup_incremental`)
     keeps one long of state per distinct fingerprint and emits each kept
     doc exactly once; tests/test_streaming.py asserts whole-corpus AND
-    split-batch replays reproduce THIS query's output row-for-row.  One
-    shuffle on the fingerprint; WindowGroupLimit prunes per-partition."""
+    split-batch replays reproduce THIS query's output row-for-row.
+
+    r15 optimization (guide §2.3): first-arrival-wins on a near-UNIQUE
+    key is the worst case for the former row_number window — the
+    fingerprint domain ≈ the corpus, so WindowGroupLimit pruned almost
+    nothing and every map partition was fully sorted by (fp, doc_id).
+    The output is exactly key + MIN(doc_id), so a plain min aggregate
+    (hash-aggregable, map-side combined, sortless) computes the same
+    rows."""
     d = load_tables(spark, sf_dir)["documents"]
-    w = Window.partitionBy("fp_shingle").orderBy("doc_id")
     return (
         d.select("doc_id", fp_shingle_col().alias("fp_shingle"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .groupBy("fp_shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "fp_shingle")
     )
 
