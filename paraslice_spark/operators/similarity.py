@@ -3887,12 +3887,16 @@ def graph_copurchase_kcore_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(k, s) degree count plus two id-only semi-joins on it.  All
     three k-peels advance in ONE tagged state table per round (k is a
     state column), so the driver loop runs max-rounds-over-k times, not
-    sum; per round only O(|ks|) convergence scalars reach the driver —
-    the dedup_groups checksum idiom — and each round re-roots lineage on
-    an eager localCheckpoint with the superseded round's blocks freed
-    (the bpe_train_merges idiom).  At 100 TB the state is the (already
-    aggregated, support-thresholded) pair graph, orders of magnitude
-    smaller than the fact table, and rounds are O(log n) in practice."""
+    sum; per round ONE O(|ks|)-row stats collect reaches the driver —
+    alive count, node count and Σdegree per k, the last of which IS the
+    previous round's edge count (same rows, grouped by endpoint), so no
+    separate edge-count branch or round-0 snapshot job exists — and each
+    round re-roots lineage on a lazy localCheckpoint materialized by the
+    next round's collect, with superseded blocks freed on a two-round
+    lag (the bpe_train_merges idiom).  At 100 TB the state is the
+    (already aggregated, support-thresholded) pair graph, orders of
+    magnitude smaller than the fact table, and rounds are O(log n) in
+    practice."""
     li = load_tables(spark, sf_dir)["lineitem"]
     # r15 optimization (guide §2.4, the market_basket_pairs idiom): one
     # map-combined collect_set per order replaces the former distinct +
@@ -3911,10 +3915,6 @@ def graph_copurchase_kcore_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s", "t")
     )
     edges = p.unionByName(p.select(F.col("t").alias("s"), F.col("s").alias("t")))
-    # r15 optimization, second pass (guide §1.2 — driver actions are the
-    # lever when data is tiny): the checkpoints are LAZY — the round's one
-    # counts collect (and round 0's collect) materializes them, so every
-    # peel round costs exactly ONE driver action instead of two.
     state = (
         edges.withColumn(
             "k", F.explode(F.array(*[F.lit(k) for k in _KCORE_KS]))
@@ -3922,62 +3922,61 @@ def graph_copurchase_kcore_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "s", "t")
         .localCheckpoint(eager=False)
     )
-    # round-0 snapshot: every k starts from the full node/edge set
-    row0 = state.groupBy("k").agg(
-        F.countDistinct("s").alias("n_alive"),
-        F.count(F.lit(1)).alias("n_dir"),
-    ).collect()
+    # r15 optimization, third pass (guide §2.2 shuffle fewer stages +
+    # §1.2 one action/round): each round's EDGE count is DEFERRED one
+    # round — SUM(d) over round r+1's degree aggregate counts exactly the
+    # rows round r's nxt.groupBy(k) used to count (state(r) grouped by
+    # endpoint instead of globally), and COUNT(*) of round 1's degree
+    # groups is the round-0 alive set, so ONE 3-column-per-k stats
+    # collect per round replaces the former keep-count + nxt-count union
+    # branches AND the round-0 snapshot job, and the keep branch's
+    # duplicate degree exchange disappears from the plan (the lazy
+    # checkpoint compiles its own copy; the old counts plan compiled a
+    # second).  Because the stats collect now PRECEDES nxt's compilation,
+    # dead ks are filtered out BEFORE the semi-joins — dropped rows never
+    # ride a checkpoint at all.  Checkpoint frees move to a TWO-round
+    # lag: round r's collect is what materializes state(r-1), whose
+    # pipeline still reads state(r-2)'s blocks (keep(r-1) broadcasts are
+    # built from a degree aggregate over state(r-2)).
     trace: list[tuple[int, int, int, int]] = []
     prev_alive: dict[int, int] = {}
-    for rw in row0:
-        trace.append((int(rw["k"]), 0, int(rw["n_alive"]), int(rw["n_dir"]) // 2))
-        prev_alive[int(rw["k"])] = int(rw["n_alive"])
+    pending: dict[int, tuple[int, int]] = {}  # k -> (round, n_alive) rows
     r = 0
-    # try/finally: the current round's eager checkpoint must be released on
-    # EVERY exit — empty-edge graphs never enter the loop, and a mid-loop
-    # failure must not strand blocks (review finding)
-    # r15 optimization: one driver action per round was saved by merging
-    # the two per-round count collects (alive from keep, edges from the
-    # new state) into a SINGLE union job; the second pass made the round
-    # checkpoint LAZY so that union job ALSO materializes it — each round
-    # is now exactly one action.  The peel itself (one degree agg + two
-    # id-only semi-joins, exchange reuse sharing the degree exchange
-    # across both) is unchanged.  nxt is built for every still-tracked k;
-    # ks that stopped shrinking are dropped from the working set by a
-    # lazy filter the following round (their rows ride one checkpoint,
-    # never another exchange).
-    state_ckpt = state  # the frame whose blocks the finally must free
+    first = True
+    older: DataFrame | None = None  # freed after the NEXT round's collect
+    newer = state
+    # try/finally: outstanding checkpoints must be released on EVERY exit —
+    # empty-edge graphs break out of round 1, and a mid-loop failure must
+    # not strand blocks (review finding)
     try:
-        while prev_alive:
+        while True:
             r += 1
             deg = state.groupBy("k", "s").agg(F.count(F.lit(1)).alias("d"))
-            keep = deg.where(F.col("d") >= F.col("k")).select("k", "s")
-            nxt = (
-                state.join(keep, ["k", "s"], "left_semi")
-                .join(
-                    keep.select("k", F.col("s").alias("t")), ["k", "t"], "left_semi"
-                )
-                .localCheckpoint(eager=False)
-            )
-            counts = (
-                keep.groupBy("k")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .withColumn("w", F.lit("a"))
-                .unionByName(
-                    nxt.groupBy("k")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .withColumn("w", F.lit("e"))
+            stats = (
+                deg.groupBy("k")
+                .agg(
+                    F.count(F.lit(1)).alias("n_nodes"),
+                    F.count_if(F.col("d") >= F.col("k")).alias("n_keep"),
+                    F.sum("d").alias("n_dir"),
                 )
                 .collect()
             )
-            alive_now = {
-                int(rw["k"]): int(rw["n"]) for rw in counts if rw["w"] == "a"
-            }
-            n_dir = {
-                int(rw["k"]): int(rw["n"]) for rw in counts if rw["w"] == "e"
-            }
-            _free_local_checkpoint(state_ckpt)
-            state_ckpt = nxt
+            if older is not None:
+                _free_local_checkpoint(older)
+                older = None
+            n_nodes = {int(rw["k"]): int(rw["n_nodes"]) for rw in stats}
+            alive_now = {int(rw["k"]): int(rw["n_keep"]) for rw in stats}
+            n_dir = {int(rw["k"]): int(rw["n_dir"]) for rw in stats}
+            if first:
+                for k in sorted(n_nodes):
+                    trace.append((k, 0, n_nodes[k], n_dir[k] // 2))
+                prev_alive = dict(n_nodes)
+                first = False
+            # flush round r-1's rows now that their edge count arrived
+            # (.get: a live k whose survivors lost every edge has no
+            # degree row this round — its state genuinely has 0 edges)
+            for k, (rr, al) in pending.items():
+                trace.append((k, rr, al, n_dir.get(k, 0) // 2))
             # a k continues only while its alive set strictly shrank and is
             # nonempty — mirrors the oracle's emit-on-shrink recursion
             live_ks = [
@@ -3986,17 +3985,27 @@ def graph_copurchase_kcore_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             if not live_ks:
                 break
-            state = (
-                nxt.where(F.col("k").isin(live_ks))
-                if len(live_ks) < len(prev_alive)
-                else nxt
+            pending = {k: (r, alive_now[k]) for k in live_ks}
+            prev_alive = {k: alive_now[k] for k in live_ks}
+            src = state
+            keep = deg.where(F.col("d") >= F.col("k")).select("k", "s")
+            if len(live_ks) < len(n_nodes):
+                live = F.col("k").isin(live_ks)
+                src = src.where(live)
+                keep = keep.where(live)
+            nxt = (
+                src.join(keep, ["k", "s"], "left_semi")
+                .join(
+                    keep.select("k", F.col("s").alias("t")), ["k", "t"], "left_semi"
+                )
+                .localCheckpoint(eager=False)
             )
-            prev_alive = {}
-            for k in live_ks:
-                trace.append((k, r, alive_now[k], n_dir.get(k, 0) // 2))
-                prev_alive[k] = alive_now[k]
+            older, newer = newer, nxt
+            state = nxt
     finally:
-        _free_local_checkpoint(state_ckpt)
+        if older is not None:
+            _free_local_checkpoint(older)
+        _free_local_checkpoint(newer)
     out = spark.createDataFrame(
         trace, "k int, round int, n_alive long, n_edges long"
     )

@@ -43,7 +43,7 @@ _REPRESENTATIVES = (
     "agg_kmv_distinct_error",        # WindowGroupLimit prune + broadcast vk
     "events_funnel_latency",         # composed funnel + histogram selection
     # r8 second-continuation shapes:
-    "graph_copurchase_kcore_trace",  # driver-loop peel + eager checkpoints
+    "graph_copurchase_kcore_trace",  # driver-loop peel + lazy checkpoints
     "orders_ks_price_shift",         # two-level prefix scan + TakeOrdered
     "lineitem_spearman_qty_price",   # rank-map joins + exact moments
     "events_runs_test",              # hist median + seq-adjacency join
