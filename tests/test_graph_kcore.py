@@ -75,3 +75,35 @@ def test_kcore_monotone_in_degree(spark):
         .collect()
     )
     assert joined and all(r["core"] <= r["d"] for r in joined)
+
+
+def test_kcore_trace_zero_edge_survivor_round(spark, monkeypatch):
+    """Planted bowtie: two degree-2 hubs whose leaves all die at k=2, so
+    the round-1 keep set {A, B} survives with ZERO induced edges.  This
+    exercises the deferred-edge-count flush's missing-degree-row default
+    (``n_dir.get(k, 0)`` — no degree row exists the following round), a
+    branch the shipped corpus never hits (every fixture keep set stays
+    internally connected).  Expected trace from the synchronous-peel
+    definition: k=2 peels 6->2 nodes with the round-1 edge count 0; k=3
+    and k=4 empty immediately (round-0 row only)."""
+    import paraslice_spark.operators.similarity as sim
+
+    rows = []
+    orderkey = 1
+    for hub, leaves in ((100, (1, 2)), (101, (3, 4))):
+        for leaf in leaves:
+            for _ in range(2):  # >= _KCORE_MIN_SUPPORT co-orders per edge
+                rows += [(orderkey, hub), (orderkey, leaf)]
+                orderkey += 1
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    monkeypatch.setattr(sim, "load_tables", lambda s, d: {"lineitem": li})
+    got = sorted(
+        tuple(r)
+        for r in sim.graph_copurchase_kcore_trace(spark, "planted").collect()
+    )
+    assert got == [
+        (2, 0, 6, 4),
+        (2, 1, 2, 0),
+        (3, 0, 6, 4),
+        (4, 0, 6, 4),
+    ]

@@ -76,3 +76,15 @@ def test_recursive_peel_path_plus_clique_multiround():
     assert got == _python_trace(und, 2)
     assert len(got) >= 6  # genuinely multi-round
     assert got[-1][1] == 3  # the triangle survives
+
+
+def test_recursive_peel_zero_edge_survivor_round():
+    """Planted bowtie (engine twin in test_graph_kcore): the k=2 keep set
+    {100, 101} survives round 1 with zero induced edges — the recursive
+    term must still emit the shrink row with COALESCE'd 0 edges and then
+    terminate (empty degree table ends the recursion)."""
+    base = [(100, 1), (100, 2), (101, 3), (101, 4)]
+    und = sorted(set(base) | {(b, a) for a, b in base})
+    got = _duckdb_trace(und, 2)
+    assert got == _python_trace(und, 2)
+    assert got == [(0, 6, 4), (1, 2, 0)]
