@@ -19,39 +19,17 @@ import paraslice_spark.operators  # noqa: F401  (registers all queries)
 from paraslice_spark.registry import ORACLES, QUERIES
 
 # The driver grades the FIRST ~50 queries of this dict per round, so order
-# encodes grading priority.  Round-15 re-tier (VERDICT r14 next-round #2):
-# CORRECTNESS_r14 graded 50/50 clean — the 6 r14 tier-0 additions, ALL 33
-# of the old _T5_R8_GRADED (incl. graph_lpa_communities, finally
-# driver-HASH-graded green), and the first 11 of _T6_R9_GRADED — so the r8
-# era is fully closed (tuple deleted) and _T6 shrinks to its 39 ungraded
-# r9 stragglers, now the oldest standing verdicts and therefore tier 1.
-# The 50 names r14 graded move to _T11_R14_GRADED at the back.
-# Tier 0 (no tuple): new r15 additions lead the sample (budget ≤ ~6).
-# Budget check: ≤6 tier-0 names + the 39 r9 stragglers + ~5 of the r10
-# tier's 50 fill the ~50 sample, so CORRECTNESS_r15 grades every r15
-# addition, ends the r9 era entirely, and starts refreshing the r10 tier.
-_T6_R9_GRADED: tuple[str, ...] = (
-    # the 39 r9-graded names CORRECTNESS_r14's sample didn't reach
-    "dedup_incremental_audit",
-    "pipeline_shard_manifest", "text_novelty_curve",
-    "graph_degree_assortativity", "tensor_mode_skew_profile",
-    "tensor_unfold_gram_type", "multimodal_frame_sample",
-    "events_sessionize", "sample_temperature", "scalar_variant_pack",
-    "similarity_ivfpq_ann", "dedup_groups", "pipeline_curriculum",
-    "text_token_stats", "text_unigram_logprob", "window_ranking",
-    "window_topn_per_group", "window_lag_lead", "window_running_sum",
-    "window_moving_avg", "window_range_frame", "window_distribution",
-    "window_distribution_partitioned", "window_first_last",
-    "text_fingerprint", "scalar_array_pack", "scalar_json_pack",
-    "agg_collect_list_ordered", "agg_collect_set", "agg_decimal_money",
-    "dedup_exact", "dedup_ngram_jaccard", "embedding_label_stats",
-    "events_hourly_gapfill", "join_right_outer", "multimodal_join",
-    "sample_stratified_hash", "scalar_bitwise_pack", "scalar_cast_pack",
-)
+# encodes grading priority.  Round-16 re-tier (VERDICT r15 next-round #9):
+# CORRECTNESS_r15 graded 50/50 clean (49 hash-green + similarity_ivfpq_ann
+# rows-only by design) — the 9 r15 tier-0 additions, ALL 39 of the old
+# _T6_R9_GRADED, and the first 2 of _T7_R10_GRADED — so the r9 era is fully
+# closed (tuple deleted) and _T7 shrinks to its 48 ungraded r10-era
+# stragglers, now the oldest standing verdicts and therefore tier 1.
+# The 50 names r15 graded move to _T12_R15_GRADED at the back.
+# Tier 0 (no tuple): r16 is an optimization round — no new queries — so
+# the ~50 sample grades the 48 _T7 stragglers + the first ~2 of _T8.
 _T7_R10_GRADED: tuple[str, ...] = (
-    # the 50 names CORRECTNESS_r10 graded: the 6 r10 additions + all 11 of
-    # the old r4 tail + 33 of the r5 tier
-    "agg_kmv_intersection_error", "stats_join_cardinality_audit",
+    # the 48 r10-graded names CORRECTNESS_r15's sample didn't reach
     "events_session_watermark_audit", "dedup_survivorship_bias",
     "pipeline_release_diff", "similarity_quantizer_append_audit",
     "scalar_conditional_pack", "scalar_datetime_pack", "scalar_math_pack",
@@ -172,6 +150,30 @@ _T11_R14_GRADED: tuple[str, ...] = (
     "customer_pareto_skyline", "events_theil_sen_trend",
     "events_attribution_last_touch",
 )
+_T12_R15_GRADED: tuple[str, ...] = (
+    # the 50 names CORRECTNESS_r15 graded: the 9 r15 additions + all 39 of
+    # the old r9 tier + the first 2 of the r10 tier
+    "cdc_upsert_last_wins", "cdc_merge_classify_audit", "cdc_snapshot_diff",
+    "cdc_log_compaction_audit", "cdc_resurrection_audit",
+    "stats_join_strategy_audit", "stats_partition_sizing_audit",
+    "stats_bucket_colocation_audit", "stats_partial_agg_audit",
+    "dedup_incremental_audit",
+    "pipeline_shard_manifest", "text_novelty_curve",
+    "graph_degree_assortativity", "tensor_mode_skew_profile",
+    "tensor_unfold_gram_type", "multimodal_frame_sample",
+    "events_sessionize", "sample_temperature", "scalar_variant_pack",
+    "similarity_ivfpq_ann", "dedup_groups", "pipeline_curriculum",
+    "text_token_stats", "text_unigram_logprob", "window_ranking",
+    "window_topn_per_group", "window_lag_lead", "window_running_sum",
+    "window_moving_avg", "window_range_frame", "window_distribution",
+    "window_distribution_partitioned", "window_first_last",
+    "text_fingerprint", "scalar_array_pack", "scalar_json_pack",
+    "agg_collect_list_ordered", "agg_collect_set", "agg_decimal_money",
+    "dedup_exact", "dedup_ngram_jaccard", "embedding_label_stats",
+    "events_hourly_gapfill", "join_right_outer", "multimodal_join",
+    "sample_stratified_hash", "scalar_bitwise_pack", "scalar_cast_pack",
+    "agg_kmv_intersection_error", "stats_join_cardinality_audit",
+)
 
 
 def _rotated(d: dict) -> dict:
@@ -179,12 +181,12 @@ def _rotated(d: dict) -> dict:
     tier = {}
     for t, names in enumerate(
         (
-            _T6_R9_GRADED,
             _T7_R10_GRADED,
             _T8_R11_GRADED,
             _T9_R12_GRADED,
             _T10_R13_GRADED,
             _T11_R14_GRADED,
+            _T12_R15_GRADED,
         ),
         start=1,
     ):

@@ -41,6 +41,27 @@ def steal_pct(before: tuple[int, int] | None, after: tuple[int, int] | None) -> 
     return round(100.0 * (after[1] - before[1]) / (after[0] - before[0]), 3)
 
 
+def artifact_path(here: str, cpus: int) -> str:
+    """Resolve where this run's artifact may be written.
+
+    cpu-count guard (VERDICT r15 #1): the canonical BENCH_LOCAL.json is the
+    32-core window; the driver's scaling arm re-runs bench.py at
+    SPARK_GRAFT_CPUS!=32 OUT-OF-BAND and used to clobber it (four rounds
+    running).  A non-32-core run writes BENCH_LOCAL.c{N}.json instead and
+    never touches a canonical (cpus==32 or pre-guard legacy) artifact.
+    """
+    local = os.path.join(here, "BENCH_LOCAL.json")
+    if cpus != 32 and os.path.exists(local):
+        try:
+            with open(local) as fh:
+                prev_cpus = json.load(fh).get("cpus", 32)
+        except (OSError, ValueError):
+            prev_cpus = 32
+        if prev_cpus == 32:
+            return os.path.join(here, f"BENCH_LOCAL.c{cpus}.json")
+    return local
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -136,6 +157,41 @@ def main() -> None:
             print(f"# BENCH ERROR {name}: {exc}", file=sys.stderr)
     wallclock = round(time.perf_counter() - t_suite, 4)
     total = round(sum(t for t in times.values() if t > 0), 4)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    # Shuffle-stage-normalized secondary metric (VERDICT r15 #3): the
+    # container's per-shuffle-stage latency drifts 44-480 ms across windows
+    # at near-zero steal, so raw seconds from different windows do not
+    # compare.  Dividing each query's best time by THIS window's
+    # ms_per_shuffle_stage_median yields a unitless "stage equivalents"
+    # column that is comparable across container modes for
+    # stage-count-bound queries (data-bound queries divide by the same
+    # constant, so ordering within a window is unchanged).  Secondary
+    # only — the reported primary numbers are untouched.
+    stage_ms = sched_probe["ms_per_shuffle_stage_median"]
+    queries_stage_norm = {
+        name: round(t * 1000.0 / stage_ms, 2) if (t > 0 and stage_ms > 0) else None
+        for name, t in times.items()
+    }
+
+    # stdout line (VERDICT r15 #2): the driver keeps only a TAIL of stdout,
+    # so the line is printed COMPACT (no spaces) with the big per-query map
+    # FIRST and the headline scalars LAST — a truncated tail still ends
+    # with value/unit/sf/probes, and a full-line parse is order-agnostic.
+    # shared_builds / steal detail / normalized column live only in the
+    # file artifact below.
+    stdout_line = {
+        "metric": "suite_best_of_runs_sum",
+        "queries": times,
+        "runs_per_query": runs,
+        "wallclock_all_runs": wallclock,
+        "suite_steal_pct": steal_pct(cpu_suite0, cpu_sample()),
+        "sched_probe": sched_probe,
+        "cpus": cpus,
+        "sf": sf,
+        "unit": "sec",
+        "value": total,
+    }
 
     payload = {
         "metric": "suite_best_of_runs_sum",
@@ -143,11 +199,13 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "cpus": cpus,
         "runs_per_query": runs,
         "wallclock_all_runs": wallclock,
-        "suite_steal_pct": steal_pct(cpu_suite0, cpu_sample()),
+        "suite_steal_pct": stdout_line["suite_steal_pct"],
         "steal_suspect_queries": noisy,
         "sched_probe": sched_probe,
+        "queries_stage_norm": queries_stage_norm,
         # ADVICE r6: per-query timings for memoized families are
         # run-order-dependent — the FIRST consumer (alphabetical) pays the
         # shared build; later consumers read the localCheckpoint for ~0 s.
@@ -187,12 +245,27 @@ def main() -> None:
             "simhash_table": [
                 "dedup_method_agreement", "dedup_simhash_bands",
             ],
+            "emb_base": [
+                # the memoized embeddings array→double checkpoint
+                # (_emb_base_cached, introduced r14 at 674ea62; three more
+                # consumers moved onto it in r15) — alphabetically FIRST
+                # consumer pays the one-time build + checkpoint
+                "dedup_embedding_cosine",
+                "embedding_dim_truncation_audit",
+                "similarity_ann_recall", "similarity_ivf_ann",
+                "similarity_ivfpq_ann", "similarity_lsh_ann",
+                "similarity_topk_cosine",
+            ],
             "ivf_centroids_and_pq_codebooks": [
                 "similarity_ann_recall", "similarity_ivf_ann",
                 "similarity_ivfpq_ann",
             ],
             "lineitem_col_histogram": [
-                "stats_collect_lineitem", "stats_histogram_lineitem",
+                # r16: list completed — eqdepth + join-cardinality also ride
+                # the memoized _lineitem_col_hist checkpoint
+                "stats_collect_lineitem",
+                "stats_eqdepth_histogram_lineitem",
+                "stats_histogram_lineitem", "stats_join_cardinality_audit",
                 "stats_shuffle_skew_audit",
             ],
             "watermark_prefix_frame": [
@@ -226,12 +299,13 @@ def main() -> None:
             ],
         },
     }
-    print(json.dumps(payload))
+    print(json.dumps(stdout_line, separators=(",", ":")))
     # BENCH_r{N}.json keeps only the stdout tail, losing the front of the
     # per-query map every round (VERDICT r4 #3) — persist the full map
     # in-repo so rounds stay diffable.
     try:
-        local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+        here = os.path.dirname(os.path.abspath(__file__))
+        local = artifact_path(here, cpus)  # cpu-count guard (VERDICT r15 #1)
         # clobber guard (VERDICT r13 #5, multi-generation per ADVICE r14):
         # every overwrite first moves the existing artifact to a backup
         # stamped with ITS OWN wallclock value, so back-to-back runs (real

@@ -91,12 +91,12 @@ def test_rotation_unchecked_first():
 
     names = list(e.queries())
     tiers = (
-        e._T6_R9_GRADED,
         e._T7_R10_GRADED,
         e._T8_R11_GRADED,
         e._T9_R12_GRADED,
         e._T10_R13_GRADED,
         e._T11_R14_GRADED,
+        e._T12_R15_GRADED,
     )
     listed = [n for t in tiers for n in t]
     new = [n for n in names if n not in listed]
