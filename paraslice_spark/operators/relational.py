@@ -585,22 +585,51 @@ def stats_eqdepth_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFr
     signal equi-depth exists to expose).  Per-bucket ndv doubles as
     the planner's distinct-per-bucket estimate.
 
-    Scale shape: identical to the equi-width twin — the cumulative
-    window runs over DISTINCT VALUES ONLY (≤ ~60k per column at any
-    corpus size), the per-column totals come from a 5-row map-combined
-    agg broadcast back (NOT a second whole-partition window node — the
-    ordered window already costs the one sort; the total must not cost
-    another pass over it), and the ≤ 50-row bucket rollup is
-    map-combined."""
+    Scale shape (r16, VERDICT r15 #6 — the window_distribution
+    distributed-rank idiom): the r13-r15 form computed the cumulative
+    mass with ``Window.partitionBy("col")`` — five partitions total, so
+    each column's ENTIRE distinct-value set funneled through one task
+    (ndv of l_partkey grows linearly with corpus size: billions of rows
+    per task at 100 TB).  Now the cumulative mass is a distributed
+    global prefix sum: range-repartition on (col, v) (disjoint ordered
+    segments; the mass below a value is a pure function of the total
+    order, so sampling-dependent boundary placement — including AQE
+    coalescing — cannot change the output), per-(pid, col) segment
+    sums prefix-summed into offsets (a window over ≤ P·5 rows,
+    broadcast back, which also carries the per-column total n — no
+    second pass over the data for totals), and a per-(pid, col) local
+    cumulative sum; lo = offset + local_cumsum − cnt.  The checkpoint
+    pins ONE physical partitioning for the offsets and the probe side
+    (the window_distribution r13 review finding — without it the two
+    branches could re-sample RangePartitioner boundaries
+    independently).  The ≤ 50-row bucket rollup stays map-combined."""
     h = _lineitem_col_hist(spark, sf_dir).where(F.col("v").isNotNull())
-    wc = Window.partitionBy("col").orderBy("v")
-    tot = h.groupBy("col").agg(F.sum("cnt").alias("n"))
-    f = h.select(
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        h.repartitionByRange(n_part, F.col("col"), F.col("v"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    seg = d.groupBy("pid", "col").agg(F.sum("cnt").alias("s"))
+    w_off = (
+        Window.partitionBy("col")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # over ≤ P·5 segment rows — bounded by the partition count
+    offs = seg.select(
+        "pid",
+        "col",
+        F.coalesce(F.sum("s").over(w_off), F.lit(0)).alias("off"),
+        F.sum("s").over(Window.partitionBy("col")).alias("n"),
+    )
+    wl = Window.partitionBy("pid", "col").orderBy("v")
+    f = d.join(F.broadcast(offs), ["pid", "col"]).select(
         "col",
         "v",
         "cnt",
-        (F.sum("cnt").over(wc) - F.col("cnt")).alias("lo"),
-    ).join(F.broadcast(tot), "col")
+        "n",
+        (F.col("off") + F.sum("cnt").over(wl) - F.col("cnt")).alias("lo"),
+    )
     return (
         f.groupBy("col", F.expr("lo * 10 div n").alias("bucket"))
         .agg(

@@ -110,6 +110,10 @@ _REPRESENTATIVES = (
     "stats_bucket_colocation_audit",      # two censuses + full-outer census
                                           # merge + nested-mod sweep
     "stats_partial_agg_audit",            # 4-way stack + multi-distinct agg
+    # r16 shapes:
+    "stats_eqdepth_histogram_lineitem",   # distributed rank over (col, v):
+                                          # range exchange + (pid, col) segment
+                                          # offsets — boundary-placement invariance
 )
 
 

@@ -921,17 +921,24 @@ def test_tensor_gram_single_scan_reused_exchange(spark):
 
 
 def test_eqdepth_histogram_rides_memo_windows_on_values(spark):
-    """stats_eqdepth_histogram_lineitem claims the shared-memo shape:
-    no parquet scan (the histogram base is the per-session
-    localCheckpoint), EXACTLY ONE window node (the cumulative rank
-    mass over distinct values; per-column totals broadcast back from
-    a 5-row agg, never a second whole-partition window pass), no
+    """stats_eqdepth_histogram_lineitem claims the r16 distributed-rank
+    shape (VERDICT r15 #6, the window_distribution idiom): no parquet
+    scan (the histogram base is the per-session localCheckpoint), the
+    DATA-sized cumulative window partitioned by (pid, col) — never by
+    col alone, which funnels each column's whole distinct-value set
+    through one task — the per-(pid, col) segment offsets/totals
+    windowed over the tiny segment frame and broadcast back, no
     ranking."""
     p = plan(QUERIES["stats_eqdepth_histogram_lineitem"](spark, SF_SMALL))
     assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
     assert "row_number" not in p, p
     wins = [ln for ln in p.splitlines() if "Window [" in ln]
-    assert len(wins) == 1 and "col#" in wins[0], p
+    assert len(wins) == 3, p
+    # the v-ordered cumulative-mass window must carry pid in its
+    # partition spec (the balanced shape); the two pid-free windows are
+    # the offset/total pair over the <= P*5-row segment frame
+    data_wins = [w for w in wins if "windowspecdefinition(pid#" in w]
+    assert len(data_wins) == 1 and "cnt#" in data_wins[0], p
     assert "BroadcastExchange" in p, p
 
 
