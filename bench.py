@@ -53,9 +53,18 @@ HEAVY_ARM_QUERIES = (
     "events_session_watermark_audit",
     "graph_clustering_coefficient", "graph_copurchase_kcore_trace",
     "graph_degree_assortativity", "graph_knn_jaccard",
+    "events_active_users", "events_haar_energy",
+    "events_retention_survivorship",
     "graph_lpa_communities", "graph_pagerank_knn", "graph_triangle_count",
-    "lineitem_spearman_qty_price", "market_basket_pairs",
-    "multimodal_phash_groups", "similarity_ann_recall",
+    "market_basket_pairs",
+    "multimodal_phash_groups", "orders_backlog_profile",
+    "similarity_ann_recall",
+    # lineitem_spearman_qty_price is deliberately ABSENT: its declared
+    # output is six exact int64 rank moments whose documented validity
+    # bound (4n^3 < 2^63, docstring) ends at ~10^6 rows — at sf1 the ANSI
+    # engine fails loudly with ARITHMETIC_OVERFLOW (measured; first caught
+    # by this arm).  Widening to DECIMAL changes the declared output —
+    # a build-round item, out of scope for an optimization round.
     "similarity_knn_graph",
     "stats_eqdepth_histogram_lineitem", "stats_partial_agg_audit",
     "stats_runtime_filter_audit", "text_decontaminate_gram_sweep",
@@ -163,6 +172,7 @@ def main() -> None:
         {n: QUERIES[n] for n in HEAVY_ARM_QUERIES} if heavy else QUERIES
     )
     times: dict[str, float] = {}
+    run1: dict[str, float] = {}
     noisy: dict[str, float] = {}
     t_suite = time.perf_counter()
     cpu_suite0 = cpu_sample()
@@ -170,10 +180,16 @@ def main() -> None:
         best = float("inf")
         cpu0 = cpu_sample()
         try:
-            for _ in range(runs):
+            for i in range(runs):
                 t0 = time.perf_counter()
                 materialize(fn(spark, sf_dir))
-                best = min(best, time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                if i == 0:
+                    # first-run seconds: for memoized families this carries
+                    # the shared build the best-of-N replay hides (heavy-arm
+                    # reading aid; file artifact only)
+                    run1[name] = round(dt, 4)
+                best = min(best, dt)
             times[name] = round(best, 4)
             sp = steal_pct(cpu0, cpu_sample())
             if sp is not None and sp >= 1.0:
@@ -236,6 +252,7 @@ def main() -> None:
         "steal_suspect_queries": noisy,
         "sched_probe": sched_probe,
         "queries_stage_norm": queries_stage_norm,
+        "queries_run1": run1,
         # ADVICE r6: per-query timings for memoized families are
         # run-order-dependent — the FIRST consumer (alphabetical) pays the
         # shared build; later consumers read the localCheckpoint for ~0 s.
