@@ -54,16 +54,44 @@ def _l2_dist(a, b):
 _emb_base_cache: dict[tuple[str, str], "DataFrame"] = {}
 
 
+def _emb_base_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Scale-adaptive partition count for the embeddings base (r16, guide
+    §2/§6): the single parquet file scans as ONE split at every fixture SF
+    (openCost-bound), so every downstream Arrow kernel (signatures,
+    quantization, assignment) ran 1-task regardless of core count —
+    measured flat 8-vs-32-core ratios on the sf1 heavy arm.  Target ~2000
+    vectors per partition (compute-bound kernels want row granularity, not
+    bytes), capped at spark.sql.shuffle.partitions (the knob clusters
+    already size); the row count comes from the parquet FOOTER (driver-side
+    metadata read, no job).  At sf0.1 (2000 rows) this yields 1 — the
+    fixture plans are byte-identical to the pre-r16 shape."""
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        import pyarrow.parquet as pq
+
+        rows = pq.ParquetFile(
+            f"{sf_dir.rstrip('/')}/embeddings.parquet"
+        ).metadata.num_rows
+        return max(1, min(cap, rows // 2000))
+    except Exception:
+        return cap
+
+
 def _emb_base_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paraslice_spark.sources.io import _session_key
 
     key = (_session_key(spark), sf_dir.rstrip("/"))
     if key not in _emb_base_cache:
         e = load_tables(spark, sf_dir)["embeddings"]
-        _emb_base_cache[key] = (
-            e.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
-            .localCheckpoint(eager=True)
-        )
+        base = e.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+        n_part = _emb_base_partitions(spark, sf_dir)
+        if n_part > 1:
+            # deterministic hash placement; all hash-oracled consumers are
+            # row-local or integer-exact (partition-order-proof), and the
+            # float k-means fits feed rows-only queries with fixed top-k
+            # row counts — see OPTIMIZATION_r16.md
+            base = base.repartition(n_part, F.col("vec_id"))
+        _emb_base_cache[key] = base.localCheckpoint(eager=True)
     return _emb_base_cache[key]
 
 
