@@ -65,16 +65,9 @@ def _emb_base_partitions(spark: SparkSession, sf_dir: str) -> int:
     already size); the row count comes from the parquet FOOTER (driver-side
     metadata read, no job).  At sf0.1 (2000 rows) this yields 1 — the
     fixture plans are byte-identical to the pre-r16 shape."""
-    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    try:
-        import pyarrow.parquet as pq
+    from paraslice_spark.sources.io import scaled_scan_partitions
 
-        rows = pq.ParquetFile(
-            f"{sf_dir.rstrip('/')}/embeddings.parquet"
-        ).metadata.num_rows
-        return max(1, min(cap, rows // 2000))
-    except Exception:
-        return cap
+    return scaled_scan_partitions(spark, sf_dir, "embeddings", 2000)
 
 
 def _emb_base_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,7 +844,16 @@ def _minhash_base_cached(
 
     key = (_session_key(spark), sf_dir.rstrip("/"))
     if key not in _mh_base_cache:
+        from paraslice_spark.sources.io import scaled_scan_partitions
+
         docs = load_tables(spark, sf_dir)["documents"]
+        # r16 (guide §2/§6): the single-file scan runs the whole shingle
+        # explode + md5 dictionary + 16-transform map 1-task at any SF —
+        # spread it scale-adaptively before the compute (integer-exact
+        # md5-affine signatures: partition-order-proof)
+        n_part = scaled_scan_partitions(spark, sf_dir, "documents", 500)
+        if n_part > 1:
+            docs = docs.repartition(n_part, F.col("doc_id"))
         sh = shingle_docs(docs).localCheckpoint(eager=True)
         sigs = _minhash_signatures(sh, _N_SIG).localCheckpoint(eager=True)
         _mh_base_cache[key] = (sh, sigs)
@@ -1022,7 +1024,15 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[Data
     share a prefix gram, so the candidate join runs on the prefix inverted
     index, then the exact intersection verifies candidates only. Every step
     is an equi-join/groupBy shuffle — no all-pairs scan anywhere."""
+    from paraslice_spark.sources.io import scaled_scan_partitions
+
     d = load_tables(spark, sf_dir)["documents"]
+    # r16 (guide §2/§6): spread the bigram explode map phase off the
+    # 1-split scan (exact gram counts + value-ordered gid assignment:
+    # partition-order-proof)
+    n_part = scaled_scan_partitions(spark, sf_dir, "documents", 500)
+    if n_part > 1:
+        d = d.repartition(n_part, F.col("doc_id"))
     words = F.split("text", " ")
     nw = F.size(words)
     bigrams = F.zip_with(
@@ -1686,7 +1696,14 @@ def _simhash_table_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash per doc from md5-derived per-token
     bit votes (see dedup_simhash_bands docstring for the contract)."""
+    from paraslice_spark.sources.io import scaled_scan_partitions
+
     d = load_tables(spark, sf_dir)["documents"]
+    # r16 (guide §2/§6): spread the tokenize + md5 + lane-pack map phase
+    # off the 1-split scan (integer bit-vote sums: partition-order-proof)
+    n_part = scaled_scan_partitions(spark, sf_dir, "documents", 500)
+    if n_part > 1:
+        d = d.repartition(n_part, F.col("doc_id"))
     words = F.explode(F.split("text", " "))
     hexs = F.md5("w")
     h64 = F.shiftleft(F.conv(F.substring(hexs, 1, 8), 16, 10).cast("long"), 32).bitwiseOR(

@@ -41,6 +41,31 @@ def _session_key(spark: SparkSession) -> str:
         return str(id(spark))
 
 
+def scaled_scan_partitions(
+    spark: SparkSession, sf_dir: str, table: str, rows_per_partition: int
+) -> int:
+    """Scale-adaptive partition count for a map-heavy pipeline over a
+    fixture table (r16, guide §2/§6): each fixture table is ONE parquet
+    file, which scans as one (openCost-bound) split at every SF — so any
+    expensive map phase built directly on the scan (shingle md5, tokenize
+    votes, gram explode, Arrow kernels) ran 1-task regardless of core
+    count; measured flat 8-vs-32-core ratios on the sf1 heavy arm.  The
+    row count comes from the parquet FOOTER (driver-side metadata read, no
+    job); the result is clamped to spark.sql.shuffle.partitions — the knob
+    clusters already size.  Callers skip the repartition entirely when
+    this returns 1, keeping small-SF plans byte-identical."""
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        import pyarrow.parquet as pq
+
+        rows = pq.ParquetFile(
+            f"{sf_dir.rstrip('/')}/{table}.parquet"
+        ).metadata.num_rows
+        return max(1, min(cap, rows // rows_per_partition))
+    except Exception:
+        return cap
+
+
 def _repair_events(df: DataFrame) -> DataFrame:
     """events.ts arrives in whatever shape this Spark build reads the parquet
     column as — normalize to TimestampType (LTZ, µs) plus raw ``ts_ns`` longs
