@@ -709,7 +709,15 @@ def _decontaminate_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (_session_key(spark), sf_dir.rstrip("/"))
     if key not in _decon_cache:
+        from paraslice_spark.sources.io import scaled_scan_partitions
+
         d = load_tables(spark, sf_dir)["documents"]
+        # r16 (guide §2/§6): spread the train-side gram explode off the
+        # 1-split scan (exact gram joins: partition-order-proof) — same
+        # fix as the minhash/simhash/ngram memo builds
+        n_part = scaled_scan_partitions(spark, sf_dir, "documents", 500)
+        if n_part > 1:
+            d = d.repartition(n_part, F.col("doc_id"))
         pairs = decontaminate_pairs(
             d.where(F.col("source") != "src0"),
             bench_gram_index(d.where(F.col("source") == "src0")),
