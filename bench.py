@@ -44,7 +44,7 @@ def steal_pct(before: tuple[int, int] | None, after: tuple[int, int] | None) -> 
 #: Heavy-arm query list (VERDICT r15 #5): at sf0.1/local[32] the suite is
 #: scheduling-overhead-bound (the 8-core arm beats the 32-core arm; per-query
 #: core ratios <= 1 everywhere), so optimization rounds lack a parallelism
-#: signal.  PARASLICE_BENCH_HEAVY=1 benches these ~23 heaviest query paths
+#: signal.  PARASLICE_BENCH_HEAVY=1 benches these heaviest query paths
 #: data-bound at sf1 (generate once: tools/gen_heavy_sf.py), best-of-2, and
 #: writes BENCH_HEAVY*.json — NEVER the canonical BENCH_LOCAL.json.
 HEAVY_ARM_QUERIES = (
@@ -69,6 +69,23 @@ HEAVY_ARM_QUERIES = (
     "stats_eqdepth_histogram_lineitem", "stats_partial_agg_audit",
     "stats_runtime_filter_audit", "text_decontaminate_gram_sweep",
     "udf_grouped_map",
+    # Breadth extension (second tier — the next-heaviest committed-window
+    # rows): each smoke-verified at sf1 first (no ANSI overflow; the binseg
+    # D^2 < 2^53 and hosvd int64 in-plan assert_true guards both HOLD at
+    # 10x data), completing the parallelism audit across every family with
+    # >= ~1s of local mass.
+    "stats_bloom_prune_audit", "stats_join_strategy_audit",
+    "stats_bucket_colocation_audit", "stats_partition_sizing_audit",
+    "stats_zorder_prune_audit", "stats_zonemap_prune_audit",
+    "stats_compaction_waste_audit", "stats_clustering_depth_audit",
+    "stats_shuffle_skew_audit",
+    "supplier_scorecard", "events_anova_calendar",
+    "customer_revenue_deciles", "customer_ltv_cohorts",
+    "q2_min_cost_supplier", "orders_ks_price_shift",
+    "pipeline_quality_filter",
+    "embedding_dim_truncation_audit", "similarity_signlsh_band_sweep",
+    "embedding_quant_bits_sweep",
+    "events_binseg_changepoint", "tensor_hosvd_energy_audit",
 )
 
 
@@ -299,8 +316,11 @@ def main() -> None:
                 # consumer pays the one-time build + checkpoint
                 "dedup_embedding_cosine",
                 "embedding_dim_truncation_audit",
+                "embedding_quant_bits_sweep",  # r16 heavy-arm continuation
                 "similarity_ann_recall", "similarity_ivf_ann",
                 "similarity_ivfpq_ann", "similarity_lsh_ann",
+                "similarity_signlsh_ann",      # r16 heavy-arm continuation
+                "similarity_signlsh_band_sweep",  # r16 heavy-arm continuation
                 "similarity_topk_cosine",
             ],
             "ivf_centroids_and_pq_codebooks": [

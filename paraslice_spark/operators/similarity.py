@@ -1990,12 +1990,17 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 micro-units BEFORE summation (the house micros_units rule), so
     partial sums are associative integers and the DuckDB twin — the same
     round(x*1e6) per product — matches bit-for-bit regardless of row or
-    partition order.  numpy's rint (banker's) is deliberately NOT used."""
+    partition order.  numpy's rint (banker's) is deliberately NOT used.
+
+    r16 heavy-arm fix: rides the shared `_emb_base_cached` checkpoint
+    (scale-adaptively partitioned) — the chunked numpy outer-product
+    pass ran as ONE task on the single-file scan at any SF (sf1
+    isolated best 1.77 s before); partial sums are associative
+    integers, so the partition count cannot move the declared values."""
     import numpy as np
     import pandas as pd
 
-    e = load_tables(spark, sf_dir)["embeddings"]
-    base = e.select(_as_double(F.col("embedding")).alias("emb"))
+    base = _emb_base_cached(spark, sf_dir).select("emb")
     dim = 64
     iu, ju = np.triu_indices(dim)
 
@@ -2064,8 +2069,17 @@ def embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     out of any corpus size — the gram-matrix partial-agg regime), then
     all pair work happens on the 640-row sum table: broadcast self-join
     on dim, 45-pair dot agg, two broadcast norm attaches.  The corpus is
-    scanned exactly once."""
+    scanned exactly once.
+
+    r16 heavy-arm fix: the posexplode + (label, dim) partial agg ran
+    1-task on the single-file scan at any SF; spread via
+    `_emb_base_partitions` (needs `label`, so the raw scan is
+    repartitioned rather than riding the vec-only memo — the helper
+    returns 1 at fixture SFs, keeping those plans byte-identical)."""
     e = load_tables(spark, sf_dir)["embeddings"]
+    n_part = _emb_base_partitions(spark, sf_dir)
+    if n_part > 1:
+        e = e.repartition(n_part, F.col("vec_id"))
     s = (
         e.select("label", F.posexplode(_as_double(F.col("embedding"))))
         .select(
@@ -2589,8 +2603,18 @@ def similarity_signlsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's all-pairs form is the spec, not the plan.  Recall at
     this band width is the honest tradeoff (near-orthogonal pairs
     collide ~1.5%/query; planted near-dups collide ~always — recall
-    property-tested in tests/test_similarity.py)."""
-    return signlsh_ann(load_tables(spark, sf_dir)["embeddings"])
+    property-tested in tests/test_similarity.py).
+
+    r16 heavy-arm fix: the corpus rides the shared `_emb_base_cached`
+    checkpoint (scale-adaptively partitioned) instead of the raw
+    single-file scan, so the quantization + Arrow matmul kernel
+    parallelize at data-bound SFs; `emb` is the same float→double cast
+    the kernel applied itself, so signatures are bit-identical."""
+    return signlsh_ann(
+        _emb_base_cached(spark, sf_dir).select(
+            "vec_id", F.col("emb").alias("embedding")
+        )
+    )
 
 
 def signlsh_ann(e: DataFrame) -> DataFrame:
@@ -2823,10 +2847,15 @@ def similarity_signlsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
             lambda acc, x: acc + x,
         )
 
-    # ONE corpus scan feeds truth + all sweep arms
-    sig = _sl_sweep_sig(load_tables(spark, sf_dir)["embeddings"]).localCheckpoint(
-        eager=True
-    )
+    # ONE corpus pass feeds truth + all sweep arms — over the shared
+    # `_emb_base_cached` checkpoint (r16: scale-adaptively partitioned, so
+    # the signature matmul parallelizes at data-bound SFs; the raw
+    # single-file scan ran it 1-task)
+    sig = _sl_sweep_sig(
+        _emb_base_cached(spark, sf_dir).select(
+            "vec_id", F.col("emb").alias("embedding")
+        )
+    ).localCheckpoint(eager=True)
 
     qs = sig.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -3418,10 +3447,17 @@ def _coshist_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``Limit(Sort(Project))`` special-limits pattern and degrading the cut
     to a global range-partitioned Sort + CollectLimit (measured here);
     with a single Project under the Sort the planner emits
-    TakeOrderedAndProject — per-partition top-K, no Exchange."""
-    e = load_tables(spark, sf_dir)["embeddings"]
+    TakeOrderedAndProject — per-partition top-K, no Exchange.
+
+    r16 heavy-arm fix: the sample cut rides the shared
+    `_emb_base_cached` checkpoint (scale-adaptively partitioned), so the
+    below-the-limit micro projection + self-dot run parallel per
+    partition instead of 1-task on the single-file scan."""
+    e = _emb_base_cached(spark, sf_dir).select(
+        "vec_id", F.col("emb").alias("embedding")
+    )
     vm = F.transform(
-        _as_double(F.col("embedding")),
+        F.col("embedding"),
         lambda x: F.round(x * 1000000).cast("long"),
     )
     slim = e.select("vec_id", vm.alias("vm")).withColumn(
@@ -3565,12 +3601,17 @@ def embedding_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; everything after is integer.
 
     Scale shape: pure per-row array codegen (explode-free on the Spark
-    side — transform/aggregate over the 64-wide array), one scan, no
+    side — transform/aggregate over the 64-wide array), one pass, no
     shuffle, no model state; at 100 TB this is a map stage fused into
-    whatever writes the serving shards."""
-    e = load_tables(spark, sf_dir)["embeddings"]
+    whatever writes the serving shards.
+
+    r16 heavy-arm fix: rides the shared `_emb_base_cached` checkpoint
+    (scale-adaptively partitioned) — the direct single-file scan ran
+    the per-row folds 1-task at any SF (sf1 isolated best 2.81 s);
+    memo emb is the identical float→double cast."""
+    e = _emb_base_cached(spark, sf_dir)
     vm = F.transform(
-        _as_double(F.col("embedding")),
+        F.col("emb"),
         lambda x: F.round(x * 1000000).cast("long"),
     )
     base = e.select("vec_id", vm.alias("vm")).withColumn(
@@ -3694,10 +3735,18 @@ def embedding_quant_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     are per-row array codegen inside ONE embeddings pass (no explode,
     no join, no model state), then a 3-row stack; at 100 TB this fuses
     into whatever writes the serving shards, exactly like the int8
-    audit it generalizes."""
-    e = load_tables(spark, sf_dir)["embeddings"]
+    audit it generalizes.
+
+    r16 heavy-arm fix: ride the shared `_emb_base_cached` checkpoint —
+    the direct single-file scan ran the ~8 per-row integer array folds
+    as ONE task at any SF (extended sf1 arm: 10.6 s at 32 cores, c8/c32
+    ratio 0.59 — serial-bound); the memo is scale-adaptively
+    repartitioned (`_emb_base_partitions`), so the fold map parallelizes
+    while fixture-SF outputs stay hash-identical (memo emb is the same
+    float→double cast this query applied itself)."""
+    e = _emb_base_cached(spark, sf_dir)
     vm = F.transform(
-        _as_double(F.col("embedding")),
+        F.col("emb"),
         lambda x: F.round(x * 1000000).cast("long"),
     )
     base = (
@@ -4453,11 +4502,17 @@ def similarity_quantizer_append_audit(
     ≤256-key map-combined groupBy then a 1-row rollup.  The corpus is
     scanned twice (stats, cells) with no window, no join wider than a
     1-row broadcast, nothing ordered — at 100 TB this is two columnar
-    passes over 8 of 64 dims."""
-    e = load_tables(spark, sf_dir)["embeddings"]
+    passes over 8 of 64 dims.
+
+    r16 heavy-arm fix: both columnar passes read the shared
+    `_emb_base_cached` checkpoint (scale-adaptively partitioned) instead
+    of re-scanning the single-file source twice 1-task each (sf1
+    isolated best 2.13 s before); memo emb is the identical
+    float→double cast."""
+    e = _emb_base_cached(spark, sf_dir)
     mv = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        F.col("emb"),
+        lambda x: F.round(x * 1000000).cast("long"),
     )
     base = e.select("vec_id", mv.alias("mv"))
     cut = base.agg(

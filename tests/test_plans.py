@@ -555,11 +555,14 @@ def test_cosine_histogram_broadcasts_sample(spark):
 
 def test_int8_quant_audit_is_map_side_only(spark):
     """embedding_int8_quant_audit claims a pure per-row array map: no
-    Exchange, no Aggregate, no Generate — one scan, all codegen."""
+    Exchange, no Aggregate, no Generate — one pass over the memoized
+    embeddings base (r16: `_emb_base_cached`, scale-adaptively
+    partitioned), all codegen."""
     p = plan(QUERIES["embedding_int8_quant_audit"](spark, SF_SMALL))
     assert "Exchange" not in p, p
     assert "Aggregate(" not in p, p
-    assert p.count("Scan parquet") == 1, p
+    assert p.count("Scan parquet") == 0, p
+    assert p.count("Scan ExistingRDD") == 1, p
 
 
 def test_funnel_latency_windows_run_on_histogram(spark):
@@ -1096,17 +1099,28 @@ def test_pack_waste_sweep_single_offsets_pass(spark):
 
 def test_signlsh_band_sweep_plan_shape(spark):
     """similarity_signlsh_band_sweep claims: the signature frame is ONE
-    parquet scan with zero exchanges (quantize + self-dot codegen, all
-    14 buckets from one Arrow batch matmul — asserted on the
+    pass over the memoized embeddings base (r16: `_emb_base_cached`,
+    scale-adaptively partitioned so the matmul kernel parallelizes at
+    data-bound SFs) with zero exchanges (quantize + self-dot codegen,
+    all 14 buckets from one Arrow batch matmul — asserted on the
     pre-checkpoint tree the query's localCheckpoint hides); the declared
     plan rides checkpoints only (no parquet re-scan), every join is a
     broadcast (band-collision equi-join + the tiny grid combines), and
     pair rows are never sort-merge-joined or cartesian-producted."""
-    from paraslice_spark.operators.similarity import _sl_sweep_sig
-    from paraslice_spark.sources.io import load_tables
+    import pyspark.sql.functions as F
 
-    ps = plan(_sl_sweep_sig(load_tables(spark, SF_SMALL)["embeddings"]))
-    assert ps.count("Scan parquet") == 1, ps
+    from paraslice_spark.operators.similarity import (
+        _emb_base_cached,
+        _sl_sweep_sig,
+    )
+
+    ps = plan(_sl_sweep_sig(
+        _emb_base_cached(spark, SF_SMALL).select(
+            "vec_id", F.col("emb").alias("embedding")
+        )
+    ))
+    assert ps.count("Scan parquet") == 0, ps
+    assert ps.count("Scan ExistingRDD") == 1, ps
     assert "Exchange" not in ps, ps
     assert "ArrowEvalPython" in ps, ps
 
@@ -1153,16 +1167,19 @@ def test_decontaminate_gram_sweep_plan_shape(spark):
 
 def test_quant_bits_sweep_zero_shuffle_single_pass(spark):
     """embedding_quant_bits_sweep claims the int8-audit regime times
-    three: ONE embeddings scan, all three widths as per-row array
-    codegen inside one map-combined global agg (zero hash exchanges),
-    a 3-row stack after — no join, no window, no explode."""
+    three: ONE pass over the memoized embeddings base (r16: the shared
+    `_emb_base_cached` checkpoint — scale-adaptively partitioned, so
+    the per-row fold map parallelizes at data-bound SFs), all three
+    widths as per-row array codegen inside one map-combined global agg
+    (zero hash exchanges), a 3-row stack after — no join, no window,
+    no explode, and no residual parquet scan in the consumer plan."""
     p = plan(QUERIES["embedding_quant_bits_sweep"](spark, SF_SMALL))
-    assert p.count("Scan parquet") == 1, p
+    assert p.count("Scan parquet") == 0, p
+    assert p.count("Scan ExistingRDD") == 1, p
     assert p.count("Exchange hashpartitioning") == 0, p
     assert "Join" not in p and "Window [" not in p, p
     # the only Generate is the 3-row presentation stack, never an explode
     assert "Generate explode" not in p, p
-    assert "ReadSchema: struct<embedding:array<float>>" in p, p
 
 
 def test_binseg_changepoint_single_scan_tiny_tail(spark):
